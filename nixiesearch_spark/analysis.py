@@ -1,0 +1,77 @@
+"""Analysis chain: ONE tokenizer spec shared by index build, query compile,
+and the pure-Python oracle.
+
+The reference uses Lucene's default ``StandardAnalyzer`` for every text field
+unless a language is configured (reference ``config/mapping/Language.scala:52-99``,
+default at 96-99), and the SAME analyzer instance at index time and query time
+(reference ``index/Indexer.scala:207``, ``api/query/retrieve/MatchQuery.scala:43-49``).
+We pin a deterministic ASCII-equivalent of StandardAnalyzer for the
+source-code / synthetic corpora in scope:
+
+- truncate field value at 32000 chars BEFORE analysis
+  (reference ``core/field/TextFieldCodec.scala:66-69,147`` MAX_FIELD_SEARCH_SIZE)
+- lowercase
+- split on runs of non-word chars ``[^0-9A-Za-z_]+`` (UAX#29 keeps ``_`` as
+  word-internal ExtendNumLet, so ``foo_bar`` is one token — same here)
+- drop empty tokens and tokens longer than 255 chars
+  (StandardAnalyzer ``maxTokenLength`` default 255)
+
+Three implementations, guaranteed identical by tests/test_analysis.py:
+
+1. :func:`tokenize_col` — pure Catalyst (JVM, whole-stage codegen). This is
+   the default build path: ``split`` + ``filter`` + ``transform`` are
+   vectorized JVM expressions, strictly faster than any Python UDF. (The
+   north rule's "vectorized Arrow UDF, no per-row Python" floor is exceeded:
+   zero Python in the hot path.)
+2. :func:`tokenize_arrow_batches` — Arrow ``mapInArrow``-compatible batch
+   tokenizer used by the packed-posting build where tokenization, norm
+   computation and per-doc stats happen in one Arrow pass.
+3. :func:`tokenize_py` — reference implementation for the numpy oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_FIELD_SEARCH_SIZE = 32000  # chars, reference TextFieldCodec.scala:147
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer default
+TOKEN_SPLIT_REGEX = "[^0-9A-Za-z_]+"
+# DuckDB (RE2) spelling of the same split — used by __spark_entry__ oracle SQL
+TOKEN_SPLIT_REGEX_RE2 = "[^0-9A-Za-z_]+"
+
+_SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Oracle tokenizer (single string). Must match :func:`tokenize_col`."""
+    if text is None:
+        return []
+    toks = _SPLIT_RE.split(text[:MAX_FIELD_SEARCH_SIZE].lower())
+    return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
+
+
+def tokenize_col(col: Column) -> Column:
+    """Catalyst tokenizer: returns array<string> of analyzed tokens.
+
+    Entirely JVM-side (split/filter are codegen'd), so the 100 TB build path
+    never crosses the Python boundary for tokenization.
+    """
+    toks = F.split(F.lower(F.substring(col, 1, MAX_FIELD_SEARCH_SIZE)), TOKEN_SPLIT_REGEX)
+    return F.filter(toks, lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH))
+
+
+def tokenize_arrow_batches(texts):
+    """Tokenize a pandas Series of strings → list[list[str]].
+
+    Used inside mapInArrow/applyInPandas passes; pandas .str ops keep the
+    loop in C where possible, and there is no per-row Python UDF dispatch.
+    """
+    s = texts.fillna("").str.slice(0, MAX_FIELD_SEARCH_SIZE).str.lower()
+    split = s.str.split(TOKEN_SPLIT_REGEX, regex=True)
+    return [
+        [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH] if toks is not None else []
+        for toks in split
+    ]

@@ -1,0 +1,9 @@
+from nixiesearch_spark.query.ast import (  # noqa: F401
+    BoolQuery,
+    DisMaxQuery,
+    MatchAllQuery,
+    MatchQuery,
+    MultiMatchQuery,
+    parse_query,
+)
+from nixiesearch_spark.query.engine import Searcher  # noqa: F401

@@ -1,0 +1,259 @@
+"""Searcher: compile the query AST to DataFrame plans and execute.
+
+The Spark lifecycle equivalent of the reference's search path
+(``index/Searcher.scala:115-274``, SURVEY.md §3.1): query JSON → AST →
+DataFrame plan (broadcast query-term stats ⋈ posting scan → per-doc score
+aggregation → TakeOrderedAndProject top-k → optional broadcast doc-fetch
+join) → Catalyst optimizes → distributed execute.
+
+Physical shape of a match query at scale:
+- the postings scan carries ``term IN (...)`` + ``field = ...`` predicates →
+  parquet row-group skip via min/max on the sorted ``term`` column (the
+  analog of Lucene's term-dictionary seek);
+- term weights (float32 idf) and the 256-entry norm cache join via
+  ``broadcast()`` — no shuffle;
+- per-doc score sum is one hash aggregation (map-side partial) on docid;
+- top-k is ``orderBy(desc(score), asc(docid)).limit(k)`` which Catalyst
+  executes as TakeOrderedAndProject (per-partition heap + driver merge —
+  exactly the "heap-based top-k accumulator" shape, no global sort).
+
+Scoring is bit-exact Lucene 10.3 BM25 when the index is quantized (norm
+byte + float32 op chain, see nixiesearch_spark.lucene); with
+``quantize=False`` it is the plain double-precision BM25 used for
+SQL-oracle cross-checks.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nixiesearch_spark import lucene
+from nixiesearch_spark.analysis import tokenize_py
+from nixiesearch_spark.index.builder import IndexReader
+from nixiesearch_spark.query import ast
+from nixiesearch_spark.query.filters import compile_predicate
+
+K1 = 1.2
+B = 0.75
+SCORE_SCHEMA = "docid long, score float"
+
+
+class Searcher:
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self.spark: SparkSession = reader.spark
+        self._cache_df = {}  # field -> broadcastable norm-cache DataFrame
+
+    # ---------- public API ----------
+
+    def search(
+        self,
+        query: ast.Query | dict | None,
+        filters: dict | None = None,
+        size: int = 10,
+        fields: list[str] | None = None,
+        sort: list | None = None,
+    ) -> DataFrame:
+        """Top-``size`` hits. ``sort``: list of (field, asc|desc, first|last)
+        replacing score order (reference RetrieveQuery.scala:82-87);
+        ``fields``: stored columns to fetch (default [docid, score])."""
+        if isinstance(query, dict) or query is None:
+            query = ast.parse_query(query)
+        scored = self.score(query, filters)
+        if sort:
+            topk = self._sorted_topk(scored, sort, size)
+        else:
+            topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(size)
+        if fields:
+            return self.fetch(topk, fields)
+        return topk
+
+    def fetch(self, topk: DataFrame, fields: list[str]) -> DataFrame:
+        """Doc-fetch join: tiny top-k frame broadcast against the docs table
+        (reference Searcher.collect, ``index/Searcher.scala:253-274``)."""
+        docs = self.reader.docs.select("docid", *fields)
+        out = docs.join(F.broadcast(topk), "docid")
+        order = [F.desc("score"), F.asc("docid")] if "score" in topk.columns else [F.asc("docid")]
+        return out.orderBy(*order)
+
+    def score(self, query: ast.Query, filters: dict | None = None) -> DataFrame:
+        """Full match-set scores (docid, float score) — facets and sorts run
+        over this, mirroring the reference's FacetsCollector running beside
+        the top-k collector (RetrieveQuery.scala:88-90)."""
+        scored = self._score(query)
+        if filters is not None:
+            pred = compile_predicate(filters)
+            keep = self.reader.docs.where(pred).select("docid")
+            scored = scored.join(keep, "docid", "left_semi")
+        return scored
+
+    # ---------- score compilation ----------
+
+    def _score(self, q: ast.Query) -> DataFrame:
+        if isinstance(q, ast.MatchQuery):
+            return self._score_match(q.field, q.query, q.operator)
+        if isinstance(q, ast.MatchAllQuery):
+            return self.reader.docs.select(
+                "docid", F.lit(1.0).cast("float").alias("score")
+            )
+        if isinstance(q, ast.MultiMatchQuery):
+            subs = [ast.MatchQuery(f, q.query, q.operator) for f in q.fields]
+            if q.type == "most_fields":
+                return self._score(ast.BoolQuery(should=subs))
+            return self._score(ast.DisMaxQuery(queries=subs, tie_breaker=q.tie_breaker))
+        if isinstance(q, ast.DisMaxQuery):
+            return self._dis_max([self._score(s) for s in q.queries], q.tie_breaker)
+        if isinstance(q, ast.BoolQuery):
+            return self._bool(q)
+        raise ValueError(f"unsupported query: {q}")
+
+    def _empty_scores(self) -> DataFrame:
+        return self.spark.createDataFrame([], SCORE_SCHEMA)
+
+    def _norm_cache_df(self, field: str) -> DataFrame:
+        if field not in self._cache_df:
+            avgdl = np.float32(self.reader.field_stats(field)["avgdl"])
+            cache = lucene.norm_cache(avgdl)
+            rows = [(int(i), float(cache[i])) for i in range(256)]
+            self._cache_df[field] = self.spark.createDataFrame(rows, "norm int, cache float")
+        return self._cache_df[field]
+
+    def _score_match(self, field: str, text: str, operator: str = "or") -> DataFrame:
+        terms = tokenize_py(text)
+        if not terms:
+            return self._empty_scores()
+        mult = Counter(terms)
+        tstats = self.reader.term_stats(field, list(mult))
+        present = [t for t in mult if t in tstats]
+        if not present or (operator == "and" and len(present) < len(mult)):
+            return self._empty_scores()
+        fs = self.reader.field_stats(field)
+        postings = self.reader.postings.where(
+            (F.col("field") == field) & F.col("term").isin(present)
+        )
+        if self.reader.quantize:
+            wdf = self.spark.createDataFrame(
+                [(t, tstats[t][1], int(mult[t])) for t in present], "term string, w float, mult int"
+            )
+            matched = postings.join(F.broadcast(wdf), "term").join(
+                F.broadcast(self._norm_cache_df(field)), "norm"
+            )
+            # float32 op chain identical to BM25Scorer.score:
+            # w - w / (1f + freq * cache[norm]).
+            # Spark evaluates float arithmetic in double; casting after every
+            # op restores IEEE float32 rounding (exact for *, +, - since a
+            # double op over two float32s is exact before the cast).
+            prod = (F.col("tf").cast("float") * F.col("cache")).cast("float")
+            denom = (F.lit(1.0).cast("float") + prod).cast("float")
+            frac = (F.col("w") / denom).cast("float")
+            contrib = (F.col("w") - frac).cast("float")
+            score = F.sum(F.col("mult").cast("double") * contrib.cast("double")).cast("float")
+        else:
+            wdf = self.spark.createDataFrame(
+                [
+                    (t, float(lucene.idf(tstats[t][0], fs["doc_count"])), int(mult[t]))
+                    for t in present
+                ],
+                "term string, w double, mult int",
+            )
+            matched = postings.join(F.broadcast(wdf), "term")
+            # unquantized: norm column holds the exact doc length
+            dl = F.col("norm").cast("double")
+            tf = F.col("tf").cast("double")
+            contrib = F.col("w") * tf / (tf + K1 * (1 - B + B * dl / fs["avgdl"]))
+            score = F.sum(F.col("mult") * contrib).cast("float")
+        agg = matched.groupBy("docid").agg(
+            score.alias("score"), F.count(F.lit(1)).alias("_nt")
+        )
+        if operator == "and":
+            agg = agg.where(F.col("_nt") == len(present))
+        return agg.select("docid", "score")
+
+    def _bool(self, q: ast.BoolQuery) -> DataFrame:
+        """Lucene BooleanQuery semantics: doc matches all musts and (if no
+        musts) ≥1 should; score = float32(Σ float64 matching sub-scores);
+        must_not excludes (reference BoolQuery.scala:15-57, §2.7 join
+        algebra: MUST=inner join, SHOULD=full outer, MUST_NOT=anti join)."""
+        if not (q.must or q.should or q.must_not):
+            raise ValueError("bool query requires at least one clause")
+        base = None  # DataFrame[docid, _sum double]
+        for i, sub in enumerate(q.must):
+            sc = self._score(sub).select("docid", F.col("score").cast("double").alias(f"_m{i}"))
+            base = sc if base is None else base.join(sc, "docid", "inner")
+        if base is not None and q.must:
+            sum_cols = [F.col(f"_m{i}") for i in range(len(q.must))]
+            base = base.select("docid", sum(sum_cols[1:], sum_cols[0]).alias("_sum"))
+        should_sum = None
+        for i, sub in enumerate(q.should):
+            sc = self._score(sub).select("docid", F.col("score").cast("double").alias(f"_s{i}"))
+            should_sum = sc if should_sum is None else should_sum.join(sc, "docid", "outer")
+        if should_sum is not None and q.should:
+            cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(q.should))]
+            should_sum = should_sum.select("docid", sum(cols[1:], cols[0]).alias("_ssum"))
+        if base is None and should_sum is None:
+            # must_not only: reference requires ≥1 positive clause; we model
+            # it as match_all minus must_not (ConstantScore), like filter-only
+            base = self.reader.docs.select("docid", F.lit(1.0).alias("_sum"))
+        elif base is None:
+            base = should_sum.withColumnRenamed("_ssum", "_sum")
+        elif should_sum is not None:
+            base = base.join(should_sum, "docid", "left").select(
+                "docid",
+                (F.col("_sum") + F.coalesce(F.col("_ssum"), F.lit(0.0))).alias("_sum"),
+            )
+        for sub in q.must_not:
+            excl = self._score(sub).select("docid")
+            base = base.join(excl, "docid", "left_anti")
+        return base.select("docid", F.col("_sum").cast("float").alias("score"))
+
+    def _dis_max(self, frames: list[DataFrame], tie_breaker: float) -> DataFrame:
+        """DisjunctionMaxQuery: max(sub) + tie_breaker * Σ(other subs)
+        (reference DisMaxQuery.scala:14-41)."""
+        out = None
+        for i, f in enumerate(frames):
+            sc = f.select("docid", F.col("score").cast("double").alias(f"_d{i}"))
+            out = sc if out is None else out.join(sc, "docid", "outer")
+        cols = [F.col(f"_d{i}") for i in range(len(frames))]
+        filled = [F.coalesce(c, F.lit(float("-inf"))) for c in cols]
+        mx = F.greatest(*filled) if len(cols) > 1 else filled[0]
+        total = None
+        for c in cols:
+            z = F.coalesce(c, F.lit(0.0))
+            total = z if total is None else total + z
+        score = mx + F.lit(float(tie_breaker)) * (total - mx)
+        return out.select("docid", score.cast("float").alias("score"))
+
+    # ---------- sort ----------
+
+    def _sorted_topk(self, scored: DataFrame, sort: list, size: int) -> DataFrame:
+        """Sort-by-fields top-k (reference RetrieveQuery.scala:82-87,103-138;
+        missing-value matrix api/SearchRoute.scala:395-417). ``sort`` items:
+        (field, "asc"|"desc") or (field, "asc"|"desc", "first"|"last");
+        pseudo-fields _score / _doc supported. Executes as
+        TakeOrderedAndProject — per-partition heap, no full sort."""
+        need = [s[0] for s in sort if s[0] not in ("_score", "_doc")]
+        df = scored
+        if need:
+            df = scored.join(self.reader.docs.select("docid", *need), "docid", "left")
+        order = []
+        for item in sort:
+            fld, direction = item[0], item[1]
+            missing = item[2] if len(item) > 2 else ("last" if direction == "asc" else "first")
+            if fld == "_score":
+                col = F.col("score")
+            elif fld == "_doc":
+                col = F.col("docid")
+            else:
+                col = F.col(fld)
+            if direction == "asc":
+                order.append(col.asc_nulls_first() if missing == "first" else col.asc_nulls_last())
+            else:
+                order.append(
+                    col.desc_nulls_first() if missing == "first" else col.desc_nulls_last()
+                )
+        order.append(F.asc("docid"))  # stable tiebreak
+        return df.orderBy(*order).limit(size)

@@ -1,0 +1,50 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nixiesearch_spark.index import codec
+
+
+def test_vbyte_roundtrip_basic():
+    v = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**35, 2**62], dtype=np.int64)
+    assert np.array_equal(codec.vbyte_decode(codec.vbyte_encode(v)), v)
+
+
+def test_vbyte_empty():
+    assert codec.vbyte_encode(np.array([], dtype=np.int64)) == b""
+    assert len(codec.vbyte_decode(b"")) == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+def test_vbyte_roundtrip_prop(vals):
+    v = np.array(vals, dtype=np.int64)
+    assert np.array_equal(codec.vbyte_decode(codec.vbyte_encode(v)), v)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**60), max_value=2**60), min_size=1, max_size=200, unique=True
+    )
+)
+def test_posting_block_roundtrip(docids):
+    docids = np.sort(np.array(docids, dtype=np.int64))
+    rng = np.random.default_rng(0)
+    tfs = rng.integers(1, 500, size=len(docids))
+    norms = rng.integers(0, 256, size=len(docids))
+    g, t, n = codec.encode_posting_block(docids, tfs, norms)
+    d2, t2, n2 = codec.decode_posting_block(g, t, n)
+    assert np.array_equal(docids, d2)
+    assert np.array_equal(tfs, t2)
+    assert np.array_equal(norms, n2)
+
+
+def test_compression_ratio_dense_gaps():
+    # dense ascending docids → 1-2 byte gaps; 8x+ smaller than raw int64
+    docids = np.cumsum(np.random.default_rng(1).integers(1, 100, size=10000))
+    tfs = np.ones(len(docids), dtype=np.int64)
+    norms = np.zeros(len(docids), dtype=np.int64)
+    g, t, n = codec.encode_posting_block(docids, tfs, norms)
+    assert len(g) < len(docids) * 2
+    assert len(t) == len(docids)

@@ -1,0 +1,92 @@
+"""Engine vs oracle: rank-identical and float32-score-equal BM25.
+
+The Spark engine must reproduce the numpy Lucene-10.3 oracle exactly
+(scores bit-equal as float32, order score desc / docid asc) — the stand-in
+for the reference trusting Lucene as ground truth (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nixiesearch_spark.corpus import MARKERS, make_corpus
+from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
+from nixiesearch_spark.oracle import build_oracle_index, score_match
+from nixiesearch_spark.query import MatchQuery, Searcher
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory, tiny_corpus_pd):
+    d = str(tmp_path_factory.mktemp("idx"))
+    pdf = tiny_corpus_pd
+    df = spark.createDataFrame(pdf)
+    cfg = IndexConfig(text_fields=("content",), n_shards=8, quantize=True)
+    builder = IndexBuilder(spark, cfg)
+    stats = builder.build(df, d)
+    reader = IndexReader(spark, d)
+    # oracle over the same corpus keyed by the engine's own docids
+    ids = builder.with_docid(df).select("docid", "content").collect()
+    docs = [(r["docid"], r["content"]) for r in ids]
+    oracle = build_oracle_index(docs)
+    return reader, oracle, stats
+
+
+QUERIES = [
+    (MARKERS[0], "or"),  # rare marker term → exact planted docs
+    ("def import return", "or"),  # high-DF head terms
+    ("def import return", "and"),
+    ("ident00001 ident00200 the", "or"),  # mixed DF
+    ("ident00001 ident00200 the", "and"),
+    ("def def the", "or"),  # duplicate query terms count twice
+    ("nosuchterm_xyz", "or"),  # absent term → empty
+    ("nosuchterm_xyz def", "and"),  # AND with absent term → empty
+    ("nosuchterm_xyz def", "or"),  # OR with absent term → just "def"
+]
+
+
+@pytest.mark.parametrize("text,op", QUERIES)
+def test_match_rank_and_score_identical(built, text, op):
+    reader, oracle, _ = built
+    searcher = Searcher(reader)
+    for k in (1, 10, 100):
+        expected = score_match(oracle, text.split(), op, k)
+        got = searcher.search(MatchQuery("content", text, op), size=k).collect()
+        got_pairs = [(r["docid"], r["score"]) for r in got]
+        assert [g[0] for g in got_pairs] == [e[0] for e in expected], (
+            f"rank mismatch for {text!r} op={op} k={k}"
+        )
+        for (gd, gs), (ed, es) in zip(got_pairs, expected):
+            assert np.float32(gs) == np.float32(es), (
+                f"score mismatch doc {gd}: engine={gs!r} oracle={es!r}"
+            )
+
+
+def test_stats_match_oracle(built):
+    reader, oracle, stats = built
+    fs = stats["fields"]["content"]
+    assert fs["doc_count"] == oracle.doc_count
+    assert fs["sum_ttf"] == oracle.sum_ttf
+    assert np.float32(fs["avgdl"]) == np.float32(oracle.avgdl)
+
+
+def test_sha256_row_invariant(built, spark, tiny_corpus_pd):
+    """Per-row invariant: docs table sha256 equals sha256(content) computed
+    independently (BASELINE.json input_hint)."""
+    import hashlib
+
+    reader, _, _ = built
+    rows = reader.docs.select("sha256", "content").collect()
+    assert len(rows) == N_DOCS
+    for r in rows:
+        assert r["sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_marker_terms_hit_planted_docs(built):
+    reader, oracle, _ = built
+    searcher = Searcher(reader)
+    got = searcher.search(MatchQuery("content", MARKERS[3], "or"), size=10).collect()
+    # marker j planted in docs j and j+n/2 → exactly 2 hits
+    assert len(got) == 2

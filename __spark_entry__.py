@@ -1,38 +1,567 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship quantized BM25 match on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + pipeline
+ops); each callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for ops
+whose hash functions aren't SQL-expressible: minhash/simhash/LSH — driver
+records rows-only checks there).
+
+BM25 queries here run the engine in ``quantize=False`` mode (double-precision
+BM25, exact doc lengths) so DuckDB can reproduce scores; the Lucene-exact
+quantized mode (SmallFloat norms, float32 op chain) is validated bit-for-bit
+against the numpy oracle in tests/test_match_parity.py, and entry() runs it.
+Scores are rounded to 4-6 decimals on BOTH sides before comparison.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TOKSPLIT = "[^0-9A-Za-z_]+"
+
+# ---------------------------------------------------------------- index cache
+
+_CACHE: dict = {}
+
+
+def _index(spark: SparkSession, sf_dir: str, fields: tuple, quantize: bool):
+    from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from nixiesearch_spark.query import Searcher
+
+    key = (sf_dir, fields, quantize)
+    if key not in _CACHE:
+        d = tempfile.mkdtemp(prefix="nsentry_idx_")
+        df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        cfg = IndexConfig(
+            text_fields=fields, id_col="doc_id", n_shards=8, quantize=quantize
+        )
+        IndexBuilder(spark, cfg).build(df, d)
+        reader = IndexReader(spark, d)
+        _CACHE[key] = Searcher(reader)
+    return _CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _as_docid(df: DataFrame, score_round: int = 4) -> DataFrame:
+    out = df.withColumnRenamed("docid", "doc_id")
+    if "score" in out.columns:
+        out = out.withColumn("score", F.round(F.col("score").cast("double"), score_round))
+    return out
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Lucene-exact (quantized float32) BM25 top-10 on sf0.001."""
+    s = _index(spark, "/root/testdata/sf0.001", ("text",), True)
+    from nixiesearch_spark.query import MatchQuery
 
+    return _as_docid(s.search(MatchQuery("text", "spark join window group"), size=10), 6)
+
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nixiesearch_spark.pipeline import dedup, similarity, textstats
+    from nixiesearch_spark.query import (
+        BoolQuery,
+        DisMaxQuery,
+        MatchQuery,
+        MultiMatchQuery,
+        Searcher,
+    )
+    from nixiesearch_spark.query.aggs import range_agg, term_agg
+    from nixiesearch_spark.query.rrf import rrf_fuse
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bm25(spark, sf, q, op="or", k=10):
+        s = _index(spark, sf, ("text",), False)
+        return _as_docid(s.search(MatchQuery("text", q, op), size=k))
+
+    def q_match_or(spark, sf):
+        return bm25(spark, sf, "spark join window group")
+
+    def q_match_and(spark, sf):
+        return bm25(spark, sf, "spark join window", "and")
+
+    def q_match_or_k100(spark, sf):
+        return bm25(spark, sf, "the data stream", k=100)
+
+    def q_multi_match_most(spark, sf):
+        s = _index(spark, sf, ("text", "source"), False)
+        return _as_docid(
+            s.search(
+                MultiMatchQuery(query="spark src3", fields=["text", "source"], type="most_fields"),
+                size=10,
+            )
+        )
+
+    def q_dis_max(spark, sf):
+        s = _index(spark, sf, ("text", "source"), False)
+        return _as_docid(
+            s.search(
+                DisMaxQuery(
+                    queries=[MatchQuery("text", "spark join"), MatchQuery("source", "src3")],
+                    tie_breaker=0.3,
+                ),
+                size=10,
+            )
+        )
+
+    def q_bool(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        return _as_docid(
+            s.search(
+                BoolQuery(
+                    must=[MatchQuery("text", "spark")],
+                    should=[MatchQuery("text", "window")],
+                    must_not=[MatchQuery("text", "pajama_zz_nohit")],
+                ),
+                filters={"not": {"term": {"lang": "zh"}}},
+                size=10,
+            )
+        )
+
+    def q_match_filtered(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        return _as_docid(
+            s.search(
+                MatchQuery("text", "spark join"),
+                filters={
+                    "and": [
+                        {"term": {"lang": "en"}},
+                        {"range": {"n_chars": {"gte": 200, "lt": 400}}},
+                    ]
+                },
+                size=10,
+            )
+        )
+
+    def q_match_all_filtered(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        return _as_docid(
+            s.search(None, filters={"term": {"lang": "fr"}}, size=20, sort=[("_doc", "asc")])
+        ).select("doc_id", "score")
+
+    def q_facet_term(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        ms = s.score(MatchQuery("text", "spark"))
+        return term_agg(ms, s.reader.docs, "lang", 5).withColumnRenamed("count", "cnt")
+
+    def q_facet_range(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        ms = s.score(MatchQuery("text", "spark"))
+        return range_agg(
+            ms,
+            s.reader.docs,
+            "n_chars",
+            [{"lt": 200}, {"gte": 200, "lt": 400}, {"gte": 400}],
+        ).withColumnRenamed("count", "cnt")
+
+    def q_sort(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        out = s.search(
+            MatchQuery("text", "spark"), size=15, sort=[("n_chars", "desc", "last")],
+            fields=["n_chars"],
+        )
+        return out.select(F.col("docid").alias("doc_id"), "n_chars")
+
+    def q_rrf(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        b1 = s.score(MatchQuery("text", "spark join"))
+        b2 = s.score(MatchQuery("text", "window agg"))
+        fused = rrf_fuse([b1, b2], size=10, window=50)
+        return fused.select(
+            F.col("docid").alias("doc_id"), F.round(F.col("score").cast("double"), 6).alias("score")
+        )
+
+    def q_topk_fetch(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        out = s.search(MatchQuery("text", "spark join"), size=5, fields=["lang", "source", "n_chars"])
+        return out.select(
+            F.col("docid").alias("doc_id"), "lang", "source", "n_chars",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
+    def q_dedup_exact(spark, sf):
+        return dedup.exact_dedup(_docs(spark, sf), "text", "doc_id")
+
+    def q_ngram_jaccard(spark, sf):
+        d = _docs(spark, sf).where(F.col("doc_id") < 500)
+        return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+
+    def q_minhash_pairs(spark, sf):  # no SQL oracle (xxhash64) — rows-only
+        d = _docs(spark, sf).where(F.col("doc_id") < 500)
+        return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=16)
+
+    def q_simhash_pairs(spark, sf):  # no SQL oracle — rows-only
+        d = _docs(spark, sf).where(F.col("doc_id") < 500)
+        return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+    def q_textstats(spark, sf):
+        out = textstats.with_textstats(_docs(spark, sf), "text")
+        return out.select(
+            "doc_id", "ws_tokens", "word_tokens", "punct_ratio", "stopword_ratio", "quality"
+        )
+
+    def q_lang_id(spark, sf):
+        out = textstats.with_textstats(_docs(spark, sf), "text")
+        return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def q_fingerprint(spark, sf):
+        d = _docs(spark, sf)
+        return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+
+    def q_ann_cosine(spark, sf):
+        e = _emb(spark, sf)
+        qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return similarity.cosine_topk(e.where(F.col("vec_id") != 0), "vec_id", "embedding", qv, 10)
+
+    def q_ann_lsh(spark, sf):  # no SQL oracle (hyperplane literals) — rows-only
+        e = _emb(spark, sf)
+        qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return similarity.ann_lsh_topk(
+            e.where(F.col("vec_id") != 0), "vec_id", "embedding", qv,
+            k=10, n_planes=6, multiprobe_bits=2,
+        )
+
+    def q_events_hourly(spark, sf):
+        ev = _events(spark, sf)
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 4).alias("value_sum"),
+            )
+        )
+
+    return {
+        "bm25_match_or": q_match_or,
+        "bm25_match_and": q_match_and,
+        "bm25_match_or_k100": q_match_or_k100,
+        "bm25_multi_match_most": q_multi_match_most,
+        "bm25_dis_max": q_dis_max,
+        "bm25_bool": q_bool,
+        "bm25_match_filtered": q_match_filtered,
+        "match_all_filtered": q_match_all_filtered,
+        "facet_term_lang": q_facet_term,
+        "facet_range_nchars": q_facet_range,
+        "sort_by_nchars": q_sort,
+        "rrf_fusion": q_rrf,
+        "topk_fetch_fields": q_topk_fetch,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash_pairs,
+        "dedup_simhash": q_simhash_pairs,
+        "textstats": q_textstats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "events_hourly": q_events_hourly,
+    }
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _bm25_cte(terms: list[str], field: str = "text", prefix: str = "") -> str:
+    """Score CTE '{prefix}sc(doc_id, score, nt)' for an OR/AND match."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    p = prefix
+    return f"""
+{p}tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM {p}tok_f WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+{p}df AS (SELECT term, count(*) AS df FROM {p}tf GROUP BY term),
+{p}sc AS (
+  SELECT {p}tf.doc_id,
+         sum(ln(1 + ({p}st.n - {p}df.df + 0.5)/({p}df.df + 0.5)) * {p}tf.tf /
+             ({p}tf.tf + 1.2*(1 - 0.75 + 0.75*{p}dl.dl/{p}st.avgdl))) AS score,
+         count(*) AS nt
+  FROM {p}tf
+  JOIN {p}df USING(term) JOIN {p}dl USING(doc_id) CROSS JOIN {p}st
+  GROUP BY {p}tf.doc_id
+)
+"""
+
+
+def _bm25_full(terms: list[str], field: str = "text", prefix: str = "") -> str:
+    """tok/dl/st + tf/df/sc CTE chain for one field with a prefix."""
+    p = prefix
+    return f"""
+{p}tok_f AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_split_to_array(lower(substr({field},1,32000)), '{TOKSPLIT}')) AS t(term)
+  WHERE t.term <> '' AND length(t.term) <= 255
+),
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok_f GROUP BY doc_id),
+{p}st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM {p}dl),
+{_bm25_cte(terms, field, prefix).strip()}
+"""
+
+
+def _match_sql(terms: list[str], op: str = "or", k: int = 10) -> str:
+    flt = f"WHERE nt = {len(terms)}" if op == "and" else ""
+    return f"""
+WITH {_bm25_full(terms)}
+SELECT doc_id, round(score, 4) AS score
+FROM sc {flt}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+    sql["bm25_match_or"] = _match_sql(["spark", "join", "window", "group"])
+    sql["bm25_match_and"] = _match_sql(["spark", "join", "window"], "and")
+    sql["bm25_match_or_k100"] = _match_sql(["the", "data", "stream"], k=100)
+
+    sql["bm25_multi_match_most"] = f"""
+WITH {_bm25_full(["spark", "src3"], "text", "a_")},
+{_bm25_full(["spark", "src3"], "source", "b_")}
+SELECT COALESCE(asc_.doc_id, bsc_.doc_id) AS doc_id,
+       round(COALESCE(asc_.score, 0) + COALESCE(bsc_.score, 0), 4) AS score
+FROM a_sc asc_ FULL OUTER JOIN b_sc bsc_
+  ON asc_.doc_id = bsc_.doc_id
+ORDER BY COALESCE(asc_.score, 0) + COALESCE(bsc_.score, 0) DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sql["bm25_dis_max"] = f"""
+WITH {_bm25_full(["spark", "join"], "text", "a_")},
+{_bm25_full(["src3"], "source", "b_")}
+, joined AS (
+  SELECT COALESCE(a2.doc_id, b2.doc_id) AS doc_id,
+         a2.score AS s1, b2.score AS s2
+  FROM a_sc a2 FULL OUTER JOIN b_sc b2
+    ON a2.doc_id = b2.doc_id
+)
+SELECT doc_id,
+       round(greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))
+             + 0.3 * (COALESCE(s1,0)+COALESCE(s2,0)
+                      - greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))), 4) AS score
+FROM joined
+ORDER BY greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))
+         + 0.3 * (COALESCE(s1,0)+COALESCE(s2,0)
+                  - greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))) DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sql["bm25_bool"] = f"""
+WITH {_bm25_full(["spark"], "text", "m_")},
+{_bm25_full(["window"], "text", "s_")}
+SELECT msc.doc_id,
+       round(msc.score + COALESCE(ssc.score, 0), 4) AS score
+FROM m_sc msc LEFT JOIN s_sc ssc ON msc.doc_id = ssc.doc_id
+JOIN documents d ON d.doc_id = msc.doc_id
+WHERE d.lang <> 'zh'
+ORDER BY msc.score + COALESCE(ssc.score, 0) DESC, msc.doc_id ASC
+LIMIT 10
+"""
+
+    sql["bm25_match_filtered"] = f"""
+WITH {_bm25_full(["spark", "join"])}
+SELECT sc.doc_id, round(sc.score, 4) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE d.lang = 'en' AND d.n_chars >= 200 AND d.n_chars < 400
+ORDER BY sc.score DESC, sc.doc_id ASC
+LIMIT 10
+"""
+
+    sql["match_all_filtered"] = """
+SELECT doc_id, 1.0::DOUBLE AS score
+FROM documents WHERE lang = 'fr'
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+    sql["facet_term_lang"] = f"""
+WITH {_bm25_full(["spark"])}
+SELECT d.lang AS term, count(*)::BIGINT AS cnt
+FROM sc JOIN documents d USING(doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang
+ORDER BY count(*) DESC, d.lang ASC
+LIMIT 5
+"""
+
+    sql["facet_range_nchars"] = f"""
+WITH {_bm25_full(["spark"])},
+m AS (SELECT d.n_chars FROM sc JOIN documents d USING(doc_id))
+SELECT * FROM (
+  SELECT NULL::DOUBLE AS range_from, 200.0 AS range_to,
+         (SELECT count(*) FROM m WHERE n_chars IS NOT NULL AND n_chars < 200)::BIGINT AS cnt
+  UNION ALL
+  SELECT 200.0, 400.0,
+         (SELECT count(*) FROM m WHERE n_chars >= 200 AND n_chars < 400)::BIGINT
+  UNION ALL
+  SELECT 400.0, NULL::DOUBLE,
+         (SELECT count(*) FROM m WHERE n_chars >= 400)::BIGINT
+) t
+"""
+
+    sql["sort_by_nchars"] = f"""
+WITH {_bm25_full(["spark"])}
+SELECT sc.doc_id, d.n_chars
+FROM sc JOIN documents d USING(doc_id)
+ORDER BY d.n_chars DESC NULLS LAST, sc.doc_id ASC
+LIMIT 15
+"""
+
+    sql["rrf_fusion"] = f"""
+WITH {_bm25_full(["spark", "join"], "text", "a_")},
+{_bm25_full(["window", "agg"], "text", "b_")}
+, r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM a_sc ORDER BY score DESC, doc_id ASC LIMIT 50
+), r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM b_sc ORDER BY score DESC, doc_id ASC LIMIT 50
+), u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(1.0 / (60 + rank)) DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sql["topk_fetch_fields"] = f"""
+WITH {_bm25_full(["spark", "join"])}
+SELECT sc.doc_id, d.lang, d.source, d.n_chars, round(sc.score, 4) AS score
+FROM sc JOIN documents d USING(doc_id)
+ORDER BY sc.score DESC, sc.doc_id ASC
+LIMIT 5
+"""
+
+    sql["dedup_exact"] = """
+SELECT sha256(text) AS content_sha, min(doc_id)::BIGINT AS doc_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY sha256(text)
+"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKSPLIT}'), x -> x <> '' AND length(x) <= 255) AS toks
+  FROM documents WHERE doc_id < 500
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS grams
+  FROM t
+), e AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05
+"""
+
+    sql["textstats"] = f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::INT AS ws_tokens,
+  (len(list_filter(regexp_split_to_array(text, '{TOKSPLIT}'), x -> x <> ''))
+   + length(regexp_replace(text, '[0-9A-Za-z_\\s]+', '', 'g')))::INT AS word_tokens,
+  round(length(regexp_replace(text, '[0-9A-Za-z_\\s]+', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                        x -> list_contains({_stoplist_sql()}, x)))::DOUBLE
+        / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')), 1), 6)
+    AS stopword_ratio,
+  round((least(length(text) / 500.0, 1.0)
+         + (1.0 - least(length(regexp_replace(text, '[0-9A-Za-z_\\s]+', '', 'g'))::DOUBLE
+                        / greatest(length(text), 1) * 4.0, 1.0))
+         + least(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                                 x -> list_contains({_stoplist_sql()}, x)))::DOUBLE
+                 / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')), 1)
+                 * 5.0, 1.0)) / 3.0, 6) AS quality
+FROM documents
+"""
+
+    sql["lang_id"] = f"""
+WITH scores AS (
+  SELECT doc_id, {_langid_score_sql('en')} AS s_en, {_langid_score_sql('de')} AS s_de,
+         {_langid_score_sql('fr')} AS s_fr, {_langid_score_sql('es')} AS s_es
+  FROM documents
+), pred AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
+      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      ELSE 'und' END AS lang_pred
+  FROM scores
+)
+SELECT lang_pred, count(*)::BIGINT AS cnt FROM pred GROUP BY lang_pred
+"""
+
+    sql["fingerprint"] = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+    sql["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+qx AS (SELECT generate_subscripts(e, 1) AS i, unnest(e)::DOUBLE AS qv FROM q),
+d AS (
+  SELECT vec_id, sum(v * qv) AS dot, sum(v * v) AS na, sum(qv * qv) AS nb
+  FROM x JOIN qx USING(i) GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM d
+ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC
+LIMIT 10
+"""
+
+    sql["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS cnt, round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+    return sql
+
+
+def _stoplist_sql() -> str:
+    from nixiesearch_spark.pipeline.textstats import STOPWORDS
+
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _langid_score_sql(lang: str) -> str:
+    from nixiesearch_spark.pipeline.textstats import LANG_MARKERS
+
+    parts = [f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in LANG_MARKERS[lang]]
+    return "(" + " + ".join(parts) + ")"

@@ -157,73 +157,83 @@ class IndexBuilder:
         docs = docs.withColumn(
             "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
         )
-        per_field_cols = [c_ for f in c.text_fields for c_ in (f"doclen_{f}", f"norm_{f}")]
-        docs_out = docs.select("docid", "shard", "sha256", *per_field_cols, *stored)
-        (
-            docs_out.repartition(len(shards), "shard")
-            .sortWithinPartitions("docid")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(os.path.join(index_dir, "docs"))
-        )
-        posting_parts = [
-            docs.select(
-                "docid",
-                "shard",
-                F.lit(f).alias("field"),
-                F.col(f"norm_{f}").alias("norm"),
-                F.explode(F.col(f"_toks_{f}")).alias("term"),
+        # one tokenize pass feeds docs write, postings write AND lineage
+        # stats — persist the analyzed frame instead of recomputing it
+        docs = docs.persist()
+        try:
+            per_field_cols = [c_ for f in c.text_fields for c_ in (f"doclen_{f}", f"norm_{f}")]
+            docs_out = docs.select("docid", "shard", "sha256", *per_field_cols, *stored)
+            # no pre-write shuffle: the dynamic-partition writer splits by
+            # shard; re-shuffling the whole corpus here would double the
+            # build's shuffle volume at 100 TB (merge() compacts files later)
+            (
+                docs_out.sortWithinPartitions("shard", "docid")
+                .write.mode("append")
+                .partitionBy("shard")
+                .parquet(os.path.join(index_dir, "docs"))
             )
-            for f in c.text_fields
-        ]
-        exploded = posting_parts[0]
-        for p in posting_parts[1:]:
-            exploded = exploded.unionByName(p)
-        postings = exploded.groupBy("shard", "field", "term", "docid", "norm").agg(
-            F.count(F.lit(1)).cast("int").alias("tf")
-        )
-        (
-            postings.repartition(len(shards), "shard")
-            .sortWithinPartitions("field", "term", "docid")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(os.path.join(index_dir, "postings"))
-        )
-        # lineage metrics per (shard, field) — committed after data lands
-        spark = self.spark
-        stat_parts = []
-        docs_written = spark.read.parquet(os.path.join(index_dir, "docs")).where(
-            F.col("shard").isin(shards)
-        )
-        for f in c.text_fields:
-            stat_parts.append(
-                docs_written.groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("rows_in"),
-                    F.sum(F.when(F.col(f"doclen_{f}") > 0, 1).otherwise(0)).alias(
-                        "docs_with_field"
-                    ),
-                    F.sum(f"doclen_{f}").alias("sum_dl"),
+            posting_parts = [
+                docs.select(
+                    "docid",
+                    "shard",
+                    F.lit(f).alias("field"),
+                    F.col(f"norm_{f}").alias("norm"),
+                    F.explode(F.col(f"_toks_{f}")).alias("term"),
                 )
-                .withColumn("field", F.lit(f))
-            )
-        dstat = stat_parts[0]
-        for p in stat_parts[1:]:
-            dstat = dstat.unionByName(p)
-        pstat = (
-            spark.read.parquet(os.path.join(index_dir, "postings"))
-            .where(F.col("shard").isin(shards))
-            .groupBy("shard", "field")
-            .agg(F.count(F.lit(1)).alias("postings_out"))
-        )
-        wall_ms = int((time.time() - t0) * 1000)
-        lineage = (
-            dstat.join(pstat, ["shard", "field"], "left")
-            .withColumn("wall_ms", F.lit(wall_ms))
-            .withColumn("status", F.lit("committed"))
-            .withColumn("tokenizer", F.lit(TOKENIZER_VERSION))
-        )
-        lineage.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+                for f in c.text_fields
+            ]
+            exploded = posting_parts[0]
+            for p in posting_parts[1:]:
+                exploded = exploded.unionByName(p)
+            postings = exploded.groupBy("shard", "field", "term", "docid", "norm").agg(
+                F.count(F.lit(1)).cast("int").alias("tf")
+            ).persist()
+            try:
+                # the groupBy already shuffled once; write straight out of
+                # the aggregation partitions (sorted so parquet row-group
+                # min/max on term stays tight for query-time skipping)
+                (
+                    postings.sortWithinPartitions("shard", "field", "term", "docid")
+                    .write.mode("append")
+                    .partitionBy("shard")
+                    .parquet(os.path.join(index_dir, "postings"))
+                )
+                # lineage metrics per (shard, field) over THIS build's input
+                # only (appended batches must not double-count older data) —
+                # committed after the data lands above
+                stat_parts = []
+                for f in c.text_fields:
+                    stat_parts.append(
+                        docs.groupBy("shard")
+                        .agg(
+                            F.count(F.lit(1)).alias("rows_in"),
+                            F.sum(
+                                F.when(F.col(f"doclen_{f}") > 0, 1).otherwise(0)
+                            ).alias("docs_with_field"),
+                            F.sum(f"doclen_{f}").alias("sum_dl"),
+                        )
+                        .withColumn("field", F.lit(f))
+                    )
+                dstat = stat_parts[0]
+                for p in stat_parts[1:]:
+                    dstat = dstat.unionByName(p)
+                pstat = postings.groupBy("shard", "field").agg(
+                    F.count(F.lit(1)).alias("postings_out")
+                )
+                wall_ms = int((time.time() - t0) * 1000)
+                lineage = (
+                    dstat.join(pstat, ["shard", "field"], "left")
+                    .withColumn("wall_ms", F.lit(wall_ms))
+                    .withColumn("status", F.lit("committed"))
+                    .withColumn("tokenizer", F.lit(TOKENIZER_VERSION))
+                )
+                lineage.coalesce(1).write.mode("append").parquet(
+                    os.path.join(index_dir, "lineage")
+                )
+            finally:
+                postings.unpersist()
+        finally:
+            docs.unpersist()
 
     def _committed_shards(self, index_dir: str) -> set:
         path = os.path.join(index_dir, "lineage")
@@ -294,55 +304,66 @@ class IndexBuilder:
         }
 
         def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Bulk-vectorized: ONE VByte encode per shard+field, then byte
+            slices per block — no per-term numpy round trips (byte-identical
+            to codec.encode_posting_block per block, asserted by tests)."""
             pdf = pdf.sort_values(["field", "term", "docid"], kind="mergesort")
-            rows = []
+            out = {k: [] for k in ("shard", "field", "term", "block_id", "n",
+                                   "doc_gaps", "tfs", "norms", "max_impact")}
             shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
             for fld, fdf in pdf.groupby("field", sort=False):
                 terms = fdf["term"].to_numpy()
                 docids = fdf["docid"].to_numpy(dtype=np.int64)
                 tfs = fdf["tf"].to_numpy(dtype=np.int64)
                 norms = fdf["norm"].to_numpy(dtype=np.int64)
+                n = len(terms)
+                if n == 0:
+                    continue
                 impact = lucene.bm25_contrib(
                     np.float32(1.0), tfs.astype(np.float32), norms, caches[fld]
                 )
-                change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
-                starts = np.concatenate([[0], change]) if len(terms) else np.array([], dtype=int)
-                ends = (
-                    np.concatenate([change, [len(terms)]]) if len(terms) else np.array([], dtype=int)
+                # block boundaries: new term OR block_size postings into a term
+                term_change = np.empty(n, dtype=bool)
+                term_change[0] = True
+                term_change[1:] = terms[1:] != terms[:-1]
+                term_id = np.cumsum(term_change) - 1
+                term_first = np.flatnonzero(term_change)
+                pos_in_term = np.arange(n) - term_first[term_id]
+                is_block_start = term_change | (pos_in_term % block_size == 0)
+                bstart = np.flatnonzero(is_block_start)
+                bend = np.empty_like(bstart)
+                bend[:-1] = bstart[1:]
+                bend[-1] = n
+                # gaps: deltas within a block, zigzagged absolute at starts
+                gaps = np.empty(n, dtype=np.int64)
+                gaps[0] = 0
+                gaps[1:] = docids[1:] - docids[:-1]
+                gaps[bstart] = codec.zigzag_encode(docids[bstart])
+                enc_g, len_g = codec.vbyte_encode_with_lengths(gaps)
+                enc_t, len_t = codec.vbyte_encode_with_lengths(tfs - 1)
+                off_g = np.concatenate([[0], np.cumsum(len_g)])
+                off_t = np.concatenate([[0], np.cumsum(len_t)])
+                norm_bytes = norms.astype(np.uint8).tobytes()
+                bmax = np.maximum.reduceat(impact.astype(np.float64), bstart)
+                nb = len(bstart)
+                out["shard"].extend([shard] * nb)
+                out["field"].extend([fld] * nb)
+                out["term"].extend(terms[bstart].tolist())
+                out["block_id"].extend(docids[bstart].tolist())
+                out["n"].extend((bend - bstart).tolist())
+                out["doc_gaps"].extend(
+                    enc_g[off_g[s] : off_g[e]] for s, e in zip(bstart, bend)
                 )
-                for s, e in zip(starts, ends):
-                    term = terms[s]
-                    for b0 in range(s, e, block_size):
-                        b1 = min(b0 + block_size, e)
-                        g, t, nm = codec.encode_posting_block(
-                            docids[b0:b1], tfs[b0:b1], norms[b0:b1]
-                        )
-                        rows.append(
-                            (
-                                shard,
-                                fld,
-                                term,
-                                int(docids[b0]),  # block_id = first docid → sortable
-                                int(b1 - b0),
-                                g,
-                                t,
-                                nm,
-                                float(impact[b0:b1].max()),
-                            )
-                        )
-            return pd.DataFrame(
-                rows,
-                columns=[
-                    "shard", "field", "term", "block_id", "n",
-                    "doc_gaps", "tfs", "norms", "max_impact",
-                ],
-            )
+                out["tfs"].extend(enc_t[off_t[s] : off_t[e]] for s, e in zip(bstart, bend))
+                out["norms"].extend(norm_bytes[s:e] for s, e in zip(bstart, bend))
+                out["max_impact"].extend(np.float32(bmax).tolist())
+            return pd.DataFrame(out)
 
         postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
         packed = postings.groupBy("shard").applyInPandas(pack_shard, schema=PACKED_SCHEMA)
+        # applyInPandas already shuffled by shard — write directly
         (
-            packed.repartition(self.config.n_shards, "shard")
-            .sortWithinPartitions("field", "term", "block_id")
+            packed.sortWithinPartitions("field", "term", "block_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(os.path.join(index_dir, "packed"))

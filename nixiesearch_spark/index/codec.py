@@ -23,9 +23,22 @@ BLOCK_SIZE = 128
 
 
 def _bit_length(arr: np.ndarray) -> np.ndarray:
-    # exact for values < 2^53 (frexp exponent on float64)
-    _, e = np.frexp(np.maximum(arr, 1).astype(np.float64))
-    return np.where(arr > 0, e, 1).astype(np.int64)
+    """bit_length over uint64 values. frexp's exponent is exact below 2^53;
+    above, float64 rounding can only round UP across a power-of-two boundary,
+    which merely overestimates by one (a wasted zero byte, still decodable).
+    Input must be uint64 — int64 would go negative for zigzagged big ids."""
+    v = np.asarray(arr, dtype=np.uint64)
+    _, e = np.frexp(np.maximum(v, np.uint64(1)).astype(np.float64))
+    return np.where(v > 0, e, 1).astype(np.int64)
+
+
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """VByte-encode + per-value byte counts (for bulk slice-per-block packing)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", np.array([], dtype=np.int64)
+    nbytes = ((_bit_length(v) + 6) // 7).astype(np.int64)
+    return _vbyte_core(v, nbytes), nbytes
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
@@ -37,7 +50,11 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if len(v) == 0:
         return b""
-    nbytes = ((_bit_length(v.astype(np.int64)) + 6) // 7).astype(np.int64)
+    nbytes = ((_bit_length(v) + 6) // 7).astype(np.int64)
+    return _vbyte_core(v, nbytes)
+
+
+def _vbyte_core(v: np.ndarray, nbytes: np.ndarray) -> bytes:
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's vector path is Lucene HNSW (``KnnQuery.scala``) — a
+single-node graph index with no Spark analog. The Spark-native shapes:
+
+- :func:`cosine_topk` — brute-force exact top-k: one scan, JVM-side
+  ``aggregate``/``zip_with`` dot products, TakeOrderedAndProject. The
+  correctness baseline, and at 100 TB still the right plan when the query
+  batch is small (scan is embarrassingly parallel, no index to build).
+- :func:`rp_lsh_buckets` / :func:`ann_lsh_topk` — random-hyperplane LSH:
+  sign-bit signatures → bucket join → exact rerank of candidates. The scale
+  path when query volume is high: candidates come from a hash-bucket join
+  instead of a full scan.
+- :func:`embedding_near_dup_pairs` — embedding-cosine near-duplicate pairs
+  via the same LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k. Query vector folds in as a literal
+    array → Catalyst constant; the scan stays whole-stage-codegen'd."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def rp_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = Σ 2^i·[v·h_i > 0] (a long).
+    Pure Column math — the hyperplanes fold in as literal arrays."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = None
+    for i in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(F.col(vec_col), h) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})") * bit
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 16,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: filter to the query's LSH bucket (plus multiprobe
+    neighbors at Hamming distance ≤ multiprobe_bits), exact-rerank with
+    cosine. The bucket predicate pushes down to the (pre-bucketed) scan."""
+    dim = dim or len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i in range(n_planes):
+        if float(planes[i] @ qv) > 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    bucketed = rp_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed)
+    cand = bucketed.where(F.col("bucket").isin([int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold. Candidates =
+    same LSH bucket (recall grows with fewer planes); exact cosine verify.
+    Returns (id_a, id_b, cosine)."""
+    b = rp_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed)
+    l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

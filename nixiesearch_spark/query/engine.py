@@ -47,6 +47,9 @@ class Searcher:
         self.reader = reader
         self.spark: SparkSession = reader.spark
         self._cache_df = {}  # field -> broadcastable norm-cache DataFrame
+        # quantized mode scores are float32 (Lucene parity); unquantized mode
+        # keeps full double precision (SQL-oracle parity)
+        self._stype = "float" if reader.quantize else "double"
 
     # ---------- public API ----------
 
@@ -74,9 +77,13 @@ class Searcher:
 
     def fetch(self, topk: DataFrame, fields: list[str]) -> DataFrame:
         """Doc-fetch join: tiny top-k frame broadcast against the docs table
-        (reference Searcher.collect, ``index/Searcher.scala:253-274``)."""
+        (reference Searcher.collect, ``index/Searcher.scala:253-274``).
+        Preserves the top-k frame's order via its ``_rank`` column if present
+        (sort queries), else re-orders by (score desc, docid asc)."""
         docs = self.reader.docs.select("docid", *fields)
         out = docs.join(F.broadcast(topk), "docid")
+        if "_rank" in topk.columns:
+            return out.orderBy(F.asc("_rank")).drop("_rank")
         order = [F.desc("score"), F.asc("docid")] if "score" in topk.columns else [F.asc("docid")]
         return out.orderBy(*order)
 
@@ -98,7 +105,7 @@ class Searcher:
             return self._score_match(q.field, q.query, q.operator)
         if isinstance(q, ast.MatchAllQuery):
             return self.reader.docs.select(
-                "docid", F.lit(1.0).cast("float").alias("score")
+                "docid", F.lit(1.0).cast(self._stype).alias("score")
             )
         if isinstance(q, ast.MultiMatchQuery):
             subs = [ast.MatchQuery(f, q.query, q.operator) for f in q.fields]
@@ -112,7 +119,7 @@ class Searcher:
         raise ValueError(f"unsupported query: {q}")
 
     def _empty_scores(self) -> DataFrame:
-        return self.spark.createDataFrame([], SCORE_SCHEMA)
+        return self.spark.createDataFrame([], f"docid long, score {self._stype}")
 
     def _norm_cache_df(self, field: str) -> DataFrame:
         if field not in self._cache_df:
@@ -165,7 +172,7 @@ class Searcher:
             dl = F.col("norm").cast("double")
             tf = F.col("tf").cast("double")
             contrib = F.col("w") * tf / (tf + K1 * (1 - B + B * dl / fs["avgdl"]))
-            score = F.sum(F.col("mult") * contrib).cast("float")
+            score = F.sum(F.col("mult") * contrib)  # keep double
         agg = matched.groupBy("docid").agg(
             score.alias("score"), F.count(F.lit(1)).alias("_nt")
         )
@@ -208,7 +215,7 @@ class Searcher:
         for sub in q.must_not:
             excl = self._score(sub).select("docid")
             base = base.join(excl, "docid", "left_anti")
-        return base.select("docid", F.col("_sum").cast("float").alias("score"))
+        return base.select("docid", F.col("_sum").cast(self._stype).alias("score"))
 
     def _dis_max(self, frames: list[DataFrame], tie_breaker: float) -> DataFrame:
         """DisjunctionMaxQuery: max(sub) + tie_breaker * Σ(other subs)
@@ -225,7 +232,7 @@ class Searcher:
             z = F.coalesce(c, F.lit(0.0))
             total = z if total is None else total + z
         score = mx + F.lit(float(tie_breaker)) * (total - mx)
-        return out.select("docid", score.cast("float").alias("score"))
+        return out.select("docid", score.cast(self._stype).alias("score"))
 
     # ---------- sort ----------
 
@@ -256,4 +263,9 @@ class Searcher:
                     col.desc_nulls_first() if missing == "first" else col.desc_nulls_last()
                 )
         order.append(F.asc("docid"))  # stable tiebreak
-        return df.orderBy(*order).limit(size)
+        top = df.orderBy(*order).limit(size)
+        # rank over the k-row frame so a later fetch can restore this order
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order)
+        return top.select("docid", "score", F.row_number().over(w).alias("_rank"))

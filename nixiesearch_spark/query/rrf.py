@@ -40,8 +40,4 @@ def rrf_fuse(
     fused = union.groupBy("docid").agg(
         F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))).alias("score")
     )
-    return (
-        fused.orderBy(F.desc("score"), F.asc("docid"))
-        .limit(size)
-        .select("docid", F.col("score").cast("float").alias("score"))
-    )
+    return fused.orderBy(F.desc("score"), F.asc("docid")).limit(size)

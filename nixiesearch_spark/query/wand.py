@@ -1,0 +1,199 @@
+"""Block-max WAND top-k over packed VByte postings.
+
+The reference gets top-k pruning from Lucene's
+``TopScoreDocCollectorManager(size, size)`` — totalHitsThreshold=size enables
+block-max WAND/MAXSCORE skipping inside Lucene
+(``api/query/retrieve/RetrieveQuery.scala:80-81``). Catalyst has no analog,
+so this is the one genuinely custom physical operator (SURVEY.md §4):
+
+Distributed shape
+-----------------
+Shards hold disjoint document sets with complete postings (built that way —
+``index/builder.py``), so each shard computes an exact local top-k
+independently (the classic document-partitioned search fan-out; a shard ≡ a
+Lucene segment searched by the reference's work-stealing pool,
+``index/Searcher.scala:313``). Global answer = union of per-shard top-ks →
+``orderBy(score desc, docid asc).limit(k)`` — k rows per shard cross the
+wire, nothing else.
+
+Per-shard algorithm (vectorized block-max pruning + heap-style threshold)
+-------------------------------------------------------------------------
+1. Blocks of each query term cover disjoint ascending docid ranges; their
+   stored ``max_impact`` (idf-free float32 impact bound) gives a per-block
+   score upper bound ``ub = mult · weight · max_impact`` (+2 ulp slack so
+   float32 rounding can never break soundness).
+2. The shard's docid space is cut into stripes; stripe upper bound =
+   Σ_terms max(ub of term-blocks overlapping the stripe) — exactly the
+   block-max bound, since a doc meets ≤1 block per term.
+3. Stripes are processed in DESCENDING ub order, keeping a running top-k
+   (θ = k-th best score so far, the heap threshold). As soon as
+   ub(stripe) < θ, every remaining stripe — and every document in it — is
+   provably non-competitive and is skipped without decoding a single block.
+4. Inside a processed stripe, overlapping blocks are VByte-decoded (numpy)
+   and scored exactly with the same float32 Lucene op chain as the flat
+   path, so WAND results are bit-identical to the exhaustive plan.
+
+Skip test uses strict ``<`` so score==θ docs still surface for the
+docid-asc tiebreak (Lucene competitive-iff-equal-and-lower-docid rule).
+
+v1 scope: OR (SHOULD) semantics, quantized indexes, no filters — the flat
+Catalyst path covers the rest; parity verified in tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nixiesearch_spark import lucene
+from nixiesearch_spark.analysis import tokenize_py
+from nixiesearch_spark.index import codec
+from nixiesearch_spark.index.builder import IndexReader
+
+TOPK_SCHEMA = "docid long, score float"
+UB_SLACK = np.float64(1.0 + 2.0 ** -21)  # 2 ulps of float32
+
+
+def _shard_topk(
+    pdf: pd.DataFrame,
+    weights: dict[str, float],
+    mults: dict[str, int],
+    cache: np.ndarray,
+    k: int,
+    n_stripes: int,
+) -> pd.DataFrame:
+    terms = list(dict.fromkeys(pdf["term"]))
+    blocks: dict[str, dict] = {}
+    lo, hi = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    for t in terms:
+        tdf = pdf[pdf["term"] == t].sort_values("block_id")
+        first = tdf["block_id"].to_numpy(dtype=np.int64)
+        # conservative block end: next block's first - 1 (gaps only loosen bounds)
+        last = np.empty_like(first)
+        last[:-1] = first[1:] - 1
+        last[-1] = np.iinfo(np.int64).max
+        ub = (
+            np.float64(mults[t])
+            * np.float64(weights[t])
+            * tdf["max_impact"].to_numpy(dtype=np.float64)
+            * UB_SLACK
+        )
+        blocks[t] = {
+            "first": first,
+            "last": last,
+            "ub": ub,
+            "gaps": tdf["doc_gaps"].tolist(),
+            "tfs": tdf["tfs"].tolist(),
+            "norms": tdf["norms"].tolist(),
+        }
+        lo = min(lo, int(first[0]))
+        hi = max(hi, int(tdf["block_id"].iloc[-1]))
+    if lo > hi:
+        return pd.DataFrame({"docid": [], "score": []}).astype({"docid": "int64", "score": "float32"})
+
+    edges = np.linspace(np.float64(lo), np.float64(hi) + 1.0, n_stripes + 1)
+    stripe_lo = edges[:-1].astype(np.int64)
+    # float64 rounding near ±2^63 can push the first edge above the smallest
+    # docid — clamp the outer stripes to cover the whole int64 space
+    stripe_lo[0] = np.iinfo(np.int64).min
+    stripe_hi = np.empty(n_stripes, dtype=np.int64)
+    stripe_hi[:-1] = stripe_lo[1:] - 1
+    stripe_hi[-1] = np.iinfo(np.int64).max
+
+    # stripe ub = Σ_t max(ub of blocks overlapping stripe)
+    stripe_ub = np.zeros(n_stripes, dtype=np.float64)
+    overlap: list[list[tuple[str, int]]] = [[] for _ in range(n_stripes)]
+    for t in terms:
+        b = blocks[t]
+        for j in range(len(b["first"])):
+            s0 = int(np.searchsorted(stripe_lo, b["first"][j], side="right") - 1)
+            s1 = int(np.searchsorted(stripe_lo, b["last"][j], side="right") - 1)
+            s1 = min(s1, n_stripes - 1)
+            for s in range(max(s0, 0), s1 + 1):
+                overlap[s].append((t, j))
+        # per-stripe max for this term
+        tmax = np.zeros(n_stripes, dtype=np.float64)
+        for j in range(len(b["first"])):
+            s0 = max(int(np.searchsorted(stripe_lo, b["first"][j], side="right") - 1), 0)
+            s1 = min(int(np.searchsorted(stripe_lo, b["last"][j], side="right") - 1), n_stripes - 1)
+            tmax[s0 : s1 + 1] = np.maximum(tmax[s0 : s1 + 1], b["ub"][j])
+        stripe_ub += tmax
+
+    order = np.argsort(-stripe_ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float32)
+    theta = -np.inf
+    decoded: dict[tuple[str, int], tuple] = {}
+    for s in order:
+        if stripe_ub[s] < theta:
+            break  # every remaining stripe is below threshold — pruned
+        if not overlap[s]:
+            continue
+        doc_parts, contrib_parts = [], []
+        for (t, j) in set(overlap[s]):
+            key = (t, j)
+            if key not in decoded:
+                b = blocks[t]
+                d, tf, nm = codec.decode_posting_block(b["gaps"][j], b["tfs"][j], b["norms"][j])
+                w = np.float32(weights[t])
+                c = lucene.bm25_contrib(w, tf.astype(np.float32), nm, cache)
+                decoded[key] = (d, np.float64(mults[t]) * c.astype(np.float64))
+            d, c = decoded[key]
+            mask = (d >= stripe_lo[s]) & (d <= stripe_hi[s])
+            if mask.any():
+                doc_parts.append(d[mask])
+                contrib_parts.append(c[mask])
+        if not doc_parts:
+            continue
+        docs = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, contribs)
+        scores = sums.astype(np.float32)
+        # merge with running top-k (stripes hold disjoint docs — pure concat)
+        top_docs = np.concatenate([top_docs, uniq])
+        top_scores = np.concatenate([top_scores, scores])
+        if len(top_docs) > k:
+            sel = np.lexsort((top_docs, -top_scores.astype(np.float64)))[:k]
+            top_docs, top_scores = top_docs[sel], top_scores[sel]
+        if len(top_docs) >= k:
+            theta = float(top_scores.min())
+    return pd.DataFrame({"docid": top_docs, "score": top_scores})
+
+
+def wand_topk(
+    reader: IndexReader, field: str, text: str, k: int = 10, n_stripes: int = 32
+) -> DataFrame:
+    """Distributed block-max WAND match (OR) top-k over the packed table."""
+    if not reader.quantize:
+        raise ValueError("WAND serving path requires a quantized index")
+    terms = tokenize_py(text)
+    spark = reader.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    mult = Counter(terms)
+    tstats = reader.term_stats(field, list(mult))
+    present = [t for t in mult if t in tstats]
+    if not present:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    weights = {t: tstats[t][1] for t in present}
+    mults = {t: int(mult[t]) for t in present}
+    cache = lucene.norm_cache(np.float32(reader.field_stats(field)["avgdl"]))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"docid": [], "score": []}).astype(
+                {"docid": "int64", "score": "float32"}
+            )
+        return _shard_topk(pdf, weights, mults, cache, k, n_stripes)
+
+    matched = reader.packed.where(
+        (F.col("field") == field) & F.col("term").isin(present)
+    ).select("shard", "term", "block_id", "doc_gaps", "tfs", "norms", "max_impact")
+    local = matched.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)

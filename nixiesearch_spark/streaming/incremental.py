@@ -1,0 +1,98 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference's "streaming" is incremental index upkeep, not stream
+analytics (SURVEY.md §2.11): a Kafka poll loop hands batches to the indexer
+and commits offsets after indexing (at-least-once,
+``source/KafkaSource.scala:29-49,158-177``), with periodic flush
+(``config/mapping/IndexConfig.scala:35-44``) and upsert-by-id
+(delete-then-add, ``index/Indexer.scala:97-99``).
+
+Spark-native shape:
+- any Structured Streaming source (file dir here; swap ``readStream.format
+  ("kafka")`` + ``startingOffsets`` on a real deployment — the reference's
+  offset-seek modes map 1:1 onto ``startingOffsets``/
+  ``startingOffsetsByTimestamp``) feeds ``foreachBatch``;
+- each micro-batch appends delta docs + postings tagged with ``seqnum`` =
+  batch_id (exactly-once per batch via the streaming checkpoint — stronger
+  than the reference's commitAsync);
+- ``compact()`` is the flush/merge analog: global last-write-wins upsert by
+  (docid, seqnum) and full re-finalize, atomically swapping the index dir.
+  Between compactions readers see appended deltas immediately (new Iceberg-
+  snapshot-style visibility); a re-ingested _id surfaces twice until the
+  next compaction — same at-least-once window the reference documents.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig
+
+
+class IncrementalIndexer:
+    def __init__(self, spark: SparkSession, config: IndexConfig, index_dir: str):
+        self.spark = spark
+        self.config = config
+        self.index_dir = index_dir
+        self.builder = IndexBuilder(spark, config)
+
+    # ---------- micro-batch sink ----------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: append this batch's docs + postings delta with
+        seqnum=batch_id, then refresh derived tables (stats/dictionary/packed).
+        """
+        if batch_df.isEmpty():
+            return
+        tagged = batch_df.withColumn("seqnum", F.lit(int(batch_id)))
+        self.builder._build_shards(tagged, self.index_dir, list(range(self.config.n_shards)))
+        self.builder.finalize(self.index_dir)
+
+    def start_file_stream(self, input_dir: str, schema, checkpoint_dir: str):
+        """availableNow file-source stream → foreachBatch index appends.
+        Returns the StreamingQuery; call ``.awaitTermination()``."""
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(input_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # ---------- compaction / upsert ----------
+
+    def compact(self) -> None:
+        """Last-write-wins upsert by _id then full rebuild, atomic dir swap
+        (the merge/flush analog; reference Indexer.scala:97-99,148-164)."""
+        from pyspark.sql import Window
+
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        seq = F.col("seqnum") if "seqnum" in docs.columns else F.lit(0)
+        w = Window.partitionBy("docid").orderBy(F.desc(seq))
+        stored = [
+            c
+            for c in docs.columns
+            if c not in ("docid", "shard", "sha256")
+            and not c.startswith(("doclen_", "norm_"))
+        ]
+        latest = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*stored)
+        )
+        tmp = self.index_dir + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.builder.build(latest, tmp, resume=False)
+        old = self.index_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.index_dir, old)
+        os.rename(tmp, self.index_dir)
+        shutil.rmtree(old, ignore_errors=True)

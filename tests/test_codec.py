@@ -48,3 +48,18 @@ def test_compression_ratio_dense_gaps():
     g, t, n = codec.encode_posting_block(docids, tfs, norms)
     assert len(g) < len(docids) * 2
     assert len(t) == len(docids)
+
+
+def test_posting_block_full_int64_range():
+    # xxhash64 docids span the whole int64 range; zigzag of the head gap
+    # exceeds 2^63 and must survive the uint64 VByte path
+    docids = np.sort(
+        np.array([-(2**63) + 1, -(2**62), -1, 0, 1, 2**62, 2**63 - 1], dtype=np.int64)
+    )
+    tfs = np.arange(1, len(docids) + 1)
+    norms = np.arange(len(docids))
+    g, t, n = codec.encode_posting_block(docids, tfs, norms)
+    d2, t2, n2 = codec.decode_posting_block(g, t, n)
+    assert np.array_equal(docids, d2)
+    assert np.array_equal(tfs, t2)
+    assert np.array_equal(norms, n2)

@@ -1,0 +1,202 @@
+"""Per-operator tests on tiny deterministic corpora — the reference's
+dominant test pattern (SearchTest.withIndex fixtures, SURVEY.md §5.1):
+exact docID lists, reference semantics for bool/dismax/multi_match/filters/
+facets/sorts/RRF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
+from nixiesearch_spark.query import (
+    BoolQuery,
+    DisMaxQuery,
+    MatchAllQuery,
+    MatchQuery,
+    MultiMatchQuery,
+    Searcher,
+    parse_query,
+)
+from nixiesearch_spark.query.aggs import range_agg, term_agg
+from nixiesearch_spark.query.rrf import rrf_fuse
+
+# reference TestIndexMapping-style fixture: _id/title/price (+second text
+# field `desc` for multi_match), one doc with missing title for sort tests
+DOCS = [
+    (1, "red dress", "cotton summer dress", 10, "a"),
+    (2, "white dress", "silk evening dress", 20, "b"),
+    (3, "red pajama", "flannel red pajama", 15, "a"),
+    (4, "blue jeans", "denim jeans", 15, "c"),
+    (5, None, "mystery item red", 5, "a"),
+]
+
+
+@pytest.fixture(scope="module")
+def s(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idxops"))
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, desc string, price int, cat string")
+    cfg = IndexConfig(text_fields=("title", "desc"), id_col="doc_id", n_shards=2)
+    IndexBuilder(spark, cfg).build(df, d)
+    return Searcher(IndexReader(spark, d))
+
+
+def ids(df):
+    return [r["docid"] for r in df.collect()]
+
+
+def test_match_reference_fixture(s):
+    # MatchQueryTest.scala: "pajama" → exactly ["3"]
+    assert ids(s.search(MatchQuery("title", "pajama"))) == [3]
+
+
+def test_match_all_default(s):
+    assert sorted(ids(s.search(None, size=100))) == [1, 2, 3, 4, 5]
+    assert sorted(ids(s.search(MatchAllQuery(), size=100))) == [1, 2, 3, 4, 5]
+
+
+def test_bool_semantics(s):
+    # must + must_not
+    got = ids(
+        s.search(
+            BoolQuery(must=[MatchQuery("title", "red")], must_not=[MatchQuery("title", "pajama")])
+        )
+    )
+    assert got == [1]
+    # should-only: union with score sum
+    got = sorted(
+        ids(s.search(BoolQuery(should=[MatchQuery("title", "red"), MatchQuery("title", "jeans")])))
+    )
+    assert got == [1, 3, 4]
+    # must restricts, should only boosts: doc must match all musts
+    got = ids(
+        s.search(BoolQuery(must=[MatchQuery("title", "red"), MatchQuery("title", "dress")]))
+    )
+    assert got == [1]
+
+
+def test_bool_should_boosts_rank(s):
+    rows = s.search(
+        BoolQuery(must=[MatchQuery("title", "red")], should=[MatchQuery("title", "pajama")])
+    ).collect()
+    assert [r["docid"] for r in rows] == [3, 1]  # pajama boost ranks 3 first
+
+
+def test_dis_max_vs_most_fields(s):
+    # dis_max takes max branch score; most_fields sums — for a doc matching
+    # in both fields most_fields must score >= dis_max(tie=0)
+    dm = {
+        r["docid"]: r["score"]
+        for r in s.search(
+            MultiMatchQuery(query="red", fields=["title", "desc"], type="best_fields"), size=10
+        ).collect()
+    }
+    mf = {
+        r["docid"]: r["score"]
+        for r in s.search(
+            MultiMatchQuery(query="red", fields=["title", "desc"], type="most_fields"), size=10
+        ).collect()
+    }
+    assert set(dm) == set(mf) == {1, 3, 5}
+    assert mf[3] > dm[3]  # doc 3 matches "red" in both fields
+    assert dm[5] == pytest.approx(mf[5])  # doc 5 matches only in desc
+
+
+def test_dis_max_tie_breaker(s):
+    q0 = {
+        r["docid"]: r["score"]
+        for r in s.search(
+            DisMaxQuery(queries=[MatchQuery("title", "red"), MatchQuery("desc", "red")]), size=10
+        ).collect()
+    }
+    q5 = {
+        r["docid"]: r["score"]
+        for r in s.search(
+            DisMaxQuery(
+                queries=[MatchQuery("title", "red"), MatchQuery("desc", "red")], tie_breaker=0.5
+            ),
+            size=10,
+        ).collect()
+    }
+    assert q5[3] > q0[3] and q5[5] == pytest.approx(q0[5])
+
+
+def test_filters(s):
+    assert ids(s.search(None, filters={"term": {"cat": "a"}}, size=10, sort=[("_doc", "asc")])) == [1, 3, 5]
+    assert ids(
+        s.search(None, filters={"range": {"price": {"gte": 10, "lt": 20}}}, size=10,
+                 sort=[("_doc", "asc")])
+    ) == [1, 3, 4]
+    assert ids(
+        s.search(
+            None,
+            filters={"and": [{"term": {"cat": "a"}}, {"range": {"price": {"gt": 5}}}]},
+            size=10, sort=[("_doc", "asc")],
+        )
+    ) == [1, 3]
+    assert ids(
+        s.search(None, filters={"not": {"term": {"cat": "a"}}}, size=10, sort=[("_doc", "asc")])
+    ) == [2, 4]
+    assert ids(
+        s.search(None, filters={"or": [{"term": {"cat": "b"}}, {"term": {"cat": "c"}}]},
+                 size=10, sort=[("_doc", "asc")])
+    ) == [2, 4]
+
+
+def test_term_facet(s):
+    ms = s.score(MatchAllQuery())
+    rows = term_agg(ms, s.reader.docs, "cat", 10).collect()
+    assert [(r["term"], r["count"]) for r in rows] == [("a", 3), ("b", 1), ("c", 1)]
+
+
+def test_range_facet(s):
+    ms = s.score(MatchAllQuery())
+    rows = range_agg(
+        ms, s.reader.docs, "price", [{"lt": 10}, {"gte": 10, "lte": 15}, {"gt": 15}]
+    ).collect()
+    assert [r["count"] for r in rows] == [1, 3, 1]
+
+
+def test_sort_missing_first_last(s):
+    # SortSuite.scala matrix: missing title placed first/last x asc/desc
+    r = s.search(None, size=10, sort=[("title", "asc", "last")])
+    assert ids(r)[-1] == 5
+    r = s.search(None, size=10, sort=[("title", "asc", "first")])
+    assert ids(r)[0] == 5
+    r = s.search(None, size=10, sort=[("price", "desc")])
+    assert ids(r) == [2, 3, 4, 1, 5]  # 15-tie broken by docid asc
+
+
+def test_rrf_fusion(s):
+    b1 = s.score(MatchQuery("title", "red dress"))
+    b2 = s.score(MatchQuery("desc", "red"))
+    rows = rrf_fuse([b1, b2], size=10, window=10).collect()
+    got = {r["docid"]: r["score"] for r in rows}
+    # doc3 appears in both branches (red in title+desc) → two contributions
+    assert set(got) == {1, 2, 3, 5}
+    one_branch_max = 1.0 / 60.0
+    assert got[3] > one_branch_max
+    assert got[1] <= one_branch_max + 1.0 / 61.0  # sanity bound
+
+
+def test_json_dsl_roundtrip(s):
+    q = parse_query(
+        {
+            "bool": {
+                "must": [{"match": {"title": "red"}}],
+                "must_not": [{"match": {"title": {"query": "pajama", "operator": "or"}}}],
+            }
+        }
+    )
+    assert ids(s.search(q)) == [1]
+    with pytest.raises(ValueError):
+        parse_query({"match": {"title": "x"}, "bool": {}})
+    with pytest.raises(ValueError):
+        parse_query({"unknown_kind": {}})
+
+
+def test_fetch_projection(s):
+    rows = s.search(MatchQuery("title", "red"), size=10, fields=["title", "price"]).collect()
+    assert {r["docid"] for r in rows} == {1, 3}
+    assert all(set(r.asDict()) == {"docid", "title", "price", "score"} for r in rows)

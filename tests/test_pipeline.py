@@ -1,0 +1,134 @@
+"""Dedup / similarity / textstats / multimodal pipeline operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nixiesearch_spark.pipeline import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", 1),
+        (2, "the quick brown fox jumps over the lazy dog", 2),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog", 1),  # near dup
+        (4, "completely different content about spark and data", 1),
+        (5, "der hund und die katze ist das haus", 1),
+        (6, "le chat et la maison est les arbres", 1),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, seq int")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "id").collect()
+    by_id = {r["id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2  # docs 1+2 collapse, min id kept
+    assert 2 not in by_id
+    assert by_id[3] == 1
+
+
+def test_upsert_by_id(spark, docs):
+    out = dedup.upsert_by_id(docs, "id", "seq")
+    assert out.count() == 6  # ids unique here → all kept
+    dup = docs.union(docs.withColumn("seq", F.col("seq") + 10))
+    kept = dedup.upsert_by_id(dup, "id", "seq")
+    assert kept.count() == 6
+    assert all(r["seq"] > 10 for r in kept.collect())  # last write wins
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "id", "text", n=3, num_hashes=32, bands=16, verify_threshold=0.4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got.get((1, 2)) == 1.0  # identical signatures always collide
+    assert (1, 4) not in got
+
+
+def test_simhash(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "id", "text").collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    ham14 = bin((sh[1] ^ sh[4]) & (2**64 - 1)).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+    pairs = dedup.simhash_pairs(docs, "id", "text", max_hamming=ham13).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[1] = base[0] * 1.001 + 0.001  # near-dup of vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    q = vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = similarity.cosine_topk(vecs, "vec_id", "embedding", q, 3).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == pytest.approx(1.0)
+    assert got[1]["vec_id"] == 1 and got[1]["cosine"] > 0.999
+    # numpy cross-check of full ranking
+    import numpy as np
+
+    rows = vecs.collect()
+    m = np.array([r["embedding"] for r in rows])
+    ids_ = np.array([r["vec_id"] for r in rows])
+    qv = np.array(q)
+    cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    exp = ids_[np.argsort(-cos)][:3].tolist()
+    assert [r["vec_id"] for r in got] == exp
+
+
+def test_ann_lsh_recall(spark, vecs):
+    q = vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = similarity.ann_lsh_topk(
+        vecs, "vec_id", "embedding", q, k=3, n_planes=8, multiprobe_bits=2
+    ).collect()
+    assert got and got[0]["vec_id"] == 0  # the query vector itself must be found
+    assert {r["vec_id"] for r in got} >= {0, 1}  # near-dup found too
+
+
+def test_embedding_near_dup(spark, vecs):
+    pairs = similarity.embedding_near_dup_pairs(
+        vecs, "vec_id", "embedding", dim=16, threshold=0.99, n_planes=6
+    ).collect()
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_textstats(spark, docs):
+    out = {r["id"]: r for r in textstats.with_textstats(docs, "text").collect()}
+    assert out[1]["ws_tokens"] == 9
+    assert out[1]["word_tokens"] == 9  # no punctuation
+    assert out[1]["punct_ratio"] == 0.0
+    assert out[1]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    assert out[1]["lang_pred"] == "en"
+    assert out[5]["lang_pred"] == "de"
+    assert out[6]["lang_pred"] == "fr"
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_fake_media(spark, 24)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
+    # deterministic: same payload → same sha + features
+    again = {r["media_id"]: (r["payload_sha"], r["features"]) for r in feats.collect()}
+    first = {r["media_id"]: (r["payload_sha"], r["features"]) for r in rows}
+    assert again == first

@@ -1,0 +1,112 @@
+"""Incremental (Structured Streaming) index maintenance + checkpoint/resume.
+
+Resume fixture per FIXTURES.md §4: kill the build after a strict subset of
+shards commit lineage; the re-run must skip committed shards and produce a
+final postings table byte-identical to an uninterrupted build.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nixiesearch_spark.corpus import make_corpus
+from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
+from nixiesearch_spark.query import MatchQuery, Searcher
+from nixiesearch_spark.streaming import IncrementalIndexer
+
+
+def postings_signature(spark, index_dir: str) -> list:
+    """Canonical content signature of the postings table (order-free)."""
+    df = spark.read.parquet(os.path.join(index_dir, "postings"))
+    return (
+        df.select(
+            F.sha2(
+                F.concat_ws("|", "shard", "field", "term", "docid", "norm", "tf"), 256
+            ).alias("h")
+        )
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("sig"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+
+
+def test_resume_produces_identical_index(spark, tmp_path):
+    pdf = make_corpus(200, seed=7)
+    df = spark.createDataFrame(pdf)
+    cfg = IndexConfig(text_fields=("content",), n_shards=6)
+
+    # uninterrupted reference build
+    full_dir = str(tmp_path / "full")
+    IndexBuilder(spark, cfg).build(df, full_dir)
+    ref_sig = postings_signature(spark, full_dir)
+
+    # interrupted build: only shards {0,1} commit, then the "process dies"
+    part_dir = str(tmp_path / "partial")
+    b = IndexBuilder(spark, cfg)
+    os.makedirs(part_dir)
+    b._build_shards(df, part_dir, [0, 1])
+    committed = b._committed_shards(part_dir)
+    assert committed == {0, 1}
+
+    # re-run: must skip committed shards and finish the rest
+    b2 = IndexBuilder(spark, cfg)
+    stats = b2.build(df, part_dir, resume=True)
+    assert b2._committed_shards(part_dir) == set(range(6))
+    got_sig = postings_signature(spark, part_dir)
+    assert got_sig == ref_sig, "resumed build must be content-identical"
+
+    # and search results identical too
+    s_full = Searcher(IndexReader(spark, full_dir))
+    s_part = Searcher(IndexReader(spark, part_dir))
+    q = MatchQuery("content", "def import return")
+    a = [(r["docid"], r["score"]) for r in s_full.search(q, size=20).collect()]
+    c = [(r["docid"], r["score"]) for r in s_part.search(q, size=20).collect()]
+    assert a == c
+
+
+def test_incremental_stream_and_compact(spark, tmp_path):
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=4)
+    idx_dir = str(tmp_path / "idx")
+    in_dir = str(tmp_path / "in")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(in_dir)
+
+    batch1 = spark.createDataFrame(
+        [(1, "red dress"), (2, "white dress"), (3, "red pajama")],
+        "doc_id long, content string",
+    )
+    batch1.write.parquet(os.path.join(in_dir, "b1"))
+
+    inc = IncrementalIndexer(spark, cfg, idx_dir)
+    schema = "doc_id long, content string"
+    q = inc.start_file_stream(in_dir, schema, cp_dir)
+    q.awaitTermination(120)
+
+    s = Searcher(IndexReader(spark, idx_dir))
+    assert [r["docid"] for r in s.search(MatchQuery("content", "pajama")).collect()] == [3]
+
+    # second drop: new doc 4 + updated doc 3 (pajama -> jacket)
+    batch2 = spark.createDataFrame(
+        [(4, "green jacket"), (3, "red jacket")], "doc_id long, content string"
+    )
+    batch2.write.parquet(os.path.join(in_dir, "b2"))
+    q2 = inc.start_file_stream(in_dir, schema, cp_dir)
+    q2.awaitTermination(120)
+
+    s = Searcher(IndexReader(spark, idx_dir))
+    hits = {r["docid"] for r in s.search(MatchQuery("content", "jacket"), size=10).collect()}
+    assert hits == {3, 4}  # new content searchable immediately
+    # pre-compaction at-least-once window: old version of doc 3 still matches
+    assert {r["docid"] for r in s.search(MatchQuery("content", "pajama")).collect()} == {3}
+
+    inc.compact()
+    s = Searcher(IndexReader(spark, idx_dir))
+    assert s.search(MatchQuery("content", "pajama")).collect() == []  # old version gone
+    assert {
+        r["docid"] for r in s.search(MatchQuery("content", "jacket"), size=10).collect()
+    } == {3, 4}
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    assert docs.count() == 4  # upsert-by-id collapsed doc 3

@@ -1,0 +1,58 @@
+"""WAND path parity: block-max pruned top-k must equal the exhaustive flat
+path (and therefore the numpy oracle) exactly — same docids, same float32
+scores — because pruning is only allowed to skip provably non-competitive
+stripes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nixiesearch_spark.corpus import MARKERS
+from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
+from nixiesearch_spark.oracle import build_oracle_index, score_match
+from nixiesearch_spark.query import MatchQuery, Searcher
+from nixiesearch_spark.query.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory, tiny_corpus_pd):
+    d = str(tmp_path_factory.mktemp("idxw"))
+    df = spark.createDataFrame(tiny_corpus_pd)
+    cfg = IndexConfig(text_fields=("content",), n_shards=4, quantize=True, block_size=16)
+    builder = IndexBuilder(spark, cfg)
+    builder.build(df, d)
+    reader = IndexReader(spark, d)
+    ids = builder.with_docid(df).select("docid", "content").collect()
+    oracle = build_oracle_index([(r["docid"], r["content"]) for r in ids])
+    return reader, oracle
+
+
+WQUERIES = [
+    MARKERS[0],
+    "def import return",
+    "ident00001 ident00200 the",
+    "def the a for while int string",
+    "nosuchterm_xyz def",
+]
+
+
+@pytest.mark.parametrize("text", WQUERIES)
+@pytest.mark.parametrize("k", [1, 10, 50])
+def test_wand_equals_oracle(built, text, k):
+    reader, oracle = built
+    got = wand_topk(reader, "content", text, k=k, n_stripes=8).collect()
+    expected = score_match(oracle, text.split(), "or", k)
+    assert [(r["docid"]) for r in got] == [e[0] for e in expected], f"{text} k={k}"
+    for r, e in zip(got, expected):
+        assert np.float32(r["score"]) == np.float32(e[1]), (text, k, r, e)
+
+
+def test_wand_equals_flat_path(built):
+    reader, _ = built
+    s = Searcher(reader)
+    flat = s.search(MatchQuery("content", "def import return"), size=20).collect()
+    wand = wand_topk(reader, "content", "def import return", k=20).collect()
+    assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
+        (r["docid"], np.float32(r["score"])) for r in wand
+    ]

@@ -84,5 +84,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
     import pyarrow.parquet as pq
 
     df = make_corpus(n_docs, seed)
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    # small row groups so Spark gets real input splits even from one file
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=2048
+    )
     return path

@@ -97,6 +97,7 @@ PACKED_SCHEMA = StructType(
         StructField("tfs", BinaryType()),
         StructField("norms", BinaryType()),
         StructField("max_impact", FloatType()),
+        StructField("tf_sum", LongType()),
     ]
 )
 
@@ -139,6 +140,13 @@ class IndexBuilder:
         c = self.config
         t0 = time.time()
         base = self.with_docid(df)
+        # guarantee enough input splits: a corpus delivered as few/large
+        # row-groups would otherwise serialize the tokenize stage (real
+        # 100 TB inputs arrive well-partitioned; this only kicks in when
+        # they don't)
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < max(parallelism // 2, 2):
+            base = base.repartition(parallelism * 2)
         if len(shards) < c.n_shards:
             base = base.where(F.col("shard").isin(shards))
         stored = list(c.stored_cols) if c.stored_cols else [
@@ -157,83 +165,127 @@ class IndexBuilder:
         docs = docs.withColumn(
             "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
         )
-        # one tokenize pass feeds docs write, postings write AND lineage
-        # stats — persist the analyzed frame instead of recomputing it
-        docs = docs.persist()
-        try:
-            per_field_cols = [c_ for f in c.text_fields for c_ in (f"doclen_{f}", f"norm_{f}")]
-            docs_out = docs.select("docid", "shard", "sha256", *per_field_cols, *stored)
-            # no pre-write shuffle: the dynamic-partition writer splits by
-            # shard; re-shuffling the whole corpus here would double the
-            # build's shuffle volume at 100 TB (merge() compacts files later)
-            (
-                docs_out.sortWithinPartitions("shard", "docid")
-                .write.mode("append")
-                .partitionBy("shard")
-                .parquet(os.path.join(index_dir, "docs"))
-            )
-            posting_parts = [
-                docs.select(
-                    "docid",
-                    "shard",
-                    F.lit(f).alias("field"),
-                    F.col(f"norm_{f}").alias("norm"),
-                    F.explode(F.col(f"_toks_{f}")).alias("term"),
+        # Lineage metrics ride the write jobs via Observation (computed
+        # inside the same action — zero extra jobs, no persist of the
+        # tokenized frame: recompute beats caching 30M-token arrays, and
+        # at 100 TB caching them is not an option at all).
+        from pyspark.sql import Observation
+
+        per_shard = len(shards) <= 64  # per-shard metric exprs; totals beyond
+        groups = shards if per_shard else [-1]
+
+        def shard_pred(s):
+            return F.lit(True) if s == -1 else (F.col("shard") == s)
+
+        doc_exprs = []
+        for s in groups:
+            for f in c.text_fields:
+                p = shard_pred(s)
+                doc_exprs.append(
+                    F.sum(F.when(p, 1).otherwise(0)).alias(f"rows__{s}__{f}")
                 )
-                for f in c.text_fields
-            ]
-            exploded = posting_parts[0]
-            for p in posting_parts[1:]:
-                exploded = exploded.unionByName(p)
-            postings = exploded.groupBy("shard", "field", "term", "docid", "norm").agg(
-                F.count(F.lit(1)).cast("int").alias("tf")
-            ).persist()
-            try:
-                # the groupBy already shuffled once; write straight out of
-                # the aggregation partitions (sorted so parquet row-group
-                # min/max on term stays tight for query-time skipping)
-                (
-                    postings.sortWithinPartitions("shard", "field", "term", "docid")
-                    .write.mode("append")
-                    .partitionBy("shard")
-                    .parquet(os.path.join(index_dir, "postings"))
-                )
-                # lineage metrics per (shard, field) over THIS build's input
-                # only (appended batches must not double-count older data) —
-                # committed after the data lands above
-                stat_parts = []
-                for f in c.text_fields:
-                    stat_parts.append(
-                        docs.groupBy("shard")
-                        .agg(
-                            F.count(F.lit(1)).alias("rows_in"),
-                            F.sum(
-                                F.when(F.col(f"doclen_{f}") > 0, 1).otherwise(0)
-                            ).alias("docs_with_field"),
-                            F.sum(f"doclen_{f}").alias("sum_dl"),
-                        )
-                        .withColumn("field", F.lit(f))
+                doc_exprs.append(
+                    F.sum(F.when(p & (F.col(f"doclen_{f}") > 0), 1).otherwise(0)).alias(
+                        f"docs__{s}__{f}"
                     )
-                dstat = stat_parts[0]
-                for p in stat_parts[1:]:
-                    dstat = dstat.unionByName(p)
-                pstat = postings.groupBy("shard", "field").agg(
-                    F.count(F.lit(1)).alias("postings_out")
                 )
-                wall_ms = int((time.time() - t0) * 1000)
-                lineage = (
-                    dstat.join(pstat, ["shard", "field"], "left")
-                    .withColumn("wall_ms", F.lit(wall_ms))
-                    .withColumn("status", F.lit("committed"))
-                    .withColumn("tokenizer", F.lit(TOKENIZER_VERSION))
+                doc_exprs.append(
+                    F.sum(F.when(p, F.col(f"doclen_{f}")).otherwise(0)).alias(
+                        f"dl__{s}__{f}"
+                    )
                 )
-                lineage.coalesce(1).write.mode("append").parquet(
-                    os.path.join(index_dir, "lineage")
+        obs_docs = Observation()
+        per_field_cols = [c_ for f in c.text_fields for c_ in (f"doclen_{f}", f"norm_{f}")]
+        docs_out = docs.select("docid", "shard", "sha256", *per_field_cols, *stored).observe(
+            obs_docs, *doc_exprs
+        )
+        # no pre-write shuffle: the dynamic-partition writer splits by
+        # shard; re-shuffling the whole corpus here would double the
+        # build's shuffle volume at 100 TB (merge() compacts files later)
+        (
+            docs_out.sortWithinPartitions("shard", "docid")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(os.path.join(index_dir, "docs"))
+        )
+        posting_parts = [
+            docs.select(
+                "docid",
+                "shard",
+                F.lit(f).alias("field"),
+                F.col(f"norm_{f}").alias("norm"),
+                F.explode(F.col(f"_toks_{f}")).alias("term"),
+            )
+            for f in c.text_fields
+        ]
+        exploded = posting_parts[0]
+        for p in posting_parts[1:]:
+            exploded = exploded.unionByName(p)
+        postings = exploded.groupBy("shard", "field", "term", "docid", "norm").agg(
+            F.count(F.lit(1)).cast("int").alias("tf")
+        )
+        post_exprs = [
+            F.sum(F.when(shard_pred(s) & (F.col("field") == f), 1).otherwise(0)).alias(
+                f"post__{s}__{f}"
+            )
+            for s in groups
+            for f in c.text_fields
+        ]
+        obs_post = Observation()
+        # the groupBy already shuffled once; write straight out of the
+        # aggregation partitions (sorted so parquet row-group min/max on
+        # term stays tight for query-time skipping)
+        (
+            postings.observe(obs_post, *post_exprs)
+            .sortWithinPartitions("shard", "field", "term", "docid")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        dvals, pvals = obs_docs.get, obs_post.get
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = []
+        for s in shards:
+            g = s if per_shard else -1
+            for f in c.text_fields:
+                rows.append(
+                    {
+                        "shard": s,
+                        "field": f,
+                        "rows_in": int(dvals[f"rows__{g}__{f}"]) if per_shard else None,
+                        "docs_with_field": int(dvals[f"docs__{g}__{f}"]) if per_shard else None,
+                        "sum_dl": int(dvals[f"dl__{g}__{f}"]) if per_shard else None,
+                        "postings_out": int(pvals[f"post__{g}__{f}"]) if per_shard else None,
+                        "wall_ms": wall_ms,
+                        "status": "committed",
+                        "tokenizer": TOKENIZER_VERSION,
+                    }
                 )
-            finally:
-                postings.unpersist()
-        finally:
-            docs.unpersist()
+        if not per_shard:
+            # totals-only summary row carries the field-level metrics
+            for f in c.text_fields:
+                rows.append(
+                    {
+                        "shard": -1,
+                        "field": f,
+                        "rows_in": int(dvals[f"rows__-1__{f}"]),
+                        "docs_with_field": int(dvals[f"docs__-1__{f}"]),
+                        "sum_dl": int(dvals[f"dl__-1__{f}"]),
+                        "postings_out": int(pvals[f"post__-1__{f}"]),
+                        "wall_ms": wall_ms,
+                        "status": "summary",
+                        "tokenizer": TOKENIZER_VERSION,
+                    }
+                )
+        lineage = self.spark.createDataFrame(
+            pd.DataFrame(rows),
+            schema=(
+                "shard int, field string, rows_in long, docs_with_field long, "
+                "sum_dl long, postings_out long, wall_ms long, status string, "
+                "tokenizer string"
+            ),
+        )
+        lineage.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
 
     def _committed_shards(self, index_dir: str) -> set:
         path = os.path.join(index_dir, "lineage")
@@ -277,17 +329,27 @@ class IndexBuilder:
             "tokenizer": TOKENIZER_VERSION,
             "seqnum": int(time.time() * 1000),
         }
-        postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        if c.quantize:
+            self._pack(index_dir, {f: s["avgdl"] for f, s in fields.items()})
+            # dictionary from packed block rows (~postings/block_size rows)
+            # instead of re-scanning the full postings table
+            dict_src = (
+                spark.read.parquet(os.path.join(index_dir, "packed"))
+                .groupBy("field", "term")
+                .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
+            )
+        else:
+            dict_src = (
+                spark.read.parquet(os.path.join(index_dir, "postings"))
+                .groupBy("field", "term")
+                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            )
         (
-            postings.groupBy("field", "term")
-            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-            .repartitionByRange(max(c.n_shards // 4, 1), "term")
+            dict_src.repartitionByRange(max(c.n_shards // 4, 1), "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .parquet(os.path.join(index_dir, "dictionary"))
         )
-        if c.quantize:
-            self._pack(index_dir, {f: s["avgdl"] for f, s in fields.items()})
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
         return stats
@@ -309,7 +371,7 @@ class IndexBuilder:
             to codec.encode_posting_block per block, asserted by tests)."""
             pdf = pdf.sort_values(["field", "term", "docid"], kind="mergesort")
             out = {k: [] for k in ("shard", "field", "term", "block_id", "n",
-                                   "doc_gaps", "tfs", "norms", "max_impact")}
+                                   "doc_gaps", "tfs", "norms", "max_impact", "tf_sum")}
             shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
             for fld, fdf in pdf.groupby("field", sort=False):
                 terms = fdf["term"].to_numpy()
@@ -345,6 +407,7 @@ class IndexBuilder:
                 off_t = np.concatenate([[0], np.cumsum(len_t)])
                 norm_bytes = norms.astype(np.uint8).tobytes()
                 bmax = np.maximum.reduceat(impact.astype(np.float64), bstart)
+                btf = np.add.reduceat(tfs, bstart)
                 nb = len(bstart)
                 out["shard"].extend([shard] * nb)
                 out["field"].extend([fld] * nb)
@@ -357,6 +420,7 @@ class IndexBuilder:
                 out["tfs"].extend(enc_t[off_t[s] : off_t[e]] for s, e in zip(bstart, bend))
                 out["norms"].extend(norm_bytes[s:e] for s, e in zip(bstart, bend))
                 out["max_impact"].extend(np.float32(bmax).tolist())
+                out["tf_sum"].extend(btf.tolist())
             return pd.DataFrame(out)
 
         postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -445,17 +509,31 @@ class IndexReader:
         benchmarks — the analog of the reference's always-open reader)."""
         self.postings.persist()
         self.docs.persist()
+        self.dictionary.persist()
         return self
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, tuple[int, float]]:
         """{term: (df, float32 weight)} for query terms — tiny driver lookup,
-        the analog of Lucene's TermStates resolution."""
+        the analog of Lucene's TermStates resolution. Memoized per reader
+        (absent terms memoize as None so repeats skip the scan too)."""
         if not terms:
             return {}
-        rows = (
-            self.dictionary.where(
-                (F.col("field") == field) & F.col("term").isin(list(set(terms)))
-            )
-        ).collect()
-        dc = self.field_stats(field)["doc_count"]
-        return {r["term"]: (int(r["df"]), float(lucene.term_weight(r["df"], dc))) for r in rows}
+        if not hasattr(self, "_term_memo"):
+            self._term_memo = {}
+        need = [t for t in set(terms) if (field, t) not in self._term_memo]
+        if need:
+            rows = self.dictionary.where(
+                (F.col("field") == field) & F.col("term").isin(need)
+            ).collect()
+            dc = self.field_stats(field)["doc_count"]
+            found = {
+                r["term"]: (int(r["df"]), float(lucene.term_weight(r["df"], dc)))
+                for r in rows
+            }
+            for t in need:
+                self._term_memo[(field, t)] = found.get(t)
+        return {
+            t: self._term_memo[(field, t)]
+            for t in set(terms)
+            if self._term_memo.get((field, t)) is not None
+        }

@@ -43,8 +43,13 @@ SCORE_SCHEMA = "docid long, score float"
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader, mapping=None):
+        """``mapping``: optional IndexMapping enforcing per-field capability
+        flags — filter/sort/facet/search violations become user errors at
+        query time, matching the reference (RetrieveQuery.scala:117-119,
+        Predicate.scala:132-133)."""
         self.reader = reader
+        self.mapping = mapping
         self.spark: SparkSession = reader.spark
         self._cache_df = {}  # field -> broadcastable norm-cache DataFrame
         # quantized mode scores are float32 (Lucene parity); unquantized mode
@@ -66,11 +71,17 @@ class Searcher:
         ``fields``: stored columns to fetch (default [docid, score])."""
         if isinstance(query, dict) or query is None:
             query = ast.parse_query(query)
+        if self.mapping is not None and sort:
+            for item in sort:
+                if item[0] not in ("_score", "_doc"):
+                    self.mapping.require(item[0], "sort")
         scored = self.score(query, filters)
         if sort:
             topk = self._sorted_topk(scored, sort, size)
-        else:
-            topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(size)
+            if fields:
+                return self.fetch(topk, fields)
+            return topk.drop("_rank")
+        topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(size)
         if fields:
             return self.fetch(topk, fields)
         return topk
@@ -91,12 +102,46 @@ class Searcher:
         """Full match-set scores (docid, float score) — facets and sorts run
         over this, mirroring the reference's FacetsCollector running beside
         the top-k collector (RetrieveQuery.scala:88-90)."""
+        if self.mapping is not None:
+            self._validate_query(query)
         scored = self._score(query)
         if filters is not None:
+            if self.mapping is not None:
+                from nixiesearch_spark.query.filters import collect_filter_fields
+
+                for f in collect_filter_fields(filters):
+                    self.mapping.require(f, "filter")
             pred = compile_predicate(filters)
             keep = self.reader.docs.where(pred).select("docid")
             scored = scored.join(keep, "docid", "left_semi")
         return scored
+
+    def _validate_query(self, q: ast.Query) -> None:
+        if isinstance(q, ast.MatchQuery):
+            self.mapping.require(q.field, "search")
+        elif isinstance(q, ast.MultiMatchQuery):
+            for f in q.fields:
+                self.mapping.require(f, "search")
+        elif isinstance(q, ast.BoolQuery):
+            for sub in [*q.must, *q.should, *q.must_not]:
+                self._validate_query(sub)
+        elif isinstance(q, ast.DisMaxQuery):
+            for sub in q.queries:
+                self._validate_query(sub)
+
+    def term_facet(self, match_set: DataFrame, field: str, size=10) -> DataFrame:
+        from nixiesearch_spark.query.aggs import term_agg
+
+        if self.mapping is not None:
+            self.mapping.require(field, "facet")
+        return term_agg(match_set, self.reader.docs, field, size)
+
+    def range_facet(self, match_set: DataFrame, field: str, ranges: list) -> DataFrame:
+        from nixiesearch_spark.query.aggs import range_agg
+
+        if self.mapping is not None:
+            self.mapping.require(field, "facet")
+        return range_agg(match_set, self.reader.docs, field, ranges)
 
     # ---------- score compilation ----------
 

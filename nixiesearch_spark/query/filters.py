@@ -34,6 +34,21 @@ def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> 
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def collect_filter_fields(spec: dict) -> list[str]:
+    """Field names referenced by a predicate tree (for mapping validation)."""
+    kind, body = next(iter(spec.items()))
+    if kind in ("term", "range"):
+        return [next(iter(body))]
+    if kind in ("and", "or"):
+        return [f for s in body for f in collect_filter_fields(s)]
+    if kind == "not":
+        inner = body[0] if isinstance(body, list) else body
+        return collect_filter_fields(inner)
+    if kind in ("geo_distance", "geo_box"):
+        return [body["field"]]
+    return []
+
+
 def compile_predicate(spec: dict) -> Column:
     """{"term": {"f": v}} | {"range": {"f": {"gte": ..}}} | {"and": [..]} |
     {"or": [..]} | {"not": ..} | {"geo_distance": {...}} | {"geo_box": {...}}"""

@@ -1,0 +1,138 @@
+"""Mapping capability flags, JSON sources, suggest path."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
+from nixiesearch_spark.mapping import FieldSchema, IndexMapping, MappingError
+from nixiesearch_spark.query import MatchQuery, Searcher
+from nixiesearch_spark.query.suggest import build_suggest, load_suggest, suggest
+from nixiesearch_spark.sources import read_docs
+
+MAPPING = IndexMapping.from_dict(
+    {
+        "name": "test",
+        "fields": {
+            "title": {"type": "text", "search": True, "sort": True},
+            "price": {"type": "int", "filter": True, "facet": True, "sort": True},
+            "cat": {"type": "text"},  # no flags → not filterable/searchable
+            "meta.tag": {"type": "text", "filter": True},
+            "attr_*": {"type": "text", "filter": True},
+        },
+    }
+)
+
+
+def test_mapping_flags_and_wildcards():
+    assert MAPPING.lookup("_id").filter is True
+    assert MAPPING.lookup("attr_color").filter is True  # wildcard resolution
+    assert MAPPING.lookup("nosuch") is None
+    MAPPING.require("title", "search")
+    with pytest.raises(MappingError):
+        MAPPING.require("cat", "search")
+    with pytest.raises(MappingError):
+        MAPPING.require("cat", "filter")
+    with pytest.raises(MappingError):
+        MAPPING.require("title", "facet")
+    with pytest.raises(MappingError):
+        IndexMapping.from_dict(
+            {"name": "x", "fields": {"a_*": {"type": "text"}, "a_b": {"type": "text"}}}
+        )
+
+
+def test_mapping_migration():
+    new = IndexMapping.from_dict(
+        {"name": "test", "fields": {"title": {"type": "text", "search": True}}}
+    )
+    changes = MAPPING.migrate_check(new)
+    assert any(c.startswith("delete") for c in changes)
+    bad = IndexMapping.from_dict({"name": "test", "fields": {"price": {"type": "text"}}})
+    with pytest.raises(MappingError):
+        MAPPING.migrate_check(bad)
+
+
+def test_searcher_enforces_mapping(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "red dress", 10, "a"), ("2", "white dress", 20, "b")],
+        "_id string, title string, price int, cat string",
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(text_fields=("title",), id_cols=("_id",), n_shards=2)
+    IndexBuilder(spark, cfg).build(df, d)
+    s = Searcher(IndexReader(spark, d), mapping=MAPPING)
+    assert s.search(MatchQuery("title", "dress"), size=5).count() == 2
+    with pytest.raises(MappingError):
+        s.search(MatchQuery("cat", "a")).count()
+    with pytest.raises(MappingError):
+        s.search(MatchQuery("title", "dress"), filters={"term": {"cat": "a"}}).count()
+    with pytest.raises(MappingError):
+        s.search(MatchQuery("title", "dress"), sort=[("cat", "asc")]).count()
+    # declared-capability paths work
+    s.search(MatchQuery("title", "dress"), filters={"range": {"price": {"gte": 15}}}).count()
+    s.search(MatchQuery("title", "dress"), sort=[("price", "desc")]).count()
+
+
+def test_read_ndjson_and_gzip_and_corrupt(spark, tmp_path):
+    m = IndexMapping.from_dict(
+        {
+            "name": "src",
+            "fields": {
+                "title": {"type": "text", "search": True},
+                "price": {"type": "int"},
+                "meta.tag": {"type": "text"},
+            },
+        }
+    )
+    p = tmp_path / "docs.ndjson"
+    rows = [
+        {"_id": "1", "title": "red dress", "price": 10, "meta": {"tag": "x"}, "junk": 1},
+        {"_id": "2", "title": "white dress", "price": "NOT_AN_INT"},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = read_docs(spark, str(p), m)
+    got = {r["_id"]: r.asDict() for r in df.collect()}
+    assert got["1"]["title"] == "red dress"
+    assert got["1"]["meta.tag"] == "x"
+    assert "junk" not in got["1"]  # unknown fields skipped
+    assert got["2"]["_corrupt"] is not None  # malformed row captured, not fatal
+
+    gz = tmp_path / "docs2.ndjson.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(json.dumps({"_id": "3", "title": "blue jeans", "price": 5}) + "\n")
+    assert read_docs(spark, str(gz), m).count() == 1
+
+
+def test_read_json_array(spark, tmp_path):
+    m = IndexMapping.from_dict(
+        {"name": "src", "fields": {"title": {"type": "text", "search": True}}}
+    )
+    p = tmp_path / "arr.json"
+    p.write_text(json.dumps([{"_id": "1", "title": "a"}, {"_id": "2", "title": "b"}]))
+    assert read_docs(spark, str(p), m, format="json_array").count() == 2
+
+
+def test_suggest_path(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("1", "hello world"), ("2", "hello there"), ("3", "help wanted"), ("4", "hello world")],
+        "_id string, content string",
+    )
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    build_suggest(spark, docs, "content", d, "content")
+    table = load_suggest(spark, d, "content")
+    got = [r["suggestion"] for r in suggest(table, "hel", count=5).collect()]
+    assert got and all(g.startswith("hel") for g in got[:3])
+    assert "hello" in got
+    # fuzzy: one edit away still reachable
+    got2 = [r["suggestion"] for r in suggest(table, "helo", count=5).collect()]
+    assert "hello" in got2
+    # infix
+    got3 = [r["suggestion"] for r in suggest(table, "world", count=5).collect()]
+    assert any("world" in g for g in got3)

@@ -200,3 +200,52 @@ def test_fetch_projection(s):
     rows = s.search(MatchQuery("title", "red"), size=10, fields=["title", "price"]).collect()
     assert {r["docid"] for r in rows} == {1, 3}
     assert all(set(r.asDict()) == {"docid", "title", "price", "score"} for r in rows)
+
+
+def test_geo_filters(spark, tmp_path):
+    # geopoint struct column (reference GeopointField: lat/lon doubles)
+    from nixiesearch_spark.query.filters import compile_predicate
+
+    df = spark.createDataFrame(
+        [
+            (1, {"lat": 52.52, "lon": 13.405}),   # Berlin
+            (2, {"lat": 48.8566, "lon": 2.3522}), # Paris
+            (3, {"lat": 40.7128, "lon": -74.006}),# NYC
+        ],
+        "id long, loc struct<lat:double,lon:double>",
+    )
+    near_berlin = df.where(
+        compile_predicate(
+            {"geo_distance": {"field": "loc", "lat": 52.5, "lon": 13.4, "distance_m": 50000}}
+        )
+    )
+    assert [r["id"] for r in near_berlin.collect()] == [1]
+    box_eu = df.where(
+        compile_predicate(
+            {
+                "geo_box": {
+                    "field": "loc",
+                    "top_left": {"lat": 60.0, "lon": -5.0},
+                    "bottom_right": {"lat": 40.0, "lon": 20.0},
+                }
+            }
+        )
+    )
+    assert sorted(r["id"] for r in box_eu.collect()) == [1, 2]
+
+
+def test_datetime_range_filter(spark):
+    import datetime as dt
+
+    from nixiesearch_spark.query.filters import compile_predicate
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 6, 1)), (3, dt.datetime(2024, 12, 31))],
+        "id long, ts timestamp",
+    )
+    got = df.where(
+        compile_predicate(
+            {"range": {"ts": {"gte": dt.datetime(2024, 2, 1), "lt": dt.datetime(2024, 12, 1)}}}
+        )
+    )
+    assert [r["id"] for r in got.collect()] == [2]

@@ -1,34 +1,141 @@
-"""Bench harness (driver contract): build + query benchmark at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) printing ONE JSON line:
+"""Bench harness (driver contract): prints ONE JSON line:
 
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "build": {...}, "scaling": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "build": {...},
+   "scaling": {...}, "machine": {...}}
 
-North-rule evidence (BASELINE.json): the same index build runs at two
-parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs 4N
-executors); scaling_efficiency = throughput_32 / (4 · throughput_8).
+Phases:
+1. Index build + query latencies on $SPARK_GRAFT_SF_DIR documents table
+   (driver-comparable per-round numbers).
+2. North-rule scaling evidence (BASELINE.json): the same index build over a
+   deterministic synthetic source-code corpus at TWO parallelism levels —
+   the sandbox proxy for N vs 4N executor clusters. Each level runs in its
+   own taskset-pinned subprocess (local[4] on cpus 0-3 vs local[16] on cpus
+   0-15) so the small level cannot borrow spare machine cores; a pure-CPU
+   burn measures the MACHINE's own 4→16 scaling ceiling on this
+   (host-oversubscribed) sandbox so the engine's efficiency can be read
+   against what the hardware actually offers.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_SKIP_SCALING=1,
+BENCH_CORPUS_DOCS (default 60000), BENCH_LEVELS (default "4,16").
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-LOW_CPUS = max(CPUS // 4, 1)
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "60000"))
+LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "4,16").split(",")]
+
+
+def _burn(n, q):
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    q.put(time.time() - t0)
+
+
+def _stream(q):
+    import numpy as np
+
+    a = np.zeros(50_000_000, dtype=np.uint8)
+    t0 = time.time()
+    for _ in range(8):
+        b = a.copy()
+        a = b + 1  # pure memory streaming
+    q.put(time.time() - t0)
+
+
+def machine_ceiling(levels) -> dict:
+    """Hardware scaling ceilings of THIS box at the two levels: a pure-CPU
+    burn (register-bound) and a memory-streaming probe (bandwidth-bound).
+    A single node shares one memory controller across all cores, so
+    shuffle/sort/write phases can never scale past the stream ceiling here;
+    on a real cluster 4N executors bring 4N memory controllers and this
+    artifact disappears. Host CPU oversubscription also shows up here."""
+    out = {}
+    for kind, fn in (("burn", _burn), ("stream", _stream)):
+        tput = {}
+        for n in levels:
+            q = multiprocessing.Queue()
+            args = (20_000_000, q) if kind == "burn" else (q,)
+            ps = [multiprocessing.Process(target=fn, args=args) for _ in range(n)]
+            t0 = time.time()
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            tput[n] = n / (time.time() - t0)
+        lo, hi = levels
+        out[f"{kind}_ceiling_efficiency"] = round(tput[hi] / ((hi / lo) * tput[lo]), 3)
+    return out
+
+
+_CHILD = """
+import time, shutil, sys, os
+sys.path.insert(0, {root!r})
+from nixiesearch_spark.session import get_spark
+from nixiesearch_spark.index import IndexBuilder, IndexConfig
+cores = int(sys.argv[1]); corpus = sys.argv[2]; out = sys.argv[3]
+spark = get_spark(f"bench-scale-{{cores}}", cores=cores, shuffle_partitions=max(cores, 8))
+df = spark.read.parquet(corpus)
+n = df.count()
+t0 = time.time()
+IndexBuilder(spark, IndexConfig(text_fields=("content",), n_shards=32)).build(df, out, resume=False)
+dt = time.time() - t0
+print(f"RESULT {{dt:.3f}} {{n}}")
+spark.stop(); shutil.rmtree(out, ignore_errors=True)
+"""
+
+
+def scaling_phase(tmp: str) -> dict:
+    from nixiesearch_spark.corpus import write_corpus_parquet
+
+    corpus = os.path.join(tmp, f"corpus_{CORPUS_DOCS}.parquet")
+    cached = f"/tmp/ns_bench_corpus_{CORPUS_DOCS}.parquet"
+    if os.path.exists(cached):
+        corpus = cached
+    else:
+        write_corpus_parquet(cached, CORPUS_DOCS)
+        corpus = cached
+    have_taskset = shutil.which("taskset") is not None
+    child = _CHILD.format(root=ROOT)
+    res = {}
+    for cores in LEVELS:
+        cmd = [sys.executable, "-c", child, str(cores), corpus, os.path.join(tmp, f"sidx{cores}")]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
+        if not line:
+            raise RuntimeError(f"scaling child failed: {r.stderr[-2000:]}")
+        dt, n = line[0].split()[1:3]
+        res[cores] = {"sec": float(dt), "docs_per_sec": round(int(n) / float(dt), 1)}
+    lo, hi = LEVELS
+    eff = res[hi]["docs_per_sec"] / ((hi / lo) * res[lo]["docs_per_sec"])
+    return {
+        "corpus_docs": CORPUS_DOCS,
+        "pinned": have_taskset,
+        f"local[{lo}]": res[lo],
+        f"local[{hi}]": res[hi],
+        "speedup": round(res[hi]["docs_per_sec"] / res[lo]["docs_per_sec"], 3),
+        "efficiency_vs_linear": round(eff, 3),
+    }
 
 
 def build_index(cores: int, out_dir: str, n_shards: int) -> dict:
-    """One full index build at the given parallelism; returns metrics."""
     from nixiesearch_spark.index import IndexBuilder, IndexConfig
     from nixiesearch_spark.session import get_spark
 
@@ -40,20 +147,22 @@ def build_index(cores: int, out_dir: str, n_shards: int) -> dict:
         t0 = time.time()
         IndexBuilder(spark, cfg).build(df, out_dir, resume=False)
         wall = time.time() - t0
-        return {"cores": cores, "docs": n_docs, "sec": round(wall, 3),
-                "docs_per_sec": round(n_docs / wall, 1)}
+        return {
+            "cores": cores,
+            "docs": n_docs,
+            "sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
     finally:
         spark.stop()
 
 
-def run_queries(index_dir: str) -> tuple[dict, list, object]:
-    from pyspark.sql import functions as F
+def run_queries(index_dir: str) -> tuple[dict, list]:
+    from pyspark.sql import functions as F  # noqa: F401
 
     from nixiesearch_spark.index import IndexReader
     from nixiesearch_spark.pipeline import similarity
-    from nixiesearch_spark.query import (
-        BoolQuery, DisMaxQuery, MatchQuery, Searcher,
-    )
+    from nixiesearch_spark.query import BoolQuery, DisMaxQuery, MatchQuery, Searcher
     from nixiesearch_spark.query.aggs import term_agg
     from nixiesearch_spark.query.rrf import rrf_fuse
     from nixiesearch_spark.query.wand import wand_topk
@@ -62,7 +171,8 @@ def run_queries(index_dir: str) -> tuple[dict, list, object]:
     spark = get_spark("bench-query", cores=CPUS, shuffle_partitions=max(CPUS, 8))
     reader = IndexReader(spark, index_dir).persist_hot()
     reader.packed.persist().count()
-    reader.postings.count()  # warm the cache (reference keeps readers open)
+    reader.postings.count()
+    reader.dictionary.count()  # warm (reference keeps readers open)
     s = Searcher(reader)
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     qv = emb.limit(1).collect()[0]["embedding"]
@@ -80,38 +190,38 @@ def run_queries(index_dir: str) -> tuple[dict, list, object]:
             BoolQuery(must=[MatchQuery("text", "spark")], should=[MatchQuery("text", "window")])
         ),
         "dis_max": flat(
-            DisMaxQuery(queries=[MatchQuery("text", "spark"), MatchQuery("text", "window")],
-                        tie_breaker=0.3)
+            DisMaxQuery(
+                queries=[MatchQuery("text", "spark"), MatchQuery("text", "window")],
+                tie_breaker=0.3,
+            )
         ),
-        "filtered_match": flat(MatchQuery("text", "spark join"),
-                               filters={"term": {"lang": "en"}}),
+        "filtered_match": flat(MatchQuery("text", "spark join"), filters={"term": {"lang": "en"}}),
         "facet_term": lambda: term_agg(
             s.score(MatchQuery("text", "spark")), reader.docs, "lang", 5
         ).collect(),
         "rrf_fusion": lambda: rrf_fuse(
             [s.score(MatchQuery("text", "spark join")), s.score(MatchQuery("text", "window agg"))],
-            size=10, window=100,
+            size=10,
+            window=100,
         ).collect(),
         "sort_by_field": lambda: s.search(
             MatchQuery("text", "spark"), size=15, sort=[("n_chars", "desc", "last")]
         ).collect(),
-        "ann_cosine_topk": lambda: similarity.cosine_topk(
-            emb, "vec_id", "embedding", qv, 10
-        ).collect(),
+        "ann_cosine_topk": lambda: similarity.cosine_topk(emb, "vec_id", "embedding", qv, 10).collect(),
     }
-    out = {}
-    all_times = []
+    out, all_times = {}, []
     for name, fn in cases.items():
-        fn()  # warm (plans compile, caches fill)
+        fn()  # warm
         runs = []
         for _ in range(3):
             t0 = time.time()
             fn()
             runs.append(time.time() - t0)
         runs.sort()
-        out[name] = round(runs[1], 4)  # median
+        out[name] = round(runs[1], 4)
         all_times.extend(runs)
-    return out, all_times, spark
+    spark.stop()
+    return out, all_times
 
 
 def main():
@@ -119,31 +229,23 @@ def main():
     tmp = tempfile.mkdtemp(prefix="nsbench_")
     results: dict = {"sf": SF_DIR, "unit": "sec"}
     try:
-        idx32 = os.path.join(tmp, "idx32")
-        b_hi = build_index(CPUS, idx32, n_shards=32)
-        scaling = {}
-        if not SKIP_SCALING:
-            idx8 = os.path.join(tmp, "idx8")
-            b_lo = build_index(LOW_CPUS, idx8, n_shards=32)
-            eff = b_hi["docs_per_sec"] / ((CPUS / LOW_CPUS) * b_lo["docs_per_sec"])
-            scaling = {
-                f"local[{LOW_CPUS}]_docs_per_sec": b_lo["docs_per_sec"],
-                f"local[{CPUS}]_docs_per_sec": b_hi["docs_per_sec"],
-                "ratio": round(b_hi["docs_per_sec"] / b_lo["docs_per_sec"], 3),
-                "efficiency_vs_linear": round(eff, 3),
-            }
-            shutil.rmtree(idx8, ignore_errors=True)
-        queries, all_times, spark = run_queries(idx32)
+        idx = os.path.join(tmp, "idx")
+        b = build_index(CPUS, idx, n_shards=32)
+        queries, all_times = run_queries(idx)
         all_times.sort()
         p95 = all_times[max(int(len(all_times) * 0.95) - 1, 0)]
-        spark.stop()
+        scaling, machine = {}, {}
+        if not SKIP_SCALING:
+            machine = machine_ceiling(LEVELS)
+            scaling = scaling_phase(tmp)
         results.update(
             {
                 "metric": "index-build docs/sec + BM25 top-k query latency",
                 "value": round(time.time() - t_total, 3),
                 "queries": queries,
-                "build": b_hi,
+                "build": b,
                 "scaling": scaling,
+                "machine": machine,
                 "query_p95_sec": round(p95, 4),
             }
         )

@@ -92,6 +92,7 @@ PACKED_SCHEMA = StructType(
         StructField("field", StringType()),
         StructField("term", StringType()),
         StructField("block_id", LongType()),
+        StructField("block_last", LongType()),
         StructField("n", IntegerType()),
         StructField("doc_gaps", BinaryType()),
         StructField("tfs", BinaryType()),
@@ -357,77 +358,88 @@ class IndexBuilder:
     def _pack(self, index_dir: str, avgdl_by_field: dict) -> None:
         """Flat postings → VByte blocks with block-max impact (WAND path).
 
-        applyInPandas per shard; numpy slices per (field, term), blocks of
-        ``block_size``. Quantized-only: the norm byte is what WAND decodes.
+        Shape matters at scale: the per-(shard, field, term) posting lists
+        are assembled JVM-side (groupBy + collect_list + array_sort — one
+        shuffle, no Python row traffic), so Arrow moves ~#terms rows of
+        packed primitive arrays instead of every posting as a Python row
+        (~25x less Python-boundary work). mapInPandas then VByte-encodes
+        with bulk numpy. Group size is bounded: a term's postings in one
+        shard ≈ df / n_shards. Quantized-only: the norm byte is what WAND
+        decodes.
         """
         block_size = self.config.block_size
         caches = {
             f: lucene.norm_cache(np.float32(a)) for f, a in avgdl_by_field.items()
         }
 
-        def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            """Bulk-vectorized: ONE VByte encode per shard+field, then byte
-            slices per block — no per-term numpy round trips (byte-identical
-            to codec.encode_posting_block per block, asserted by tests)."""
-            pdf = pdf.sort_values(["field", "term", "docid"], kind="mergesort")
-            out = {k: [] for k in ("shard", "field", "term", "block_id", "n",
-                                   "doc_gaps", "tfs", "norms", "max_impact", "tf_sum")}
-            shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-            for fld, fdf in pdf.groupby("field", sort=False):
-                terms = fdf["term"].to_numpy()
-                docids = fdf["docid"].to_numpy(dtype=np.int64)
-                tfs = fdf["tf"].to_numpy(dtype=np.int64)
-                norms = fdf["norm"].to_numpy(dtype=np.int64)
-                n = len(terms)
-                if n == 0:
-                    continue
-                impact = lucene.bm25_contrib(
-                    np.float32(1.0), tfs.astype(np.float32), norms, caches[fld]
-                )
-                # block boundaries: new term OR block_size postings into a term
-                term_change = np.empty(n, dtype=bool)
-                term_change[0] = True
-                term_change[1:] = terms[1:] != terms[:-1]
-                term_id = np.cumsum(term_change) - 1
-                term_first = np.flatnonzero(term_change)
-                pos_in_term = np.arange(n) - term_first[term_id]
-                is_block_start = term_change | (pos_in_term % block_size == 0)
-                bstart = np.flatnonzero(is_block_start)
-                bend = np.empty_like(bstart)
-                bend[:-1] = bstart[1:]
-                bend[-1] = n
-                # gaps: deltas within a block, zigzagged absolute at starts
-                gaps = np.empty(n, dtype=np.int64)
-                gaps[0] = 0
-                gaps[1:] = docids[1:] - docids[:-1]
-                gaps[bstart] = codec.zigzag_encode(docids[bstart])
-                enc_g, len_g = codec.vbyte_encode_with_lengths(gaps)
-                enc_t, len_t = codec.vbyte_encode_with_lengths(tfs - 1)
-                off_g = np.concatenate([[0], np.cumsum(len_g)])
-                off_t = np.concatenate([[0], np.cumsum(len_t)])
-                norm_bytes = norms.astype(np.uint8).tobytes()
-                bmax = np.maximum.reduceat(impact.astype(np.float64), bstart)
-                btf = np.add.reduceat(tfs, bstart)
-                nb = len(bstart)
-                out["shard"].extend([shard] * nb)
-                out["field"].extend([fld] * nb)
-                out["term"].extend(terms[bstart].tolist())
-                out["block_id"].extend(docids[bstart].tolist())
-                out["n"].extend((bend - bstart).tolist())
-                out["doc_gaps"].extend(
-                    enc_g[off_g[s] : off_g[e]] for s, e in zip(bstart, bend)
-                )
-                out["tfs"].extend(enc_t[off_t[s] : off_t[e]] for s, e in zip(bstart, bend))
-                out["norms"].extend(norm_bytes[s:e] for s, e in zip(bstart, bend))
-                out["max_impact"].extend(np.float32(bmax).tolist())
-                out["tf_sum"].extend(btf.tolist())
-            return pd.DataFrame(out)
+        def pack_batches(batches):
+            cols = ("shard", "field", "term", "block_id", "block_last", "n",
+                    "doc_gaps", "tfs", "norms", "max_impact", "tf_sum")
+            for pdf in batches:
+                out = {k: [] for k in cols}
+                for (shard, fld), g in pdf.groupby(["shard", "field"], sort=False):
+                    lens = g["docids"].map(len).to_numpy(dtype=np.int64)
+                    if lens.sum() == 0:
+                        continue
+                    docids = np.concatenate(g["docids"].to_list()).astype(np.int64)
+                    tfs = np.concatenate(g["tfs"].to_list()).astype(np.int64)
+                    norms = np.concatenate(g["norms"].to_list()).astype(np.int64)
+                    terms = g["term"].to_numpy()
+                    n = len(docids)
+                    term_first = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                    term_id = np.repeat(np.arange(len(lens)), lens)
+                    pos_in_term = np.arange(n) - term_first[term_id]
+                    is_block_start = pos_in_term % block_size == 0
+                    bstart = np.flatnonzero(is_block_start)
+                    bend = np.empty_like(bstart)
+                    bend[:-1] = bstart[1:]
+                    bend[-1] = n
+                    impact = lucene.bm25_contrib(
+                        np.float32(1.0), tfs.astype(np.float32), norms, caches[fld]
+                    )
+                    gaps = np.empty(n, dtype=np.int64)
+                    gaps[0] = 0
+                    gaps[1:] = docids[1:] - docids[:-1]
+                    gaps[bstart] = codec.zigzag_encode(docids[bstart])
+                    enc_g, len_g = codec.vbyte_encode_with_lengths(gaps)
+                    enc_t, len_t = codec.vbyte_encode_with_lengths(tfs - 1)
+                    off_g = np.concatenate([[0], np.cumsum(len_g)])
+                    off_t = np.concatenate([[0], np.cumsum(len_t)])
+                    norm_bytes = norms.astype(np.uint8).tobytes()
+                    bmax = np.maximum.reduceat(impact.astype(np.float64), bstart)
+                    btf = np.add.reduceat(tfs, bstart)
+                    nb = len(bstart)
+                    out["shard"].extend([int(shard)] * nb)
+                    out["field"].extend([fld] * nb)
+                    out["term"].extend(terms[term_id[bstart]].tolist())
+                    out["block_id"].extend(docids[bstart].tolist())
+                    out["block_last"].extend(docids[bend - 1].tolist())
+                    out["n"].extend((bend - bstart).tolist())
+                    out["doc_gaps"].extend(
+                        enc_g[off_g[a] : off_g[b]] for a, b in zip(bstart, bend)
+                    )
+                    out["tfs"].extend(enc_t[off_t[a] : off_t[b]] for a, b in zip(bstart, bend))
+                    out["norms"].extend(norm_bytes[a:b] for a, b in zip(bstart, bend))
+                    out["max_impact"].extend(np.float32(bmax).tolist())
+                    out["tf_sum"].extend(btf.tolist())
+                yield pd.DataFrame(out)
 
         postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
-        packed = postings.groupBy("shard").applyInPandas(pack_shard, schema=PACKED_SCHEMA)
-        # applyInPandas already shuffled by shard — write directly
+        grouped = (
+            postings.groupBy("shard", "field", "term")
+            .agg(F.array_sort(F.collect_list(F.struct("docid", "tf", "norm"))).alias("ps"))
+            .select(
+                "shard",
+                "field",
+                "term",
+                F.transform("ps", lambda x: x["docid"]).alias("docids"),
+                F.transform("ps", lambda x: x["tf"]).alias("tfs"),
+                F.transform("ps", lambda x: x["norm"]).alias("norms"),
+            )
+        )
+        packed = grouped.mapInPandas(pack_batches, schema=PACKED_SCHEMA)
         (
-            packed.sortWithinPartitions("field", "term", "block_id")
+            packed.sortWithinPartitions("shard", "field", "term", "block_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(os.path.join(index_dir, "packed"))

@@ -42,7 +42,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _shingles(text_col: str, n: int):
     """Word n-gram shingles as array<string> (distinct)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^0-9A-Za-z_]+"), lambda t: F.length(t) > 0)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -193,7 +193,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     One shuffle (groupBy id) carrying 64 small sums; bit extraction uses
     shiftright/& on longs — no UDF."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^0-9A-Za-z_]+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
     )
     t = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
     tf = t.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf")).withColumn(

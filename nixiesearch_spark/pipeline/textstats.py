@@ -29,13 +29,13 @@ def whitespace_token_count(text: Column) -> Column:
 
 def word_token_count(text: Column) -> Column:
     """BPE-ish: word chars runs + each punctuation char counts as one token."""
-    words = F.size(F.filter(F.split(text, "[^0-9A-Za-z_]+"), lambda t: F.length(t) > 0))
-    punct = F.length(F.regexp_replace(text, r"[0-9A-Za-z_\s]+", ""))
+    words = F.size(F.filter(F.split(text, r"\W+"), lambda t: F.length(t) > 0))
+    punct = F.length(F.regexp_replace(text, r"[\w\s]+", ""))
     return words + punct
 
 
 def punct_ratio(text: Column) -> Column:
-    punct = F.length(F.regexp_replace(text, r"[0-9A-Za-z_\s]+", ""))
+    punct = F.length(F.regexp_replace(text, r"[\w\s]+", ""))
     return punct / F.greatest(F.length(text), F.lit(1))
 
 

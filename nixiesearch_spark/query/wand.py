@@ -72,10 +72,7 @@ def _shard_topk(
     for t in terms:
         tdf = pdf[pdf["term"] == t].sort_values("block_id")
         first = tdf["block_id"].to_numpy(dtype=np.int64)
-        # conservative block end: next block's first - 1 (gaps only loosen bounds)
-        last = np.empty_like(first)
-        last[:-1] = first[1:] - 1
-        last[-1] = np.iinfo(np.int64).max
+        last = tdf["block_last"].to_numpy(dtype=np.int64)
         ub = (
             np.float64(mults[t])
             * np.float64(weights[t])
@@ -91,7 +88,7 @@ def _shard_topk(
             "norms": tdf["norms"].tolist(),
         }
         lo = min(lo, int(first[0]))
-        hi = max(hi, int(tdf["block_id"].iloc[-1]))
+        hi = max(hi, int(last[-1]))
     if lo > hi:
         return pd.DataFrame({"docid": [], "score": []}).astype({"docid": "int64", "score": "float32"})
 
@@ -194,6 +191,8 @@ def wand_topk(
 
     matched = reader.packed.where(
         (F.col("field") == field) & F.col("term").isin(present)
-    ).select("shard", "term", "block_id", "doc_gaps", "tfs", "norms", "max_impact")
+    ).select(
+        "shard", "term", "block_id", "block_last", "doc_gaps", "tfs", "norms", "max_impact"
+    )
     local = matched.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)

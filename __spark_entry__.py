@@ -253,6 +253,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_suggest(spark, sf):
+        import shutil as _sh
+
+        from nixiesearch_spark.query.suggest import build_suggest, load_suggest, suggest
+
+        d = tempfile.mkdtemp(prefix="nsentry_sugg_")
+        docs = _docs(spark, sf)
+        build_suggest(spark, docs, "text", d, "text")
+        out = suggest(load_suggest(spark, d, "text"), "spark j", count=10)
+        return out.select(
+            "suggestion", F.round(F.col("score").cast("double"), 6).alias("score")
+        )
+
+    def q_facet_rrf_merged(spark, sf):
+        from nixiesearch_spark.query.aggs import merged_match_set
+
+        s = _index(spark, sf, ("text",), False)
+        b1 = s.score(MatchQuery("text", "spark join"))
+        b2 = s.score(MatchQuery("text", "window agg"))
+        return term_agg(
+            merged_match_set([b1, b2]), s.reader.docs, "lang", 5
+        ).withColumnRenamed("count", "cnt")
+
+    def q_geo_sort(spark, sf):
+        # deterministic synthetic geopoints derived from doc_id (testdata has
+        # no geo column); sort by haversine distance from Paris
+        s = _index(spark, sf, ("text",), False)
+        docs = s.reader.docs.withColumn(
+            "loc",
+            F.struct(
+                (F.pmod(F.col("docid") * 37, F.lit(18000)) / 100.0 - 90.0).alias("lat"),
+                (F.pmod(F.col("docid") * 73, F.lit(36000)) / 100.0 - 180.0).alias("lon"),
+            ),
+        )
+        from nixiesearch_spark.query.filters import haversine_meters
+
+        out = (
+            docs.select(
+                F.col("docid").alias("doc_id"),
+                F.round(
+                    haversine_meters(
+                        F.col("loc.lat"), F.col("loc.lon"), F.lit(48.85), F.lit(2.35)
+                    ),
+                    2,
+                ).alias("dist_m"),
+            )
+            .orderBy(F.asc("dist_m"), F.asc("doc_id"))
+            .limit(15)
+        )
+        return out
+
+    def q_index_stats(spark, sf):
+        s = _index(spark, sf, ("text",), False)
+        rows = [
+            ("text", int(s.reader.field_stats("text")["doc_count"]),
+             int(s.reader.field_stats("text")["sum_ttf"]))
+        ]
+        return spark.createDataFrame(rows, "field string, doc_count long, sum_ttf long")
+
     return {
         "bm25_match_or": q_match_or,
         "bm25_match_and": q_match_and,
@@ -277,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "events_hourly": q_events_hourly,
+        "suggest_rrf": q_suggest,
+        "facet_rrf_merged": q_facet_rrf_merged,
+        "geo_sort": q_geo_sort,
+        "index_stats": q_index_stats,
     }
 
 
@@ -550,6 +613,86 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS cnt, round(sum(value), 4) AS value_sum
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+"""
+    sql["suggest_rrf"] = f"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
+                     x -> x <> '' AND length(x) <= 255) AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 1
+      THEN list_transform(range(1, len(toks) + 1), i -> array_to_string(toks[i:i], ' '))
+      ELSE [] END
+    || CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+      ELSE [] END
+    || CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      ELSE [] END) AS suggestion
+  FROM t
+), freq AS (SELECT suggestion, count(*) AS freq FROM g GROUP BY suggestion),
+b_prefix AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE suggestion LIKE 'spark j%' ORDER BY freq DESC, suggestion ASC LIMIT 50
+), b_f1 AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE length(suggestion) BETWEEN 6 AND 8 AND levenshtein(suggestion, 'spark j') <= 1
+  ORDER BY freq DESC, suggestion ASC LIMIT 50
+), b_f2 AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE length(suggestion) BETWEEN 5 AND 9 AND levenshtein(suggestion, 'spark j') <= 2
+  ORDER BY freq DESC, suggestion ASC LIMIT 50
+), b_in AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE contains(suggestion, 'spark j') ORDER BY freq DESC, suggestion ASC LIMIT 50
+), u AS (
+  SELECT * FROM b_prefix UNION ALL SELECT * FROM b_f1
+  UNION ALL SELECT * FROM b_f2 UNION ALL SELECT * FROM b_in
+)
+SELECT suggestion, round(sum(1.0 / (60 + rank)), 6) AS score
+FROM u GROUP BY suggestion
+ORDER BY sum(1.0 / (60 + rank)) DESC, suggestion ASC
+LIMIT 10
+"""
+
+    sql["facet_rrf_merged"] = f"""
+WITH {_bm25_full(["spark", "join"], "text", "a_")},
+{_bm25_full(["window", "agg"], "text", "b_")}
+, m AS (SELECT doc_id FROM a_sc UNION SELECT doc_id FROM b_sc)
+SELECT d.lang AS term, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING(doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang ORDER BY count(*) DESC, d.lang ASC LIMIT 5
+"""
+
+    sql["geo_sort"] = """
+WITH geo AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 73) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+)
+SELECT doc_id,
+       round(2.0 * 6371008.7714 * asin(sqrt(
+         power(sin(radians(48.85 - lat) / 2), 2)
+         + cos(radians(lat)) * cos(radians(48.85))
+           * power(sin(radians(2.35 - lon) / 2), 2))), 2) AS dist_m
+FROM geo
+ORDER BY 2.0 * 6371008.7714 * asin(sqrt(
+         power(sin(radians(48.85 - lat) / 2), 2)
+         + cos(radians(lat)) * cos(radians(48.85))
+           * power(sin(radians(2.35 - lon) / 2), 2))) ASC, doc_id ASC
+LIMIT 15
+"""
+
+    sql["index_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}')) AS t(term)
+  WHERE t.term <> '' AND length(t.term) <= 255
+), dl AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+SELECT 'text' AS field, count(*)::BIGINT AS doc_count, sum(n)::BIGINT AS sum_ttf FROM dl
 """
     return sql
 

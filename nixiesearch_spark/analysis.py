@@ -69,6 +69,56 @@ def tokenize_col(col: Column) -> Column:
     return F.filter(toks, lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH))
 
 
+# ---------------------------------------------------------------------------
+# Analyzer registry — the engine's analog of the reference's per-field
+# analyzer selection (``config/mapping/Language.scala:52-99`` picks a stock
+# Lucene analyzer per language; default StandardAnalyzer; composed per index
+# via PerFieldAnalyzerWrapper with KeywordAnalyzer base,
+# ``config/mapping/PerFieldAnalyzer.scala``). One registry entry = a pair of
+# (Catalyst Column fn, pure-Python fn) guaranteed equivalent; index build and
+# query analysis always use the field's configured analyzer.
+
+
+def _whitespace_col(col: Column) -> Column:
+    toks = F.split(F.lower(F.substring(col, 1, MAX_FIELD_SEARCH_SIZE)), r"\s+")
+    return F.filter(toks, lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH))
+
+
+def _whitespace_py(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    toks = re.split(r"\s+", text[:MAX_FIELD_SEARCH_SIZE].lower())
+    return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
+
+
+def _keyword_col(col: Column) -> Column:
+    # KeywordAnalyzer: the whole value is one token, untokenized, case kept
+    return F.when(
+        col.isNotNull() & (F.length(col) > 0), F.array(F.substring(col, 1, MAX_FIELD_SEARCH_SIZE))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _keyword_py(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return [text[:MAX_FIELD_SEARCH_SIZE]]
+
+
+ANALYZERS = {
+    "standard": (tokenize_col, tokenize_py),
+    "whitespace": (_whitespace_col, _whitespace_py),
+    "keyword": (_keyword_col, _keyword_py),
+}
+
+
+def analyzer_col(name: str):
+    return ANALYZERS[name][0]
+
+
+def analyzer_py(name: str):
+    return ANALYZERS[name][1]
+
+
 def tokenize_arrow_batches(texts):
     """Tokenize a pandas Series of strings → list[list[str]].
 

@@ -58,7 +58,7 @@ from pyspark.sql.types import (
 )
 
 from nixiesearch_spark import lucene
-from nixiesearch_spark.analysis import tokenize_col
+from nixiesearch_spark.analysis import analyzer_col
 from nixiesearch_spark.index import codec
 
 TOKENIZER_VERSION = "ascii-standard-v1"
@@ -70,6 +70,7 @@ class IndexConfig:
     id_col: str | None = None  # existing long column; if None, hash id_cols
     id_cols: tuple = ("repo", "path", "commit")  # xxhash64 input when id_col is None
     stored_cols: tuple | None = None  # None = all input columns
+    analyzers: dict = dc_field(default_factory=dict)  # field -> analyzer name
     n_shards: int = 32
     quantize: bool = True  # Lucene SmallFloat norm quantization; False → norm col = exact dl
     block_size: int = codec.BLOCK_SIZE
@@ -155,7 +156,8 @@ class IndexBuilder:
         ]
         docs = base
         for f in c.text_fields:
-            docs = docs.withColumn(f"_toks_{f}", tokenize_col(F.col(f)))
+            tok = analyzer_col(c.analyzers.get(f, "standard"))
+            docs = docs.withColumn(f"_toks_{f}", tok(F.col(f)))
             docs = docs.withColumn(f"doclen_{f}", F.size(F.col(f"_toks_{f}")))
             norm = (
                 F.expr(_norm_expr(f"doclen_{f}")).cast("int")
@@ -324,6 +326,7 @@ class IndexBuilder:
             fields[r["field"]] = {"doc_count": dc, "sum_ttf": ttf, "avgdl": avgdl}
         stats = {
             "fields": fields,
+            "analyzers": {f: c.analyzers.get(f, "standard") for f in c.text_fields},
             "quantize": c.quantize,
             "n_shards": c.n_shards,
             "block_size": c.block_size,
@@ -490,6 +493,31 @@ class IndexReader:
     def field_stats(self, field: str) -> dict:
         return self.stats["fields"][field]
 
+    def field_analyzer(self, field: str) -> str:
+        return self.stats.get("analyzers", {}).get(field, "standard")
+
+    def index_stats(self) -> dict:
+        """Index statistics (reference GET /v1/index/{i}/stats,
+        ``api/StatsRoute.scala`` / ``index/IndexStats.scala``): doc counts,
+        per-field term stats, segment(=shard) layout, size on disk."""
+        import glob
+
+        size = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(self.index_dir, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        )
+        lin = self.spark.read.parquet(os.path.join(self.index_dir, "lineage"))
+        shards = lin.where(F.col("status") == "committed").select("shard").distinct().count()
+        return {
+            "fields": self.stats["fields"],
+            "analyzers": self.stats.get("analyzers", {}),
+            "n_shards": self.stats["n_shards"],
+            "committed_shards": shards,
+            "seqnum": self.stats["seqnum"],
+            "size_bytes": size,
+        }
+
     @property
     def postings(self) -> DataFrame:
         if self._postings is None:
@@ -507,6 +535,15 @@ class IndexReader:
         if self._packed is None:
             self._packed = self.spark.read.parquet(os.path.join(self.index_dir, "packed"))
         return self._packed
+
+    @property
+    def tombstones(self):
+        """Deleted docids awaiting compaction (DELETE /doc/{id} analog,
+        reference ``api/IndexModifyRoute.scala:21-35``); None if none."""
+        path = os.path.join(self.index_dir, "tombstones")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
 
     @property
     def dictionary(self) -> DataFrame:

@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 MAX_TERM_FACETS = 128 * 1024  # reference Aggregation.scala "all" cap
 
 
+def merged_match_set(branches: list[DataFrame]) -> DataFrame:
+    """Union of per-branch match sets — the facet input under RRF fusion
+    (reference ``core/search/MergedFacetCollector.scala:17-33``: union of
+    per-branch matching-doc bitsets per segment, then aggregate once)."""
+    out = branches[0].select("docid")
+    for b in branches[1:]:
+        out = out.unionByName(b.select("docid"))
+    return out.distinct()
+
+
 def term_agg(
     match_set: DataFrame, docs: DataFrame, field: str, size: int | str = 10
 ) -> DataFrame:

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nixiesearch_spark import lucene
-from nixiesearch_spark.analysis import tokenize_py
+from nixiesearch_spark.analysis import analyzer_py
 from nixiesearch_spark.index.builder import IndexReader
 from nixiesearch_spark.query import ast
 from nixiesearch_spark.query.filters import compile_predicate
@@ -105,6 +105,9 @@ class Searcher:
         if self.mapping is not None:
             self._validate_query(query)
         scored = self._score(query)
+        tombs = self.reader.tombstones
+        if tombs is not None:
+            scored = scored.join(tombs, "docid", "left_anti")
         if filters is not None:
             if self.mapping is not None:
                 from nixiesearch_spark.query.filters import collect_filter_fields
@@ -175,7 +178,9 @@ class Searcher:
         return self._cache_df[field]
 
     def _score_match(self, field: str, text: str, operator: str = "or") -> DataFrame:
-        terms = tokenize_py(text)
+        # analyze the query with the FIELD's analyzer — the same invariant
+        # the reference keeps (Indexer.scala:207 == MatchQuery.scala:43-49)
+        terms = analyzer_py(self.reader.field_analyzer(field))(text)
         if not terms:
             return self._empty_scores()
         mult = Counter(terms)
@@ -287,15 +292,30 @@ class Searcher:
         (field, "asc"|"desc") or (field, "asc"|"desc", "first"|"last");
         pseudo-fields _score / _doc supported. Executes as
         TakeOrderedAndProject — per-partition heap, no full sort."""
-        need = [s[0] for s in sort if s[0] not in ("_score", "_doc")]
+        need = [
+            s[0] for s in sort if s[0] not in ("_score", "_doc") and not isinstance(s[0], dict)
+        ]
+        geo_fields = [s[0]["field"] for s in sort if isinstance(s[0], dict)]
         df = scored
-        if need:
-            df = scored.join(self.reader.docs.select("docid", *need), "docid", "left")
+        if need or geo_fields:
+            df = scored.join(
+                self.reader.docs.select("docid", *need, *geo_fields), "docid", "left"
+            )
         order = []
         for item in sort:
             fld, direction = item[0], item[1]
             missing = item[2] if len(item) > 2 else ("last" if direction == "asc" else "first")
-            if fld == "_score":
+            if isinstance(fld, dict):
+                # geo-distance sort (reference RetrieveQuery.scala:120-126,
+                # LatLonDocValuesField.newDistanceSort):
+                # {"field": "loc", "lat": .., "lon": ..}
+                from nixiesearch_spark.query.filters import haversine_meters
+
+                g = fld["field"]
+                col = haversine_meters(
+                    F.col(g + ".lat"), F.col(g + ".lon"), F.lit(fld["lat"]), F.lit(fld["lon"])
+                )
+            elif fld == "_score":
                 col = F.col("score")
             elif fld == "_doc":
                 col = F.col("docid")

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nixiesearch_spark import lucene
-from nixiesearch_spark.analysis import tokenize_py
+from nixiesearch_spark.analysis import analyzer_py
 from nixiesearch_spark.index import codec
 from nixiesearch_spark.index.builder import IndexReader
 
@@ -169,7 +169,12 @@ def wand_topk(
     """Distributed block-max WAND match (OR) top-k over the packed table."""
     if not reader.quantize:
         raise ValueError("WAND serving path requires a quantized index")
-    terms = tokenize_py(text)
+    if reader.tombstones is not None:
+        raise ValueError(
+            "WAND serves fully-compacted indexes; pending deletes exist — "
+            "run IncrementalIndexer.compact() or use the flat Searcher path"
+        )
+    terms = analyzer_py(reader.field_analyzer(field))(text)
     spark = reader.spark
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)

@@ -67,6 +67,16 @@ class IncrementalIndexer:
             .start()
         )
 
+    def delete_ids(self, docids: list[int]) -> None:
+        """Mark documents deleted (tombstones); they vanish from results
+        immediately (Searcher anti-joins tombstones) and are physically
+        removed at the next compact() — the delete-by-_id analog of
+        reference ``index/Indexer.scala:97-99`` / IndexModifyRoute."""
+        df = self.spark.createDataFrame([(int(d),) for d in docids], "docid long")
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.index_dir, "tombstones")
+        )
+
     # ---------- compaction / upsert ----------
 
     def compact(self) -> None:
@@ -75,6 +85,10 @@ class IncrementalIndexer:
         from pyspark.sql import Window
 
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        tomb_path = os.path.join(self.index_dir, "tombstones")
+        if os.path.isdir(tomb_path):
+            tombs = self.spark.read.parquet(tomb_path)
+            docs = docs.join(tombs, "docid", "left_anti")
         seq = F.col("seqnum") if "seqnum" in docs.columns else F.lit(0)
         w = Window.partitionBy("docid").orderBy(F.desc(seq))
         stored = [

@@ -136,3 +136,72 @@ def test_suggest_path(spark, tmp_path):
     # infix
     got3 = [r["suggestion"] for r in suggest(table, "world", count=5).collect()]
     assert any("world" in g for g in got3)
+
+
+def test_analyzer_registry(spark, tmp_path):
+    from nixiesearch_spark.analysis import analyzer_col, analyzer_py
+
+    assert analyzer_py("whitespace")("Hello-World foo") == ["hello-world", "foo"]
+    assert analyzer_py("keyword")("Hello World") == ["Hello World"]
+    assert analyzer_py("standard")("Hello-World foo") == ["hello", "world", "foo"]
+    # per-field analyzer: keyword field matches whole value only
+    df = spark.createDataFrame(
+        [(1, "red dress", "SKU-1 A"), (2, "white dress", "SKU-2 B")],
+        "doc_id long, title string, sku string",
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_fields=("title", "sku"),
+        analyzers={"sku": "keyword"},
+        id_col="doc_id",
+        n_shards=2,
+    )
+    IndexBuilder(spark, cfg).build(df, d)
+    s = Searcher(IndexReader(spark, d))
+    assert [r["docid"] for r in s.search(MatchQuery("sku", "SKU-1 A")).collect()] == [1]
+    assert s.search(MatchQuery("sku", "SKU-1")).collect() == []  # not tokenized
+    assert [r["docid"] for r in s.search(MatchQuery("title", "dress"), size=5).count() and
+            s.search(MatchQuery("title", "red")).collect()] == [1]
+
+
+def test_index_stats(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e")], "doc_id long, content string")
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=2)).build(
+        df, d
+    )
+    st = IndexReader(spark, d).index_stats()
+    assert st["fields"]["content"]["doc_count"] == 2
+    assert st["fields"]["content"]["sum_ttf"] == 5
+    assert st["committed_shards"] == 2
+    assert st["size_bytes"] > 0
+
+
+def test_geo_sort_and_merged_facets(spark, tmp_path):
+    from nixiesearch_spark.query.aggs import merged_match_set, term_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe berlin", 52.52, 13.40, "eu"),
+            (2, "cafe paris", 48.85, 2.35, "eu"),
+            (3, "cafe nyc", 40.71, -74.00, "us"),
+        ],
+        "doc_id long, title string, lat double, lon double, region string",
+    )
+    df = df.selectExpr("doc_id", "title", "named_struct('lat', lat, 'lon', lon) as loc", "region")
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, IndexConfig(text_fields=("title",), id_col="doc_id", n_shards=2)).build(
+        df, d
+    )
+    s = Searcher(IndexReader(spark, d))
+    got = s.search(
+        MatchQuery("title", "cafe"),
+        size=3,
+        sort=[({"field": "loc", "lat": 50.0, "lon": 8.0}, "asc")],
+    )
+    assert [r["docid"] for r in got.collect()] == [2, 1, 3]  # Paris < Berlin < NYC from Frankfurt
+    # merged facets across two RRF branches (union of match sets)
+    b1 = s.score(MatchQuery("title", "berlin"))
+    b2 = s.score(MatchQuery("title", "paris"))
+    rows = term_agg(merged_match_set([b1, b2]), s.reader.docs, "region", 5).collect()
+    assert [(r["term"], r["count"]) for r in rows] == [("eu", 2)]

@@ -110,3 +110,32 @@ def test_incremental_stream_and_compact(spark, tmp_path):
     } == {3, 4}
     docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
     assert docs.count() == 4  # upsert-by-id collapsed doc 3
+
+
+def test_delete_by_id(spark, tmp_path):
+    from nixiesearch_spark.query.wand import wand_topk
+
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=2)
+    idx = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(1, "red dress"), (2, "white dress"), (3, "red pajama")], "doc_id long, content string"
+    )
+    inc = IncrementalIndexer(spark, cfg, idx)
+    b = IndexBuilder(spark, cfg)
+    b.build(df, idx)
+    s = Searcher(IndexReader(spark, idx))
+    assert {r["docid"] for r in s.search(MatchQuery("content", "red"), size=5).collect()} == {1, 3}
+    inc.delete_ids([3])
+    s = Searcher(IndexReader(spark, idx))
+    # immediate logical delete on the flat path
+    assert {r["docid"] for r in s.search(MatchQuery("content", "red"), size=5).collect()} == {1}
+    # WAND refuses until compaction
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wand_topk(s.reader, "content", "red", 5)
+    inc.compact()
+    s = Searcher(IndexReader(spark, idx))
+    assert {r["docid"] for r in s.search(MatchQuery("content", "red"), size=5).collect()} == {1}
+    assert s.reader.tombstones is None
+    assert [r["docid"] for r in wand_topk(s.reader, "content", "red", 5).collect()] == [1]

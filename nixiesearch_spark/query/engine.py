@@ -161,10 +161,155 @@ class Searcher:
                 return self._score(ast.BoolQuery(should=subs))
             return self._score(ast.DisMaxQuery(queries=subs, tie_breaker=q.tie_breaker))
         if isinstance(q, ast.DisMaxQuery):
+            if all(isinstance(s, ast.MatchQuery) for s in q.queries):
+                return self._fused(
+                    [("dismax", s) for s in q.queries], kind="dismax", tie=q.tie_breaker
+                )
             return self._dis_max([self._score(s) for s in q.queries], q.tie_breaker)
         if isinstance(q, ast.BoolQuery):
+            flat = all(
+                isinstance(s, ast.MatchQuery) for s in [*q.must, *q.should, *q.must_not]
+            )
+            if flat and (q.must or q.should):
+                branches = (
+                    [("must", s) for s in q.must]
+                    + [("should", s) for s in q.should]
+                    + [("must_not", s) for s in q.must_not]
+                )
+                return self._fused(branches, kind="bool")
             return self._bool(q)
         raise ValueError(f"unsupported query: {q}")
+
+    def _fused(self, branches, kind: str, tie: float = 0.0) -> DataFrame:
+        """Branch-fused scoring: ONE postings scan + ONE per-doc aggregation
+        for a bool/dis_max whose children are all match queries — instead of
+        N score frames joined pairwise. Per-branch sums round to float32
+        before combination (quantized mode), matching Lucene's nested-scorer
+        rounding, so results stay bit-identical to the unfused plan.
+        Physically: postings scan (term IN superset pushed down) ⋈ broadcast
+        (branch, field, term → weight) ⋈ broadcast norm cache → hash agg on
+        docid with per-branch conditional sums. Zero joins between branches.
+        """
+        quant = self.reader.quantize
+        wrows, metas = [], []
+        for bi, (role, m) in enumerate(branches):
+            terms = analyzer_py(self.reader.field_analyzer(m.field))(m.query)
+            mult = Counter(terms)
+            tstats = self.reader.term_stats(m.field, list(mult))
+            present = [t for t in mult if t in tstats]
+            fs = self.reader.field_stats(m.field)
+            dead = (not present) or (m.operator == "and" and len(present) < len(mult))
+            metas.append(
+                {"role": role, "field": m.field, "op": m.operator, "n": len(present),
+                 "dead": dead}
+            )
+            if dead:
+                continue
+            for t in present:
+                if quant:
+                    w = tstats[t][1]
+                else:
+                    w = float(lucene.idf(tstats[t][0], fs["doc_count"]))
+                wrows.append((bi, m.field, t, float(w), int(mult[t])))
+        # a dead MUST kills the query; dead should/must_not branches drop out
+        if any(x["dead"] and x["role"] == "must" for x in metas):
+            return self._empty_scores()
+        live = [i for i, x in enumerate(metas) if not x["dead"]]
+        if not any(metas[i]["role"] in ("must", "should", "dismax") for i in live):
+            return self._empty_scores()
+        wtype = "float" if quant else "double"
+        wdf = self.spark.createDataFrame(
+            wrows, f"branch int, field string, term string, w {wtype}, mult int"
+        )
+        fields = sorted({x["field"] for i, x in enumerate(metas) if i in set(live)})
+        all_terms = sorted({r[2] for r in wrows})
+        postings = self.reader.postings.where(
+            F.col("field").isin(fields) & F.col("term").isin(all_terms)
+        )
+        matched = postings.join(F.broadcast(wdf), ["field", "term"])
+        if quant:
+            cache_rows = []
+            for f in fields:
+                cdf = lucene.norm_cache(np.float32(self.reader.field_stats(f)["avgdl"]))
+                cache_rows += [(f, int(i), float(cdf[i])) for i in range(256)]
+            cachedf = self.spark.createDataFrame(cache_rows, "field string, norm int, cache float")
+            matched = matched.join(F.broadcast(cachedf), ["field", "norm"])
+            prod = (F.col("tf").cast("float") * F.col("cache")).cast("float")
+            denom = (F.lit(1.0).cast("float") + prod).cast("float")
+            frac = (F.col("w") / denom).cast("float")
+            contrib = (F.col("w") - frac).cast("float").cast("double")
+        else:
+            avg = {f: self.reader.field_stats(f)["avgdl"] for f in fields}
+            avgdf = self.spark.createDataFrame(
+                [(f, float(a)) for f, a in avg.items()], "field string, avgdl double"
+            )
+            matched = matched.join(F.broadcast(avgdf), "field")
+            dl = F.col("norm").cast("double")
+            tf = F.col("tf").cast("double")
+            contrib = F.col("w") * tf / (tf + K1 * (1 - B + B * dl / F.col("avgdl")))
+        weighted = F.col("mult").cast("double") * contrib
+        aggs = []
+        for bi in live:
+            is_b = F.col("branch") == bi
+            s = F.sum(F.when(is_b, weighted))
+            if quant:
+                s = s.cast("float")  # per-branch float32 like a nested scorer
+            aggs.append(s.alias(f"_s{bi}"))
+            aggs.append(F.count(F.when(is_b, F.lit(1))).alias(f"_n{bi}"))
+        per_doc = matched.groupBy("docid").agg(*aggs)
+        cond = F.lit(True)
+        score = None
+        if kind == "bool":
+            musts = [i for i in live if metas[i]["role"] == "must"]
+            shoulds = [i for i in live if metas[i]["role"] == "should"]
+            nots = [i for i in live if metas[i]["role"] == "must_not"]
+            for i in musts:
+                need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+                cond = cond & (F.col(f"_n{i}") >= need)
+            for i in nots:
+                cond = cond & (F.col(f"_n{i}") == 0)
+            if not musts and shoulds:
+                ok = None
+                for i in shoulds:
+                    need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+                    c = F.col(f"_n{i}") >= need
+                    ok = c if ok is None else (ok | c)
+                cond = cond & ok
+            parts = []
+            for i in musts:
+                parts.append(F.col(f"_s{i}").cast("double"))
+            for i in shoulds:
+                need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+                parts.append(
+                    F.when(F.col(f"_n{i}") >= need, F.col(f"_s{i}").cast("double")).otherwise(0.0)
+                )
+            score = parts[0]
+            for p in parts[1:]:
+                score = score + p
+        else:  # dismax
+            ds = [i for i in live]
+            vals = []
+            for i in ds:
+                need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+                vals.append(
+                    F.when(F.col(f"_n{i}") >= need, F.col(f"_s{i}").cast("double"))
+                )
+            ok = None
+            for i in ds:
+                need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+                c = F.col(f"_n{i}") >= need
+                ok = c if ok is None else (ok | c)
+            cond = cond & ok
+            filled_max = [F.coalesce(v, F.lit(float("-inf"))) for v in vals]
+            mx = F.greatest(*filled_max) if len(vals) > 1 else filled_max[0]
+            total = None
+            for v in vals:
+                z = F.coalesce(v, F.lit(0.0))
+                total = z if total is None else total + z
+            score = mx + F.lit(float(tie)) * (total - mx)
+        return per_doc.where(cond).select(
+            "docid", score.cast(self._stype).alias("score")
+        )
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], f"docid long, score {self._stype}")

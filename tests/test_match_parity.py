@@ -90,3 +90,37 @@ def test_marker_terms_hit_planted_docs(built):
     got = searcher.search(MatchQuery("content", MARKERS[3], "or"), size=10).collect()
     # marker j planted in docs j and j+n/2 → exactly 2 hits
     assert len(got) == 2
+
+
+def test_fused_bool_dismax_equal_unfused(built):
+    """Branch-fused scoring (one scan+agg) must be bit-identical to the
+    generic join-based plan for bool/dis_max of match queries."""
+    from nixiesearch_spark.query import ast as A
+
+    reader, _, _ = built
+    s = Searcher(reader)
+    cases = [
+        A.BoolQuery(
+            must=[A.MatchQuery("content", "def import")],
+            should=[A.MatchQuery("content", "return")],
+            must_not=[A.MatchQuery("content", MARKERS[0])],
+        ),
+        A.BoolQuery(should=[A.MatchQuery("content", "def"), A.MatchQuery("content", "the a")]),
+        A.BoolQuery(
+            must=[A.MatchQuery("content", "def import", "and")],
+            should=[A.MatchQuery("content", "ident00001")],
+        ),
+        A.DisMaxQuery(
+            queries=[A.MatchQuery("content", "def import"), A.MatchQuery("content", "return the")],
+            tie_breaker=0.35,
+        ),
+    ]
+    for q in cases:
+        fused = s._score(q)  # dispatcher picks the fused plan
+        if isinstance(q, A.BoolQuery):
+            generic = s._bool(q)
+        else:
+            generic = s._dis_max([s._score_match(m.field, m.query, m.operator) for m in q.queries], q.tie_breaker)
+        a = sorted((r["docid"], np.float32(r["score"])) for r in fused.collect())
+        b = sorted((r["docid"], np.float32(r["score"])) for r in generic.collect())
+        assert a == b, f"fused != generic for {q}"

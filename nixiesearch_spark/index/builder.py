@@ -154,6 +154,28 @@ class IndexBuilder:
         stored = list(c.stored_cols) if c.stored_cols else [
             x for x in df.columns if x not in ("docid", "shard")
         ]
+        # dense per-shard ordinals (Lucene segment-local docids): delta+VByte
+        # over uniformly-hashed 64-bit docids compresses nothing (avg gap
+        # ~2^59/df), over dense ordinals the gaps are ~shard_size/df — the
+        # packed table shrinks ~5x. Appends offset by the shard's committed
+        # row count (from lineage) so ordinals never collide.
+        from pyspark.sql import Window
+
+        bases = self._shard_bases(index_dir, shards)
+        base_df = self.spark.createDataFrame(
+            [(int(k), int(v)) for k, v in bases.items()], "shard int, _base long"
+        )
+        w_ord = Window.partitionBy("shard").orderBy("docid")
+        base = (
+            base.join(F.broadcast(base_df), "shard", "left")
+            .withColumn(
+                "ordinal",
+                (F.row_number().over(w_ord) - 1 + F.coalesce(F.col("_base"), F.lit(0))).cast(
+                    "long"
+                ),
+            )
+            .drop("_base")
+        )
         docs = base
         for f in c.text_fields:
             tok = analyzer_col(c.analyzers.get(f, "standard"))
@@ -199,9 +221,9 @@ class IndexBuilder:
                 )
         obs_docs = Observation()
         per_field_cols = [c_ for f in c.text_fields for c_ in (f"doclen_{f}", f"norm_{f}")]
-        docs_out = docs.select("docid", "shard", "sha256", *per_field_cols, *stored).observe(
-            obs_docs, *doc_exprs
-        )
+        docs_out = docs.select(
+            "docid", "ordinal", "shard", "sha256", *per_field_cols, *stored
+        ).observe(obs_docs, *doc_exprs)
         # no pre-write shuffle: the dynamic-partition writer splits by
         # shard; re-shuffling the whole corpus here would double the
         # build's shuffle volume at 100 TB (merge() compacts files later)
@@ -214,6 +236,7 @@ class IndexBuilder:
         posting_parts = [
             docs.select(
                 "docid",
+                "ordinal",
                 "shard",
                 F.lit(f).alias("field"),
                 F.col(f"norm_{f}").alias("norm"),
@@ -224,7 +247,7 @@ class IndexBuilder:
         exploded = posting_parts[0]
         for p in posting_parts[1:]:
             exploded = exploded.unionByName(p)
-        postings = exploded.groupBy("shard", "field", "term", "docid", "norm").agg(
+        postings = exploded.groupBy("shard", "field", "term", "docid", "ordinal", "norm").agg(
             F.count(F.lit(1)).cast("int").alias("tf")
         )
         post_exprs = [
@@ -305,6 +328,27 @@ class IndexBuilder:
             return {r["shard"] for r in rows}
         except Exception:
             return set()
+
+    def _shard_bases(self, index_dir: str, shards: list[int]) -> dict:
+        """Next free ordinal per shard = Σ committed rows_in over past
+        batches (lineage has one row per (shard, field) per batch with the
+        same rows_in — count one field only)."""
+        path = os.path.join(index_dir, "lineage")
+        if not os.path.isdir(path):
+            return {}
+        f0 = self.config.text_fields[0]
+        rows = (
+            self.spark.read.parquet(path)
+            .where(
+                (F.col("status") == "committed")
+                & F.col("shard").isin(shards)
+                & (F.col("field") == f0)
+            )
+            .groupBy("shard")
+            .agg(F.sum("rows_in").alias("base"))
+            .collect()
+        )
+        return {r["shard"]: int(r["base"] or 0) for r in rows}
 
     # ---------- finalize: stats + dictionary + packed ----------
 
@@ -430,12 +474,12 @@ class IndexBuilder:
         postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
         grouped = (
             postings.groupBy("shard", "field", "term")
-            .agg(F.array_sort(F.collect_list(F.struct("docid", "tf", "norm"))).alias("ps"))
+            .agg(F.array_sort(F.collect_list(F.struct("ordinal", "tf", "norm"))).alias("ps"))
             .select(
                 "shard",
                 "field",
                 "term",
-                F.transform("ps", lambda x: x["docid"]).alias("docids"),
+                F.transform("ps", lambda x: x["ordinal"]).alias("docids"),
                 F.transform("ps", lambda x: x["tf"]).alias("tfs"),
                 F.transform("ps", lambda x: x["norm"]).alias("norms"),
             )
@@ -553,12 +597,20 @@ class IndexReader:
             )
         return self._dictionary
 
+    @property
+    def ordinal_map(self) -> DataFrame:
+        """Slim (shard, ordinal, docid) mapping for packed-path results."""
+        if getattr(self, "_ordmap", None) is None:
+            self._ordmap = self.docs.select("shard", "ordinal", "docid")
+        return self._ordmap
+
     def persist_hot(self):
         """Pin serving tables in memory (warm-searcher mode for latency
         benchmarks — the analog of the reference's always-open reader)."""
         self.postings.persist()
         self.docs.persist()
         self.dictionary.persist()
+        self._ordmap = self.docs.select("shard", "ordinal", "docid").persist()
         return self
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, tuple[int, float]]:

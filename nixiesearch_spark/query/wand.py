@@ -36,7 +36,7 @@ Per-shard algorithm (vectorized block-max pruning + heap-style threshold)
 Skip test uses strict ``<`` so score==θ docs still surface for the
 docid-asc tiebreak (Lucene competitive-iff-equal-and-lower-docid rule).
 
-v1 scope: OR (SHOULD) semantics, quantized indexes, no filters — the flat
+Scope: OR and AND match, quantized indexes, no filters — the flat
 Catalyst path covers the rest; parity verified in tests/test_wand.py.
 """
 
@@ -54,7 +54,8 @@ from nixiesearch_spark.analysis import analyzer_py
 from nixiesearch_spark.index import codec
 from nixiesearch_spark.index.builder import IndexReader
 
-TOPK_SCHEMA = "docid long, score float"
+TOPK_SCHEMA = "shard int, ordinal long, score float"
+FINAL_SCHEMA = "docid long, score float"
 UB_SLACK = np.float64(1.0 + 2.0 ** -21)  # 2 ulps of float32
 
 
@@ -65,7 +66,9 @@ def _shard_topk(
     cache: np.ndarray,
     k: int,
     n_stripes: int,
+    n_required: int = 0,  # >0 → AND semantics: doc must match all n terms
 ) -> pd.DataFrame:
+    shard = int(pdf["shard"].iloc[0])
     terms = list(dict.fromkeys(pdf["term"]))
     blocks: dict[str, dict] = {}
     lo, hi = np.iinfo(np.int64).max, np.iinfo(np.int64).min
@@ -90,7 +93,9 @@ def _shard_topk(
         lo = min(lo, int(first[0]))
         hi = max(hi, int(last[-1]))
     if lo > hi:
-        return pd.DataFrame({"docid": [], "score": []}).astype({"docid": "int64", "score": "float32"})
+        return pd.DataFrame({"shard": [], "ordinal": [], "score": []}).astype(
+            {"shard": "int32", "ordinal": "int64", "score": "float32"}
+        )
 
     edges = np.linspace(np.float64(lo), np.float64(hi) + 1.0, n_stripes + 1)
     stripe_lo = edges[:-1].astype(np.int64)
@@ -151,22 +156,48 @@ def _shard_topk(
         uniq, inv = np.unique(docs, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, contribs)
+        if n_required:
+            nterms = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(nterms, inv, 1)
+            keep = nterms >= n_required
+            uniq, sums = uniq[keep], sums[keep]
+            if not len(uniq):
+                continue
         scores = sums.astype(np.float32)
-        # merge with running top-k (stripes hold disjoint docs — pure concat)
+        # merge with running top-k (stripes hold disjoint docs — pure concat).
+        # Boundary ties at the k-th score are RETAINED (capped): ordinals
+        # follow docid order within a single batch build, but after
+        # incremental appends they may not, and the global docid-asc
+        # tiebreak happens after the docid join — so every tied candidate
+        # must survive the local cut.
         top_docs = np.concatenate([top_docs, uniq])
         top_scores = np.concatenate([top_scores, scores])
         if len(top_docs) > k:
-            sel = np.lexsort((top_docs, -top_scores.astype(np.float64)))[:k]
+            order_sel = np.lexsort((top_docs, -top_scores.astype(np.float64)))
+            kth = top_scores[order_sel[k - 1]]
+            keep_n = int(np.sum(top_scores >= kth))
+            keep_n = min(max(keep_n, k), k + 4096)
+            sel = order_sel[:keep_n]
             top_docs, top_scores = top_docs[sel], top_scores[sel]
         if len(top_docs) >= k:
-            theta = float(top_scores.min())
-    return pd.DataFrame({"docid": top_docs, "score": top_scores})
+            theta = float(np.sort(top_scores)[::-1][k - 1])
+    return pd.DataFrame(
+        {"shard": np.full(len(top_docs), shard, dtype=np.int32),
+         "ordinal": top_docs, "score": top_scores}
+    )
 
 
 def wand_topk(
-    reader: IndexReader, field: str, text: str, k: int = 10, n_stripes: int = 32
+    reader: IndexReader,
+    field: str,
+    text: str,
+    k: int = 10,
+    n_stripes: int = 32,
+    operator: str = "or",
 ) -> DataFrame:
-    """Distributed block-max WAND match (OR) top-k over the packed table."""
+    """Distributed block-max WAND match top-k over the packed table.
+    ``operator="and"`` requires every query term per doc (conjunction is
+    applied inside the stripe scorer; the OR upper bounds stay valid)."""
     if not reader.quantize:
         raise ValueError("WAND serving path requires a quantized index")
     if reader.tombstones is not None:
@@ -177,22 +208,23 @@ def wand_topk(
     terms = analyzer_py(reader.field_analyzer(field))(text)
     spark = reader.spark
     if not terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return spark.createDataFrame([], FINAL_SCHEMA)
     mult = Counter(terms)
     tstats = reader.term_stats(field, list(mult))
     present = [t for t in mult if t in tstats]
-    if not present:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+    if not present or (operator == "and" and len(present) < len(mult)):
+        return spark.createDataFrame([], FINAL_SCHEMA)
+    n_required = len(present) if operator == "and" else 0
     weights = {t: tstats[t][1] for t in present}
     mults = {t: int(mult[t]) for t in present}
     cache = lucene.norm_cache(np.float32(reader.field_stats(field)["avgdl"]))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame({"docid": [], "score": []}).astype(
-                {"docid": "int64", "score": "float32"}
+            return pd.DataFrame({"shard": [], "ordinal": [], "score": []}).astype(
+                {"shard": "int32", "ordinal": "int64", "score": "float32"}
             )
-        return _shard_topk(pdf, weights, mults, cache, k, n_stripes)
+        return _shard_topk(pdf, weights, mults, cache, k, n_stripes, n_required)
 
     matched = reader.packed.where(
         (F.col("field") == field) & F.col("term").isin(present)
@@ -200,4 +232,8 @@ def wand_topk(
         "shard", "term", "block_id", "block_last", "doc_gaps", "tfs", "norms", "max_impact"
     )
     local = matched.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
-    return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    # map shard-local ordinals back to global docids (broadcast the tiny
+    # candidate frame against the docs table), then the global cut with the
+    # Lucene docid-asc tiebreak
+    joined = reader.ordinal_map.join(F.broadcast(local), ["shard", "ordinal"])
+    return joined.select("docid", "score").orderBy(F.desc("score"), F.asc("docid")).limit(k)

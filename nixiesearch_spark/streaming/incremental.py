@@ -94,7 +94,7 @@ class IncrementalIndexer:
         stored = [
             c
             for c in docs.columns
-            if c not in ("docid", "shard", "sha256")
+            if c not in ("docid", "shard", "sha256", "ordinal")
             and not c.startswith(("doclen_", "norm_"))
         ]
         latest = (

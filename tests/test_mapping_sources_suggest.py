@@ -205,3 +205,24 @@ def test_geo_sort_and_merged_facets(spark, tmp_path):
     b2 = s.score(MatchQuery("title", "paris"))
     rows = term_agg(merged_match_set([b1, b2]), s.reader.docs, "region", 5).collect()
     assert [(r["term"], r["count"]) for r in rows] == [("eu", 2)]
+
+
+def test_kafka_offset_options():
+    from nixiesearch_spark.sources.kafka import options_for
+
+    o = options_for("docs", "k:9092", "earliest")
+    assert o["startingOffsets"] == "earliest"
+    assert options_for("docs", "k:9092", "committed").get("startingOffsets") is None
+    o = options_for("docs", "k:9092", "ts:1700000000000")
+    import json as _j
+
+    assert _j.loads(o["startingOffsetsByTimestamp"]) == {"docs": {"-1": 1700000000000}}
+    o = options_for("docs", "k:9092", "last:2h")
+    ts = _j.loads(o["startingOffsetsByTimestamp"])["docs"]["-1"]
+    import time as _t
+
+    assert abs((_t.time() * 1000 - 2 * 3600_000) - ts) < 60_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        options_for("docs", "k:9092", "bogus")

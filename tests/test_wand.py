@@ -56,3 +56,13 @@ def test_wand_equals_flat_path(built):
     assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
         (r["docid"], np.float32(r["score"])) for r in wand
     ]
+
+
+@pytest.mark.parametrize("text", ["def import return", "ident00001 the"])
+def test_wand_and_mode(built, text):
+    reader, oracle = built
+    got = wand_topk(reader, "content", text, k=15, operator="and").collect()
+    expected = score_match(oracle, text.split(), "and", 15)
+    assert [r["docid"] for r in got] == [e[0] for e in expected]
+    for r, e in zip(got, expected):
+        assert np.float32(r["score"]) == np.float32(e[1])

@@ -112,17 +112,27 @@ def scaling_phase(tmp: str) -> dict:
         corpus = cached
     have_taskset = shutil.which("taskset") is not None
     child = _CHILD.format(root=ROOT)
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     res = {}
     for cores in LEVELS:
-        cmd = [sys.executable, "-c", child, str(cores), corpus, os.path.join(tmp, f"sidx{cores}")]
-        if have_taskset:
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        r = subprocess.run(cmd, capture_output=True, text=True)
-        line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
-        if not line:
-            raise RuntimeError(f"scaling child failed: {r.stderr[-2000:]}")
-        dt, n = line[0].split()[1:3]
-        res[cores] = {"sec": float(dt), "docs_per_sec": round(int(n) / float(dt), 1)}
+        best = None
+        for _ in range(repeats):
+            cmd = [
+                sys.executable, "-c", child, str(cores), corpus,
+                os.path.join(tmp, f"sidx{cores}"),
+            ]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
+            if not line:
+                raise RuntimeError(f"scaling child failed: {r.stderr[-2000:]}")
+            dt, n = line[0].split()[1:3]
+            # best-of-N: the host is time-shared and per-run noise is ±40%;
+            # the fastest run is the closest view of the hardware itself
+            if best is None or float(dt) < best["sec"]:
+                best = {"sec": float(dt), "docs_per_sec": round(int(n) / float(dt), 1)}
+        res[cores] = best
     lo, hi = LEVELS
     eff = res[hi]["docs_per_sec"] / ((hi / lo) * res[lo]["docs_per_sec"])
     return {

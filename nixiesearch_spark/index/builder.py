@@ -7,12 +7,15 @@ use the document-sharded layout every distributed search engine converges on
 — a shard here plays the role of a Lucene segment, and shard count is the
 unit of build parallelism, resume granularity, and query fan-out:
 
-- ``docs/``      docid, shard, stored fields, sha256(text), per-field doclen/norm
-- ``postings/``  flat rows (shard, field, term, docid, tf, norm), one file
-                 per shard sorted by (field, term, docid) → parquet
-                 row-group min/max on ``term`` gives query-time skip
-- ``packed/``    (shard, field, term, block_id, n, doc_gaps, tfs, norms,
-                 max_impact) — VByte blocks + block-max metadata for WAND
+- ``docs/``      docid, dense per-shard ordinal, shard, stored fields,
+                 sha256(text), per-field doclen/norm
+- ``postings/``  flat rows (shard, field, term, docid, ordinal, tf, norm),
+                 term-sorted files → parquet row-group min/max on ``term``
+                 gives query-time skip
+- ``packed/``    (shard, field, term, block_id..block_last, n, doc_gaps,
+                 tfs, norms, max_impact, tf_sum) — delta+VByte blocks over
+                 dense ORDINALS (not hash docids — uniform 64-bit gaps
+                 would not compress) + block-max metadata for WAND
 - ``dictionary/`` (field, term, df, cf) global term stats
 - ``lineage/``   per-shard build metrics + status → resumable re-runs
 - ``stats.json`` per-field doc_count/sum_ttf/avgdl, config, seqnum

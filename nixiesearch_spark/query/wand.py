@@ -219,19 +219,26 @@ def wand_topk(
     mults = {t: int(mult[t]) for t in present}
     cache = lucene.norm_cache(np.float32(reader.field_stats(field)["avgdl"]))
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"shard": [], "ordinal": [], "score": []}).astype(
-                {"shard": "int32", "ordinal": "int64", "score": "float32"}
-            )
-        return _shard_topk(pdf, weights, mults, cache, k, n_stripes, n_required)
+    def run(batches) -> "pd.DataFrame":
+        # mapInPandas over an explicit repartition: AQE would coalesce the
+        # tiny query-time shuffle into ONE task (serializing all shards into
+        # a single python worker); an explicit numPartitions exchange is
+        # never coalesced. Batches within a partition may split a shard, so
+        # concat first (query-matched blocks are small by construction).
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            yield _shard_topk(g, weights, mults, cache, k, n_stripes, n_required)
 
     matched = reader.packed.where(
         (F.col("field") == field) & F.col("term").isin(present)
     ).select(
         "shard", "term", "block_id", "block_last", "doc_gaps", "tfs", "norms", "max_impact"
     )
-    local = matched.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+    nsh = int(reader.stats.get("n_shards", 32))
+    local = matched.repartition(nsh, "shard").mapInPandas(run, schema=TOPK_SCHEMA)
     # map shard-local ordinals back to global docids (broadcast the tiny
     # candidate frame against the docs table), then the global cut with the
     # Lucene docid-asc tiebreak

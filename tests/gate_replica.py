@@ -32,7 +32,8 @@ def compare(name, sdf, osql, con) -> str:
                 yn = y is None or (isinstance(y, float) and math.isnan(y))
                 if xn and yn:
                     continue
-                if xn != yn or abs(float(x) - float(y)) > 1e-9:
+                import struct as _st
+                if xn != yn or (not (xn and yn) and _st.pack('d', float(x)) != _st.pack('d', float(y))):
                     return f"VALUE col={c} row={i}: spark={x!r} duck={y!r}"
             elif str(x) != str(y):
                 return f"VALUE col={c} row={i}: spark={x!r} duck={y!r}"

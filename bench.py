@@ -178,11 +178,12 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
     from nixiesearch_spark.query.wand import wand_topk
     from nixiesearch_spark.session import get_spark
 
-    spark = get_spark("bench-query", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark = get_spark("bench-query", cores=CPUS, serving=True)
     reader = IndexReader(spark, index_dir).persist_hot()
     reader.packed.persist().count()
     reader.postings.count()
-    reader.dictionary.count()  # warm (reference keeps readers open)
+    reader.dictionary.count()
+    reader.ordinal_map.count()  # warm (reference keeps readers open)
     s = Searcher(reader)
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     qv = emb.limit(1).collect()[0]["embedding"]

@@ -22,7 +22,13 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    serving: bool = False,
 ) -> SparkSession:
+    """``serving=True`` tunes for query latency instead of build
+    throughput: AQE off (each adaptive stage materialization costs a
+    scheduling round-trip that dominates small interactive queries — the
+    engine's query plans set explicit partitioning where it matters), and
+    fewer shuffle partitions for the tiny per-query aggregations."""
     # make the package importable in executor python workers regardless of
     # the driver's cwd (spark-submit --py-files handles this on a cluster)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -32,12 +38,12 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = max(cores // 2, 8) if serving else max(cores, 8)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false" if serving else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -124,3 +124,28 @@ def test_fused_bool_dismax_equal_unfused(built):
         a = sorted((r["docid"], np.float32(r["score"])) for r in fused.collect())
         b = sorted((r["docid"], np.float32(r["score"])) for r in generic.collect())
         assert a == b, f"fused != generic for {q}"
+
+
+def test_random_query_fuzz_vs_oracle(built):
+    """Property-style sweep: random OR/AND bags of mixed-DF terms must be
+    rank- and float32-score-identical to the oracle (beyond the fixed
+    query list)."""
+    import random
+
+    reader, oracle, _ = built
+    searcher = Searcher(reader)
+    vocab = ["def", "import", "return", "the", "a", "int", "string",
+             "ident00001", "ident00010", "ident00200", "ident00500",
+             MARKERS[1], MARKERS[5], "nosuchterm_zz"]
+    rng = random.Random(42)
+    for trial in range(8):
+        n = rng.randint(1, 5)
+        terms = rng.choices(vocab, k=n)  # duplicates allowed on purpose
+        op = rng.choice(["or", "and"])
+        k = rng.choice([3, 10, 25])
+        text = " ".join(terms)
+        expected = score_match(oracle, terms, op, k)
+        got = searcher.search(MatchQuery("content", text, op), size=k).collect()
+        assert [r["docid"] for r in got] == [e[0] for e in expected], (text, op, k)
+        for r, e in zip(got, expected):
+            assert np.float32(r["score"]) == np.float32(e[1]), (text, op, k)

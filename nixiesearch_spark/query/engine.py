@@ -217,46 +217,56 @@ class Searcher:
         live = [i for i, x in enumerate(metas) if not x["dead"]]
         if not any(metas[i]["role"] in ("must", "should", "dismax") for i in live):
             return self._empty_scores()
-        wtype = "float" if quant else "double"
-        wdf = self.spark.createDataFrame(
-            wrows, f"branch int, field string, term string, w {wtype}, mult int"
-        )
         fields = sorted({x["field"] for i, x in enumerate(metas) if i in set(live)})
         all_terms = sorted({r[2] for r in wrows})
         postings = self.reader.postings.where(
             F.col("field").isin(fields) & F.col("term").isin(all_terms)
         )
-        matched = postings.join(F.broadcast(wdf), ["field", "term"])
+        # everything folds in as literal expressions — one scan, one agg,
+        # zero joins/exchanges (same trick as _score_match)
+        ft = F.concat_ws("\x1f", F.col("field"), F.col("term"))
         if quant:
-            cache_rows = []
+            caches = {
+                f: self._norm_cache_arr(f) for f in fields
+            }
+            cache = None
             for f in fields:
-                cdf = lucene.norm_cache(np.float32(self.reader.field_stats(f)["avgdl"]))
-                cache_rows += [(f, int(i), float(cdf[i])) for i in range(256)]
-            cachedf = self.spark.createDataFrame(cache_rows, "field string, norm int, cache float")
-            matched = matched.join(F.broadcast(cachedf), ["field", "norm"])
-            prod = (F.col("tf").cast("float") * F.col("cache")).cast("float")
-            denom = (F.lit(1.0).cast("float") + prod).cast("float")
-            frac = (F.col("w") / denom).cast("float")
-            contrib = (F.col("w") - frac).cast("float").cast("double")
+                c = F.element_at(caches[f], F.col("norm") + 1)
+                cache = c if cache is None else F.when(F.col("field") == f, c).otherwise(cache)
         else:
-            avg = {f: self.reader.field_stats(f)["avgdl"] for f in fields}
-            avgdf = self.spark.createDataFrame(
-                [(f, float(a)) for f, a in avg.items()], "field string, avgdl double"
-            )
-            matched = matched.join(F.broadcast(avgdf), "field")
-            dl = F.col("norm").cast("double")
-            tf = F.col("tf").cast("double")
-            contrib = F.col("w") * tf / (tf + K1 * (1 - B + B * dl / F.col("avgdl")))
-        weighted = F.col("mult").cast("double") * contrib
+            avg = {f: float(self.reader.field_stats(f)["avgdl"]) for f in fields}
+
+        def _lit_map(pairs):
+            return F.create_map(*[x for kv in pairs for x in (F.lit(kv[0]), F.lit(kv[1]))])
+
         aggs = []
         for bi in live:
-            is_b = F.col("branch") == bi
+            rows_b = [r for r in wrows if r[0] == bi]
+            keys = [f"{r[1]}\x1f{r[2]}" for r in rows_b]
+            wmap = _lit_map([(k, float(r[3])) for k, r in zip(keys, rows_b)])
+            mmap = _lit_map([(k, int(r[4])) for k, r in zip(keys, rows_b)])
+            w_b = wmap[ft]
+            is_b = w_b.isNotNull()
+            if quant:
+                wf = w_b.cast("float")
+                prod = (F.col("tf").cast("float") * cache).cast("float")
+                denom = (F.lit(1.0).cast("float") + prod).cast("float")
+                contrib = ((wf - (wf / denom).cast("float")).cast("float")).cast("double")
+            else:
+                dl = F.col("norm").cast("double")
+                tf = F.col("tf").cast("double")
+                avgdl = None
+                for f in fields:
+                    a = F.lit(avg[f])
+                    avgdl = a if avgdl is None else F.when(F.col("field") == f, a).otherwise(avgdl)
+                contrib = w_b * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+            weighted = mmap[ft].cast("double") * contrib
             s = F.sum(F.when(is_b, weighted))
             if quant:
                 s = s.cast("float")  # per-branch float32 like a nested scorer
             aggs.append(s.alias(f"_s{bi}"))
             aggs.append(F.count(F.when(is_b, F.lit(1))).alias(f"_n{bi}"))
-        per_doc = matched.groupBy("docid").agg(*aggs)
+        per_doc = postings.groupBy("docid").agg(*aggs)
         cond = F.lit(True)
         score = None
         if kind == "bool":
@@ -322,6 +332,19 @@ class Searcher:
             self._cache_df[field] = self.spark.createDataFrame(rows, "norm int, cache float")
         return self._cache_df[field]
 
+    def _norm_cache_arr(self, field: str) -> Column:
+        """256-entry norm cache as an inline array literal — element_at by
+        norm byte replaces a broadcast join (no exchange, no per-query
+        createDataFrame round-trip)."""
+        key = ("arr", field)
+        if key not in self._cache_df:
+            avgdl = np.float32(self.reader.field_stats(field)["avgdl"])
+            cache = lucene.norm_cache(avgdl)
+            self._cache_df[key] = F.array(*[F.lit(float(c)) for c in cache]).cast(
+                "array<float>"
+            )
+        return self._cache_df[key]
+
     def _score_match(self, field: str, text: str, operator: str = "or") -> DataFrame:
         # analyze the query with the FIELD's analyzer — the same invariant
         # the reference keeps (Indexer.scala:207 == MatchQuery.scala:43-49)
@@ -337,38 +360,42 @@ class Searcher:
         postings = self.reader.postings.where(
             (F.col("field") == field) & F.col("term").isin(present)
         )
+        # term weights and multiplicities fold in as literal map lookups —
+        # no broadcast exchanges, no per-query createDataFrame: the whole
+        # match query is ONE scan + ONE aggregation.
+        def _lit_map(pairs):
+            return F.create_map(*[x for kv in pairs for x in (F.lit(kv[0]), F.lit(kv[1]))])
+
+        mult_col = (
+            _lit_map([(t, int(mult[t])) for t in present])[F.col("term")]
+            if any(mult[t] > 1 for t in present)
+            else F.lit(1)
+        )
         if self.reader.quantize:
-            wdf = self.spark.createDataFrame(
-                [(t, tstats[t][1], int(mult[t])) for t in present], "term string, w float, mult int"
+            wcol = _lit_map([(t, float(tstats[t][1])) for t in present])[F.col("term")].cast(
+                "float"
             )
-            matched = postings.join(F.broadcast(wdf), "term").join(
-                F.broadcast(self._norm_cache_df(field)), "norm"
-            )
+            cache = F.element_at(self._norm_cache_arr(field), F.col("norm") + 1)
             # float32 op chain identical to BM25Scorer.score:
             # w - w / (1f + freq * cache[norm]).
             # Spark evaluates float arithmetic in double; casting after every
             # op restores IEEE float32 rounding (exact for *, +, - since a
             # double op over two float32s is exact before the cast).
-            prod = (F.col("tf").cast("float") * F.col("cache")).cast("float")
+            prod = (F.col("tf").cast("float") * cache).cast("float")
             denom = (F.lit(1.0).cast("float") + prod).cast("float")
-            frac = (F.col("w") / denom).cast("float")
-            contrib = (F.col("w") - frac).cast("float")
-            score = F.sum(F.col("mult").cast("double") * contrib.cast("double")).cast("float")
+            frac = (wcol / denom).cast("float")
+            contrib = (wcol - frac).cast("float")
+            score = F.sum(mult_col.cast("double") * contrib.cast("double")).cast("float")
         else:
-            wdf = self.spark.createDataFrame(
-                [
-                    (t, float(lucene.idf(tstats[t][0], fs["doc_count"])), int(mult[t]))
-                    for t in present
-                ],
-                "term string, w double, mult int",
-            )
-            matched = postings.join(F.broadcast(wdf), "term")
+            wcol = _lit_map(
+                [(t, float(lucene.idf(tstats[t][0], fs["doc_count"]))) for t in present]
+            )[F.col("term")]
             # unquantized: norm column holds the exact doc length
             dl = F.col("norm").cast("double")
             tf = F.col("tf").cast("double")
-            contrib = F.col("w") * tf / (tf + K1 * (1 - B + B * dl / fs["avgdl"]))
-            score = F.sum(F.col("mult") * contrib)  # keep double
-        agg = matched.groupBy("docid").agg(
+            contrib = wcol * tf / (tf + K1 * (1 - B + B * dl / fs["avgdl"]))
+            score = F.sum(mult_col * contrib)  # keep double
+        agg = postings.groupBy("docid").agg(
             score.alias("score"), F.count(F.lit(1)).alias("_nt")
         )
         if operator == "and":

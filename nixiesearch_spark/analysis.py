@@ -104,10 +104,60 @@ def _keyword_py(text: str | None) -> list[str]:
     return [text[:MAX_FIELD_SEARCH_SIZE]]
 
 
+# Stopword chains for the most common language analyzers the reference
+# exposes (Language.scala; Lucene's per-language stop sets — abbreviated
+# public snowball-style lists; the default StandardAnalyzer keeps
+# stopwords OFF, matching the reference default). Extension point for the
+# remaining languages: add a list here.
+LANG_STOPWORDS = {
+    "english": [
+        "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+        "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+        "that", "the", "their", "then", "there", "these", "they", "this",
+        "to", "was", "will", "with",
+    ],
+    "german": [
+        "der", "die", "das", "und", "oder", "aber", "ist", "ein", "eine",
+        "nicht", "mit", "von", "zu", "im", "auf", "für", "den", "dem", "des",
+    ],
+    "french": [
+        "le", "la", "les", "et", "ou", "mais", "est", "un", "une", "pas",
+        "avec", "de", "du", "des", "au", "aux", "pour", "dans", "sur",
+    ],
+    "spanish": [
+        "el", "la", "los", "las", "y", "o", "pero", "es", "un", "una", "no",
+        "con", "de", "del", "al", "para", "en", "por", "que",
+    ],
+}
+
+
+def _stop_col(stops: list[str]):
+    sset = set(stops)
+
+    def col_fn(col: Column) -> Column:
+        toks = tokenize_col(col)
+        return F.filter(toks, lambda t: ~t.isin(list(sset)))
+
+    return col_fn
+
+
+def _stop_py(stops: list[str]):
+    sset = set(stops)
+
+    def py_fn(text: str | None) -> list[str]:
+        return [t for t in tokenize_py(text) if t not in sset]
+
+    return py_fn
+
+
 ANALYZERS = {
     "standard": (tokenize_col, tokenize_py),
     "whitespace": (_whitespace_col, _whitespace_py),
     "keyword": (_keyword_col, _keyword_py),
+    **{
+        lang: (_stop_col(words), _stop_py(words))
+        for lang, words in LANG_STOPWORDS.items()
+    },
 }
 
 

@@ -226,3 +226,25 @@ def test_kafka_offset_options():
 
     with _pt.raises(ValueError):
         options_for("docs", "k:9092", "bogus")
+
+
+def test_language_analyzers(spark, tmp_path):
+    from nixiesearch_spark.analysis import analyzer_py
+
+    assert analyzer_py("english")("The quick fox and the dog") == ["quick", "fox", "dog"]
+    assert analyzer_py("german")("Der Hund und die Katze") == ["hund", "katze"]
+    # index+query use the same chain: stopword-only query matches nothing
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "a lazy dog")], "doc_id long, content string"
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_fields=("content",), analyzers={"content": "english"}, id_col="doc_id", n_shards=2
+    )
+    IndexBuilder(spark, cfg).build(df, d)
+    s = Searcher(IndexReader(spark, d))
+    assert [r["docid"] for r in s.search(MatchQuery("content", "quick")).collect()] == [1]
+    assert s.search(MatchQuery("content", "the and a")).collect() == []
+    # stopwords excluded from doc length → scores reflect the shorter dl
+    st = IndexReader(spark, d).stats["fields"]["content"]
+    assert st["sum_ttf"] == 4  # quick fox | lazy dog

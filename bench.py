@@ -17,7 +17,8 @@ Phases:
    against what the hardware actually offers.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_SKIP_SCALING=1,
-BENCH_CORPUS_DOCS (default 60000), BENCH_LEVELS (default "4,16").
+BENCH_CORPUS_DOCS (default 60000), BENCH_LEVELS (default "4,16"),
+BENCH_REPEATS (default 1; raise for best-of-N noise mitigation).
 """
 
 from __future__ import annotations
@@ -112,7 +113,7 @@ def scaling_phase(tmp: str) -> dict:
         corpus = cached
     have_taskset = shutil.which("taskset") is not None
     child = _CHILD.format(root=ROOT)
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     res = {}
     for cores in LEVELS:
         best = None

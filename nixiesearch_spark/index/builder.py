@@ -64,6 +64,20 @@ from nixiesearch_spark import lucene
 from nixiesearch_spark.analysis import analyzer_col
 from nixiesearch_spark.index import codec
 
+# Python workers must run the pack/WAND closures even when this package is
+# not on the executors' import path (e.g. a host-created SparkSession with a
+# different cwd): serialize our numeric modules by VALUE into the closures.
+try:
+    from pyspark import cloudpickle as _cp
+
+    from nixiesearch_spark import lucene as _l
+    from nixiesearch_spark.index import codec as _c
+
+    _cp.register_pickle_by_value(_c)
+    _cp.register_pickle_by_value(_l)
+except Exception:  # pragma: no cover - best effort on older pyspark
+    pass
+
 TOKENIZER_VERSION = "ascii-standard-v1"
 
 

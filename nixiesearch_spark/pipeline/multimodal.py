@@ -27,6 +27,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -54,6 +54,20 @@ from nixiesearch_spark.analysis import analyzer_py
 from nixiesearch_spark.index import codec
 from nixiesearch_spark.index.builder import IndexReader
 
+# Python workers must run the pack/WAND closures even when this package is
+# not on the executors' import path (e.g. a host-created SparkSession with a
+# different cwd): serialize our numeric modules by VALUE into the closures.
+try:
+    from pyspark import cloudpickle as _cp
+
+    from nixiesearch_spark import lucene as _l
+    from nixiesearch_spark.index import codec as _c
+
+    _cp.register_pickle_by_value(_c)
+    _cp.register_pickle_by_value(_l)
+except Exception:  # pragma: no cover - best effort on older pyspark
+    pass
+
 TOPK_SCHEMA = "shard int, ordinal long, score float"
 FINAL_SCHEMA = "docid long, score float"
 UB_SLACK = np.float64(1.0 + 2.0 ** -21)  # 2 ulps of float32

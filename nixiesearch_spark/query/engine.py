@@ -267,6 +267,8 @@ class Searcher:
             aggs.append(s.alias(f"_s{bi}"))
             aggs.append(F.count(F.when(is_b, F.lit(1))).alias(f"_n{bi}"))
         per_doc = postings.groupBy("docid").agg(*aggs)
+        if kind == "branches":
+            return per_doc, live, metas
         cond = F.lit(True)
         score = None
         if kind == "bool":

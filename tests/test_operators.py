@@ -249,3 +249,15 @@ def test_datetime_range_filter(spark):
         )
     )
     assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_rrf_fused_equals_generic(s):
+    from nixiesearch_spark.query import MatchQuery as MQ
+    from nixiesearch_spark.query.rrf import rrf_fuse, rrf_fuse_matches
+
+    matches = [MQ("title", "red dress"), MQ("desc", "red")]
+    generic = rrf_fuse([s.score(m) for m in matches], size=10, window=10).collect()
+    fused = rrf_fuse_matches(s, matches, size=10, window=10).collect()
+    ga = [(r["docid"], round(r["score"], 12)) for r in generic]
+    fa = [(r["docid"], round(r["score"], 12)) for r in fused]
+    assert ga == fa

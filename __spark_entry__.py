@@ -304,6 +304,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out
 
+    def q_wand_topk(spark, sf):  # packed/WAND path; quantized scores — rows-only
+        from nixiesearch_spark.query.wand import wand_topk
+
+        s = _index(spark, sf, ("text",), True)
+        out = wand_topk(s.reader, "text", "spark join window group", k=10)
+        return out.withColumnRenamed("docid", "doc_id")
+
+    def q_wand_and(spark, sf):  # rows-only
+        from nixiesearch_spark.query.wand import wand_topk
+
+        s = _index(spark, sf, ("text",), True)
+        out = wand_topk(s.reader, "text", "spark join window", k=10, operator="and")
+        return out.withColumnRenamed("docid", "doc_id")
+
     def q_index_stats(spark, sf):
         s = _index(spark, sf, ("text",), False)
         rows = [
@@ -340,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_rrf_merged": q_facet_rrf_merged,
         "geo_sort": q_geo_sort,
         "index_stats": q_index_stats,
+        "wand_topk": q_wand_topk,
+        "wand_topk_and": q_wand_and,
     }
 
 

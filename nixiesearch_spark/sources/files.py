@@ -118,6 +118,11 @@ def read_docs(
     if format == "parquet":
         return spark.read.parquet(path)
     schema = mapping_schema(mapping, corrupt_col)
+    if path.lower().endswith((".zst", ".zstd")) and format == "ndjson":
+        # Spark's text/json sources don't decode zstd; the reference sniffs
+        # and decompresses it (JsonDocumentStream.scala:31-92). Route through
+        # binaryFile + an Arrow-batched decompress+parse pass.
+        return _read_ndjson_zstd(spark, path, mapping, schema, corrupt_col)
     reader = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -126,4 +131,41 @@ def read_docs(
     if format == "json_array":
         reader = reader.option("multiLine", "true")
     df = reader.json(path)
+    return _flatten(df, mapping, corrupt_col)
+
+
+def _read_ndjson_zstd(spark, path, mapping, schema, corrupt_col) -> DataFrame:
+    """zstd NDJSON: binaryFile source → mapInPandas (pyarrow zstd codec) →
+    one JSON-lines string per file → from_json per line. Parallelism is
+    per-file (same as any non-splittable codec, gzip included)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def decomp(batches):
+        for pdf in batches:
+            lines = []
+            for blob in pdf["content"]:
+                stream = pa.input_stream(pa.BufferReader(bytes(blob)), compression="zstd")
+                text = stream.read()
+                lines.extend(text.decode("utf-8", errors="replace").splitlines())
+            yield pd.DataFrame({"line": [l for l in lines if l.strip()]})
+
+    lines = raw.mapInPandas(decomp, schema="line string")
+    parsed = lines.select(
+        F.from_json(
+            F.col("line"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("doc"),
+        F.col("line"),
+    )
+    # from_json leaves the corrupt column inside the struct when parse fails
+    df = parsed.select("doc.*", "line")
+    df = df.withColumn(
+        corrupt_col, F.when(F.col(corrupt_col).isNotNull(), F.col("line"))
+    ).drop("line")
     return _flatten(df, mapping, corrupt_col)

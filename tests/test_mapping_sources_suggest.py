@@ -248,3 +248,20 @@ def test_language_analyzers(spark, tmp_path):
     # stopwords excluded from doc length → scores reflect the shorter dl
     st = IndexReader(spark, d).stats["fields"]["content"]
     assert st["sum_ttf"] == 4  # quick fox | lazy dog
+
+
+def test_read_ndjson_zstd(spark, tmp_path):
+    import shutil as _sh
+    import subprocess
+
+    if not _sh.which("zstd"):
+        pytest.skip("zstd CLI unavailable")
+    m = IndexMapping.from_dict(
+        {"name": "src", "fields": {"title": {"type": "text", "search": True}}}
+    )
+    p = tmp_path / "docs.ndjson"
+    p.write_text('{"_id": "1", "title": "red dress"}\n{"_id": "2", "title": "blue jeans"}\n')
+    subprocess.run(["zstd", "-q", str(p), "-o", str(tmp_path / "docs.ndjson.zst")], check=True)
+    df = read_docs(spark, str(tmp_path / "docs.ndjson.zst"), m)
+    got = {r["_id"]: r["title"] for r in df.collect()}
+    assert got == {"1": "red dress", "2": "blue jeans"}

@@ -454,7 +454,7 @@ SELECT msc.doc_id,
        round(msc.score + COALESCE(ssc.score, 0), 4) AS score
 FROM m_sc msc LEFT JOIN s_sc ssc ON msc.doc_id = ssc.doc_id
 JOIN documents d ON d.doc_id = msc.doc_id
-WHERE d.lang <> 'zh'
+WHERE d.lang <> 'zh' OR d.lang IS NULL  -- NOT keeps missing-field docs (Lucene MUST_NOT)
 ORDER BY msc.score + COALESCE(ssc.score, 0) DESC, msc.doc_id ASC
 LIMIT 10
 """

@@ -109,6 +109,13 @@ def _keyword_py(text: str | None) -> list[str]:
 # public snowball-style lists; the default StandardAnalyzer keeps
 # stopwords OFF, matching the reference default). Extension point for the
 # remaining languages: add a list here.
+#
+# CONSTRAINT: entries must be pure-ASCII word tokens — the pinned ASCII
+# tokenizer splits on every non-ASCII char, so an accented entry (e.g.
+# German "für" → ["f","r"]) could never match and would be dead weight.
+# The chains therefore only approximate the reference's per-language Lucene
+# analyzers for ASCII-transliterated text; extending to real diacritics
+# means extending the shared tokenizer spec first (all three impls + oracle).
 LANG_STOPWORDS = {
     "english": [
         "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
@@ -118,7 +125,7 @@ LANG_STOPWORDS = {
     ],
     "german": [
         "der", "die", "das", "und", "oder", "aber", "ist", "ein", "eine",
-        "nicht", "mit", "von", "zu", "im", "auf", "für", "den", "dem", "des",
+        "nicht", "mit", "von", "zu", "im", "auf", "den", "dem", "des",
     ],
     "french": [
         "le", "la", "les", "et", "ou", "mais", "est", "un", "une", "pas",

@@ -349,7 +349,16 @@ class IndexBuilder:
     def _shard_bases(self, index_dir: str, shards: list[int]) -> dict:
         """Next free ordinal per shard = Σ committed rows_in over past
         batches (lineage has one row per (shard, field) per batch with the
-        same rows_in — count one field only)."""
+        same rows_in — count one field only).
+
+        At n_shards > 64 lineage rows carry rows_in=NULL (per-shard
+        Observation exprs are capped; only a totals summary row is kept), so
+        a sum would silently report 0 and a later append would restart
+        ordinals at 0, colliding with committed ones. Any shard whose
+        lineage has a NULL rows_in batch instead derives its base as
+        max(ordinal)+1 from the docs table — partition-pruned to exactly
+        those shard dirs, one long column read, correct at any shard count.
+        """
         path = os.path.join(index_dir, "lineage")
         if not os.path.isdir(path):
             return {}
@@ -362,10 +371,34 @@ class IndexBuilder:
                 & (F.col("field") == f0)
             )
             .groupBy("shard")
-            .agg(F.sum("rows_in").alias("base"))
+            .agg(
+                F.sum("rows_in").alias("base"),
+                F.count(F.lit(1)).alias("nb"),
+                F.count("rows_in").alias("nn"),
+            )
             .collect()
         )
-        return {r["shard"]: int(r["base"] or 0) for r in rows}
+        bases, incomplete = {}, []
+        for r in rows:
+            if r["nn"] == r["nb"]:  # every batch recorded rows_in
+                bases[int(r["shard"])] = int(r["base"] or 0)
+            else:
+                incomplete.append(int(r["shard"]))
+        if incomplete:
+            docs_path = os.path.join(index_dir, "docs")
+            if os.path.isdir(docs_path):
+                mrows = (
+                    self.spark.read.parquet(docs_path)
+                    .where(F.col("shard").isin(incomplete))
+                    .groupBy("shard")
+                    .agg((F.max("ordinal") + 1).alias("base"))
+                    .collect()
+                )
+                for r in mrows:
+                    bases[int(r["shard"])] = int(r["base"])
+            for s in incomplete:  # committed batches that wrote 0 rows
+                bases.setdefault(s, 0)
+        return bases
 
     # ---------- finalize: stats + dictionary + packed ----------
 

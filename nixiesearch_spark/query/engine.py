@@ -279,7 +279,12 @@ class Searcher:
                 need = metas[i]["n"] if metas[i]["op"] == "and" else 1
                 cond = cond & (F.col(f"_n{i}") >= need)
             for i in nots:
-                cond = cond & (F.col(f"_n{i}") == 0)
+                # a must_not sub-query excludes a doc only when the sub-query
+                # MATCHES it — for operator='and' that means ALL its terms
+                # match (need = n), not any one of them (Lucene MUST_NOT wraps
+                # the whole sub-scorer; parity with the unfused _bool path)
+                need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+                cond = cond & (F.col(f"_n{i}") < need)
             if not musts and shoulds:
                 ok = None
                 for i in shoulds:

@@ -81,8 +81,11 @@ def compile_predicate(spec: dict) -> Column:
             out = out | compile_predicate(s)
         return out
     if kind == "not":
+        # Lucene MUST_NOT beside MatchAllDocs KEEPS docs missing the field;
+        # plain SQL ~pred is NULL there (row dropped) — coalesce to True so
+        # null-field docs survive negation (Predicate.scala:48-79 parity)
         inner = body[0] if isinstance(body, list) else body
-        return ~compile_predicate(inner)
+        return F.coalesce(~compile_predicate(inner), F.lit(True))
     if kind == "geo_distance":
         # {"field": "loc", "lat": .., "lon": .., "distance_m": ..}
         f = body["field"]

@@ -7,7 +7,9 @@ seek: committed / earliest / latest / timestamp / relative-duration), and
 - committed → resume from the streaming checkpoint (no option needed; this
   is strictly stronger than Kafka group commits — exactly-once per batch)
 - earliest / latest → ``startingOffsets``
-- ts:<epoch_ms> → ``startingOffsetsByTimestamp`` (per-topic map)
+- ts:<epoch_ms> → global ``startingTimestamp`` (Spark 3.4+; applies to all
+  partitions — the per-topic ``startingOffsetsByTimestamp`` map requires
+  concrete partition ids, unknowable before the stream starts)
 - last:<duration> → timestamp = now - duration, same mechanism
 
 No broker exists in this sandbox, so this module only BUILDS the reader —
@@ -18,7 +20,6 @@ file stream.
 
 from __future__ import annotations
 
-import json
 import re
 import time
 
@@ -37,14 +38,16 @@ def options_for(topic: str, brokers: str, offsets: str = "committed") -> dict:
     elif offsets in ("earliest", "latest"):
         opts["startingOffsets"] = offsets
     elif offsets.startswith("ts:"):
-        ts = int(offsets[3:])
-        opts["startingOffsetsByTimestamp"] = json.dumps({topic: {"-1": ts}})
+        # global startingTimestamp (Spark 3.4+) applies to every partition —
+        # startingOffsetsByTimestamp has no "-1" partition wildcard and would
+        # fail at stream start on a real broker
+        opts["startingTimestamp"] = str(int(offsets[3:]))
     else:
         m = _DURATION.match(offsets)
         if not m:
             raise ValueError(f"unsupported offsets spec: {offsets!r}")
         ts = int(time.time() * 1000) - int(m.group(1)) * _UNITS[m.group(2)]
-        opts["startingOffsetsByTimestamp"] = json.dumps({topic: {"-1": ts}})
+        opts["startingTimestamp"] = str(ts)
     return opts
 
 

@@ -214,11 +214,11 @@ def test_kafka_offset_options():
     assert o["startingOffsets"] == "earliest"
     assert options_for("docs", "k:9092", "committed").get("startingOffsets") is None
     o = options_for("docs", "k:9092", "ts:1700000000000")
-    import json as _j
-
-    assert _j.loads(o["startingOffsetsByTimestamp"]) == {"docs": {"-1": 1700000000000}}
+    # global startingTimestamp, not startingOffsetsByTimestamp — Spark's
+    # Kafka source has no "-1" partition wildcard for the per-topic map
+    assert o["startingTimestamp"] == "1700000000000"
     o = options_for("docs", "k:9092", "last:2h")
-    ts = _j.loads(o["startingOffsetsByTimestamp"])["docs"]["-1"]
+    ts = int(o["startingTimestamp"])
     import time as _t
 
     assert abs((_t.time() * 1000 - 2 * 3600_000) - ts) < 60_000
@@ -226,6 +226,16 @@ def test_kafka_offset_options():
 
     with _pt.raises(ValueError):
         options_for("docs", "k:9092", "bogus")
+
+
+def test_stopword_entries_survive_tokenizer():
+    # every stopword must be a token the ASCII tokenizer can produce —
+    # an accented entry (e.g. "für" → ["f","r"]) would be dead weight
+    from nixiesearch_spark.analysis import LANG_STOPWORDS, tokenize_py
+
+    for lang, words in LANG_STOPWORDS.items():
+        for w in words:
+            assert tokenize_py(w) == [w], f"{lang} stopword {w!r} not a tokenizer token"
 
 
 def test_language_analyzers(spark, tmp_path):

@@ -114,6 +114,16 @@ def test_fused_bool_dismax_equal_unfused(built):
             queries=[A.MatchQuery("content", "def import"), A.MatchQuery("content", "return the")],
             tie_breaker=0.35,
         ),
+        # must_not with operator='and' excludes only docs matching ALL its
+        # terms — regression for the fused path treating any-term as a match
+        A.BoolQuery(
+            must=[A.MatchQuery("content", "def")],
+            must_not=[A.MatchQuery("content", f"{MARKERS[0]} import", "and")],
+        ),
+        A.BoolQuery(
+            must=[A.MatchQuery("content", "return")],
+            must_not=[A.MatchQuery("content", "def import", "and")],
+        ),
     ]
     for q in cases:
         fused = s._score(q)  # dispatcher picks the fused plan

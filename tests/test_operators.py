@@ -76,6 +76,27 @@ def test_bool_semantics(s):
     assert got == [1]
 
 
+def test_bool_must_not_and_operator(s):
+    # must_not=[match("pajama dress", and)] matches NO doc (no title has
+    # both), so nothing is excluded; with operator=or it excludes 1,2,3
+    got = sorted(ids(s.search(
+        BoolQuery(must=[MatchQuery("title", "red")],
+                  must_not=[MatchQuery("title", "pajama dress", "and")])
+    )))
+    assert got == [1, 3]
+    got = sorted(ids(s.search(
+        BoolQuery(must=[MatchQuery("title", "red")],
+                  must_not=[MatchQuery("title", "pajama dress", "or")])
+    )))
+    assert got == []
+    # must_not AND whose terms all co-occur in one doc excludes just that doc
+    got = sorted(ids(s.search(
+        BoolQuery(must=[MatchQuery("title", "red")],
+                  must_not=[MatchQuery("title", "red pajama", "and")])
+    )))
+    assert got == [1]
+
+
 def test_bool_should_boosts_rank(s):
     rows = s.search(
         BoolQuery(must=[MatchQuery("title", "red")], should=[MatchQuery("title", "pajama")])
@@ -142,6 +163,12 @@ def test_filters(s):
         s.search(None, filters={"or": [{"term": {"cat": "b"}}, {"term": {"cat": "c"}}]},
                  size=10, sort=[("_doc", "asc")])
     ) == [2, 4]
+    # NOT keeps docs where the field is NULL (Lucene MUST_NOT beside
+    # MatchAllDocs; doc 5 has title=NULL and must survive the negation)
+    assert ids(
+        s.search(None, filters={"not": {"term": {"title": "red dress"}}},
+                 size=10, sort=[("_doc", "asc")])
+    ) == [2, 3, 4, 5]
 
 
 def test_term_facet(s):

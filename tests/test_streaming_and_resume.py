@@ -67,6 +67,41 @@ def test_resume_produces_identical_index(spark, tmp_path):
     assert a == c
 
 
+def test_append_ordinals_safe_above_64_shards(spark, tmp_path):
+    """n_shards > 64 → lineage rows carry rows_in=NULL (totals-only
+    Observation); a second append batch must still continue each shard's
+    ordinals from the committed max, never restart at 0 (regression:
+    _shard_bases summed NULLs to 0 and packed/WAND mapped to wrong docids).
+    """
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=70)
+    idx = str(tmp_path / "idx70")
+    os.makedirs(idx)
+    b = IndexBuilder(spark, cfg)
+    d1 = spark.createDataFrame(
+        [(i, f"alpha doc number{i}") for i in range(1, 201)], "doc_id long, content string"
+    )
+    b._build_shards(d1, idx, list(range(70)))
+    # lineage really is in totals-only mode for this config
+    lin = spark.read.parquet(os.path.join(idx, "lineage"))
+    assert lin.where((F.col("status") == "committed") & F.col("rows_in").isNotNull()).count() == 0
+    d2 = spark.createDataFrame(
+        [(i, f"beta doc number{i}") for i in range(201, 401)], "doc_id long, content string"
+    )
+    b._build_shards(d2, idx, list(range(70)))
+    b.finalize(idx)
+    docs = spark.read.parquet(os.path.join(idx, "docs"))
+    n = docs.count()
+    assert n == 400
+    # (shard, ordinal) must be unique — the invariant the packed path needs
+    assert docs.select("shard", "ordinal").distinct().count() == n
+    # and the quantized WAND path must resolve correct docids end-to-end
+    from nixiesearch_spark.query.wand import wand_topk
+
+    r = IndexReader(spark, idx)
+    got = {row["docid"] for row in wand_topk(r, "content", "beta", 400).collect()}
+    assert got == set(range(201, 401))
+
+
 def test_incremental_stream_and_compact(spark, tmp_path):
     cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=4)
     idx_dir = str(tmp_path / "idx")

@@ -206,13 +206,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf).where(F.col("doc_id") < 500)
         return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
 
-    def q_minhash_pairs(spark, sf):  # no SQL oracle (xxhash64) — rows-only
+    def q_minhash_pairs(spark, sf):  # md5-derived hash family → full SQL oracle
         d = _docs(spark, sf).where(F.col("doc_id") < 500)
-        return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=16)
+        return dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, num_hashes=32, bands=16, hash_fn="md5"
+        )
 
-    def q_simhash_pairs(spark, sf):  # no SQL oracle — rows-only
+    def q_simhash_pairs(spark, sf):  # md5-derived 60-bit hash → full SQL oracle
         d = _docs(spark, sf).where(F.col("doc_id") < 500)
-        return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+        return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5")
 
     def q_textstats(spark, sf):
         out = textstats.with_textstats(_docs(spark, sf), "text")
@@ -233,7 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return similarity.cosine_topk(e.where(F.col("vec_id") != 0), "vec_id", "embedding", qv, 10)
 
-    def q_ann_lsh(spark, sf):  # no SQL oracle (hyperplane literals) — rows-only
+    def q_ann_lsh(spark, sf):  # hyperplanes as literals both sides → SQL oracle
         e = _emb(spark, sf)
         qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return similarity.ann_lsh_topk(
@@ -304,19 +306,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out
 
-    def q_wand_topk(spark, sf):  # packed/WAND path; quantized scores — rows-only
+    def q_wand_topk(spark, sf):  # packed/WAND path; quantized float32 SQL oracle
         from nixiesearch_spark.query.wand import wand_topk
 
         s = _index(spark, sf, ("text",), True)
         out = wand_topk(s.reader, "text", "spark join window group", k=10)
-        return out.withColumnRenamed("docid", "doc_id")
+        return _as_docid(out)
 
-    def q_wand_and(spark, sf):  # rows-only
+    def q_wand_and(spark, sf):  # quantized float32 SQL oracle, AND semantics
         from nixiesearch_spark.query.wand import wand_topk
 
         s = _index(spark, sf, ("text",), True)
         out = wand_topk(s.reader, "text", "spark join window", k=10, operator="and")
-        return out.withColumnRenamed("docid", "doc_id")
+        return _as_docid(out)
 
     def q_index_stats(spark, sf):
         s = _index(spark, sf, ("text",), False)
@@ -401,11 +403,68 @@ def _bm25_full(terms: list[str], field: str = "text", prefix: str = "") -> str:
 
 def _match_sql(terms: list[str], op: str = "or", k: int = 10) -> str:
     flt = f"WHERE nt = {len(terms)}" if op == "and" else ""
+    # ORDER BY sc.score (qualified): the bare name would resolve to the
+    # ROUNDED output alias and reorder 4-decimal ties differently than the
+    # engine's exact-score sort
     return f"""
 WITH {_bm25_full(terms)}
-SELECT doc_id, round(score, 4) AS score
+SELECT doc_id, round(sc.score, 4) AS score
 FROM sc {flt}
-ORDER BY score DESC, doc_id ASC
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _wand_sql(terms: list[str], op: str = "or", k: int = 10) -> str:
+    """Quantized (Lucene-exact float32) BM25 in DuckDB: SmallFloat norm byte
+    → LENGTH_TABLE decode → float32 norm-cache chain → per-posting
+    w - w/(1f + tf*cache) with FLOAT ops at every step (DuckDB FLOAT
+    arithmetic rounds to float32 per op, verified bit-equal to numpy).
+    Mirrors engine.py quantized chain / lucene.py op-for-op."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    flt = f"WHERE nt = {len(terms)}" if op == "and" else ""
+    return f"""
+WITH tok_f AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}')) AS t(term)
+  WHERE t.term <> '' AND length(t.term) <= 255
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n,
+              CAST(CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS FLOAT) AS avgdl
+       FROM dl),
+-- SmallFloat.intToByte4: nbits = floor(log2(dl))+1; dl<8 exact, else
+-- mantissa 3 bits + (shift+1)<<3
+nrm AS (
+  SELECT doc_id,
+    CASE WHEN dl < 8 THEN dl
+         ELSE ((dl >> (CAST(floor(log2(greatest(dl,1))) AS BIGINT) - 3)) & 7)
+              | ((CAST(floor(log2(greatest(dl,1))) AS BIGINT) - 2) << 3) END AS enc
+  FROM dl),
+-- cache[enc] = 1f/(k1*((1-b) + b*LENGTH_TABLE[enc]/avgdl)), float32 ops
+cch AS (
+  SELECT doc_id,
+    CAST(1.0 AS FLOAT) / (CAST(1.2 AS FLOAT) * (CAST(0.25 AS FLOAT)
+      + (CAST(0.75 AS FLOAT)
+         * CAST(CASE WHEN (enc >> 3) = 0 THEN enc & 7
+                     ELSE ((enc & 7) | 8) << ((enc >> 3) - 1) END AS FLOAT))
+        / st.avgdl)) AS cache
+  FROM nrm, st),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok_f WHERE term IN ({tl})
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT term, CAST(ln(1 + (st.n - dfq.df + 0.5)/(dfq.df + 0.5)) AS FLOAT) AS w
+      FROM dfq, st),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(tf.tf AS FLOAT) * cch.cache)
+                       AS DOUBLE)) AS FLOAT) AS score,
+         count(*) AS nt
+  FROM tf JOIN w USING(term) JOIN cch ON cch.doc_id = tf.doc_id
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(CAST(sc.score AS DOUBLE), 4) AS score
+FROM sc {flt}
+ORDER BY sc.score DESC, doc_id ASC
 LIMIT {k}
 """
 
@@ -702,6 +761,12 @@ ORDER BY 2.0 * 6371008.7714 * asin(sqrt(
 LIMIT 15
 """
 
+    sql["wand_topk"] = _wand_sql(["spark", "join", "window", "group"])
+    sql["wand_topk_and"] = _wand_sql(["spark", "join", "window"], "and")
+    sql["dedup_minhash_lsh"] = _minhash_sql(num_hashes=32, bands=16, threshold=0.5)
+    sql["dedup_simhash"] = _simhash_sql(bits=60, max_hamming=3)
+    sql["ann_lsh_topk"] = _ann_lsh_sql(n_planes=6, multiprobe_bits=2, k=10)
+
     sql["index_stats"] = f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -711,6 +776,126 @@ WITH tok AS (
 SELECT 'text' AS field, count(*)::BIGINT AS doc_count, sum(n)::BIGINT AS sum_ttf FROM dl
 """
     return sql
+
+
+def _md5_long_sql(expr: str) -> str:
+    """DuckDB side of dedup._md5_long: first 15 md5 hex chars as int64."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float, n: int = 3) -> str:
+    """MinHash+LSH pairs with the md5-derived hash family (matches
+    dedup.minhash_signatures hash_fn='md5'). Candidates: any band of
+    rows_per_band consecutive minhashes fully equal; est_jaccard = fraction
+    of equal components."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        "min({h}) AS h{i}".format(h=_md5_long_sql("sh || '|%d'" % i), i=i)
+        for i in range(num_hashes)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.h{i} = b.h{i}" for i in range(bd * rpb, (bd + 1) * rpb)) + ")"
+        for bd in range(bands)
+    )
+    eq_cnt = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKSPLIT}'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 500
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {n}
+           THEN list_transform(range(1, len(toks) - {n - 2}), i -> array_to_string(toks[i:i+{n - 1}], ' '))
+           ELSE [] END) AS grams
+  FROM t
+), e AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+sg AS (
+  SELECT doc_id,
+         {mins}
+  FROM e GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(({eq_cnt}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND ({band_conds})
+WHERE ({eq_cnt}) / {float(num_hashes)} >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int, max_hamming: int) -> str:
+    """SimHash pairs with the 60-bit md5 family (dedup.simhash hash_fn='md5',
+    bits=60): per-bit ±tf sums → sign bits → packed long; candidates share
+    ≥1 of 4 (bits/4)-wide bands; verify bit_count(xor) ≤ max_hamming."""
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    bsums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}" for i in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    band_conds = " OR ".join(
+        f"((a.sh >> {band_bits * b}) & {band_mask}) = ((b.sh >> {band_bits * b}) & {band_mask})"
+        for b in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '{TOKSPLIT}'),
+                                    x -> x <> '')) AS tok
+  FROM documents WHERE doc_id < 500
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf, {_md5_long_sql("tok")} AS h
+  FROM t GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id,
+         {bsums}
+  FROM tf GROUP BY doc_id
+), p AS (SELECT doc_id, {packed} AS sh FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM p a JOIN p b ON a.doc_id < b.doc_id AND ({band_conds})
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def _ann_lsh_sql(n_planes: int, multiprobe_bits: int, k: int) -> str:
+    """RP-LSH ANN: hyperplanes fold in as literal arrays (the same
+    _hyperplanes(dim=64, n_planes, seed=42) float64 values the Spark side
+    uses); candidates = bucket within Hamming ≤ multiprobe_bits of the
+    query's bucket (≡ the multiprobe flip set); exact cosine rerank."""
+    from nixiesearch_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=42)
+    rows = ",\n    ".join(
+        f"({i}, [{','.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH pl(pid, pvec) AS (VALUES
+    {rows}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(emb, pvec) > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+  FROM v, pl GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = 0),
+qe AS (SELECT emb AS qemb FROM v WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sig s, qb
+  WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qb.qbucket)) <= {multiprobe_bits}
+)
+SELECT v.vec_id,
+       round(list_dot_product(v.emb, qe.qemb)
+             / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(qe.qemb, qe.qemb))), 6)
+         AS cosine
+FROM cand JOIN v USING(vec_id), qe
+ORDER BY list_dot_product(v.emb, qe.qemb)
+         / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(qe.qemb, qe.qemb))) DESC,
+         v.vec_id ASC
+LIMIT {k}
+"""
 
 
 def _stoplist_sql() -> str:

@@ -95,13 +95,15 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    import numpy as np
+def _md5_long(col, salt: str | None = None):
+    """Cross-engine 60-bit hash: first 15 hex chars of md5 as int64.
 
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
-    return list(zip(a.tolist(), b.tolist()))
+    Identical in Spark (conv) and DuckDB (CAST('0x…' AS BIGINT)) — the
+    oracle-mode hash family for the correctness gate. xxhash64 stays the
+    production default (one JVM intrinsic vs md5+hex parse)."""
+    if salt is not None:
+        col = F.concat(col, F.lit(salt))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -111,22 +113,31 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) — min over shingle-hash permutations.
 
     One explode + one groupBy(id) with num_hashes min() aggregates: a single
     shuffle keyed on id, map-side combined, all JVM-side (xxhash64 + modular
-    arithmetic on longs)."""
-    params = _minhash_params(num_hashes, seed)
+    arithmetic on longs). ``hash_fn="md5"`` switches to the DuckDB-expressible
+    md5-derived family (gate oracle mode; same plan shape, slower hash)."""
     sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles(text_col, n)).alias("_sh"))
-    sh = sh.select("_id", (F.abs(F.xxhash64("_sh")) % MINHASH_PRIME).alias("h"))
-    # (a*h + b) mod P in double would overflow; use pmod on decimal-safe longs:
-    # a*h mod P via (a mod P)(h mod P) — still overflows int64; instead use
-    # the standard trick of hashing with xxhash64(h, i) per permutation,
-    # which is an equally valid min-wise independent family in practice.
-    aggs = [
-        F.min(F.abs(F.xxhash64(F.col("h"), F.lit(i)))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        # h_i(sh) = md5_long(sh + "|i") — shingles are space-joined word
+        # tokens, so '|' never collides with content
+        aggs = [
+            F.min(_md5_long(F.col("_sh"), f"|{i}")).alias(f"h{i}") for i in range(num_hashes)
+        ]
+    else:
+        sh = sh.select("_id", (F.abs(F.xxhash64("_sh")) % MINHASH_PRIME).alias("h"))
+        # (a*h + b) mod P in double would overflow; use pmod on decimal-safe
+        # longs: a*h mod P via (a mod P)(h mod P) — still overflows int64;
+        # instead use the standard trick of hashing with xxhash64(h, i) per
+        # permutation, an equally valid min-wise independent family.
+        aggs = [
+            F.min(F.abs(F.xxhash64(F.col("h"), F.lit(i)))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     sig = sh.groupBy("_id").agg(*aggs)
     return sig.select(
         F.col("_id").alias(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
@@ -142,15 +153,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     verify_threshold: float | None = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, optionally verified with the
     signature-estimated Jaccard (fraction of equal minhashes).
 
     shingle→minhash→band→bucket-join: candidates only form inside a
     (band, band_hash) bucket — the shuffle is keyed on 64-bit bucket hashes,
-    never on document content. Returns (id_a, id_b, est_jaccard)."""
+    never on document content. Returns (id_a, id_b, est_jaccard).
+    ``hash_fn="md5"`` selects the oracle-expressible minhash family; the
+    band bucket key stays xxhash64 either way (internal only — equal band
+    values ⇔ equal bucket, so the output is hash-family-pure)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, hash_fn)
     banded = sig.select(
         F.col(id_col).alias("_id"),
         "sig",
@@ -186,19 +201,21 @@ def minhash_lsh_pairs(
     return est
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over word tokens weighted by tf, pure Catalyst:
     explode tokens → xxhash64 → per-bit ±tf sums → sign bits → packed long.
 
-    One shuffle (groupBy id) carrying 64 small sums; bit extraction uses
-    shiftright/& on longs — no UDF."""
+    One shuffle (groupBy id) carrying ``bits`` small sums; bit extraction
+    uses shiftright/& on longs — no UDF. ``hash_fn="md5"`` uses the 60-bit
+    md5-derived family (oracle mode; pass bits=60 with it)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
     )
     t = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
-    tf = t.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf")).withColumn(
-        "h", F.xxhash64("tok")
-    )
+    h = _md5_long(F.col("tok")) if hash_fn == "md5" else F.xxhash64("tok")
+    tf = t.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf")).withColumn("h", h)
     aggs = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("tf")).otherwise(-F.col("tf"))
@@ -215,12 +232,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidates
-    via 16-bit band buckets (a pair within distance 3 shares ≥1 of 4 bands —
-    pigeonhole), verified with bit_count(xor)."""
-    sh = simhash(df, id_col, text_col)
+    via (bits/4)-wide band buckets (a pair within distance 3 shares ≥1 of 4
+    bands — pigeonhole), verified with bit_count(xor)."""
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    sh = simhash(df, id_col, text_col, bits, hash_fn)
     bands = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -229,7 +253,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"shiftright(simhash, {16 * b}) & 65535").alias("bh"),
+                        F.expr(f"shiftright(simhash, {band_bits * b}) & {band_mask}").alias("bh"),
                     )
                     for b in range(4)
                 ]

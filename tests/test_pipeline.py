@@ -56,6 +56,25 @@ def test_minhash_lsh(spark, docs):
     assert (1, 4) not in got
 
 
+def test_minhash_simhash_md5_mode(spark, docs):
+    # oracle-mode md5 hash family behaves like xxhash64: identical docs
+    # collide with est_jaccard 1.0 / hamming 0, unrelated docs don't pair
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "id", "text", n=3, num_hashes=32, bands=16,
+        verify_threshold=0.4, hash_fn="md5",
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 4) not in got
+    spairs = dedup.simhash_pairs(
+        docs, "id", "text", max_hamming=0, bits=60, hash_fn="md5"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in spairs} == {(1, 2)}
+    # md5 simhash is 60-bit: all signatures fit
+    sh = dedup.simhash(docs, "id", "text", bits=60, hash_fn="md5").collect()
+    assert all(0 <= r["simhash"] < (1 << 60) for r in sh)
+
+
 def test_simhash(spark, docs):
     sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "id", "text").collect()}
     assert sh[1] == sh[2]  # identical text → identical simhash

@@ -30,16 +30,33 @@ TOKSPLIT = "[^0-9A-Za-z_]+"
 _CACHE: dict = {}
 
 
-def _index(spark: SparkSession, sf_dir: str, fields: tuple, quantize: bool):
+def _index(
+    spark: SparkSession,
+    sf_dir: str,
+    fields: tuple,
+    quantize: bool,
+    analyzers: dict | None = None,
+    derive_ts: bool = False,
+):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
-    key = (sf_dir, fields, quantize)
+    key = (sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())), derive_ts)
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
         df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        if derive_ts:
+            # deterministic synthetic timestamp stored field (testdata has no
+            # datetime column): 2024-01-01 + (doc_id % 720) hours
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, doc_id % 720, 0, 0)"
+                ),
+            )
         cfg = IndexConfig(
-            text_fields=fields, id_col="doc_id", n_shards=8, quantize=quantize
+            text_fields=fields, id_col="doc_id", n_shards=8, quantize=quantize,
+            analyzers=analyzers or {},
         )
         IndexBuilder(spark, cfg).build(df, d)
         reader = IndexReader(spark, d)
@@ -148,6 +165,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"lang": "en"}},
                         {"range": {"n_chars": {"gte": 200, "lt": 400}}},
                     ]
+                },
+                size=10,
+            )
+        )
+
+    def q_match_english(spark, sf):
+        # Lucene EnglishAnalyzer chain (stop + Porter): build + query share
+        # the stemmer; "running windows groups" matches docs with
+        # run/window/group surface forms
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "english"})
+        return _as_docid(s.search(MatchQuery("text", "running windows groups"), size=10))
+
+    def q_match_filtered_datetime(spark, sf):
+        import datetime as dt
+
+        s = _index(spark, sf, ("text",), False, derive_ts=True)
+        return _as_docid(
+            s.search(
+                MatchQuery("text", "spark join"),
+                filters={
+                    "range": {
+                        "ts": {"gte": dt.datetime(2024, 1, 10), "lt": dt.datetime(2024, 1, 20)}
+                    }
                 },
                 size=10,
             )
@@ -336,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dis_max": q_dis_max,
         "bm25_bool": q_bool,
         "bm25_match_filtered": q_match_filtered,
+        "bm25_match_english": q_match_english,
+        "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "match_all_filtered": q_match_all_filtered,
         "facet_term_lang": q_facet_term,
         "facet_range_nchars": q_facet_range,
@@ -523,6 +565,31 @@ WITH {_bm25_full(["spark", "join"])}
 SELECT sc.doc_id, round(sc.score, 4) AS score
 FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 WHERE d.lang = 'en' AND d.n_chars >= 200 AND d.n_chars < 400
+ORDER BY sc.score DESC, sc.doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.analysis import analyzer_py
+
+    en_terms = analyzer_py("english")("running windows groups")
+    sql["bm25_match_english"] = f"""
+WITH {_bm25_full_english(en_terms)}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sql["bm25_match_filtered_datetime"] = f"""
+WITH {_bm25_full(["spark", "join"])},
+dts AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 720) * INTERVAL 1 HOUR AS ts
+  FROM documents
+)
+SELECT sc.doc_id, round(sc.score, 4) AS score
+FROM sc JOIN dts ON dts.doc_id = sc.doc_id
+WHERE dts.ts >= TIMESTAMP '2024-01-10 00:00:00' AND dts.ts < TIMESTAMP '2024-01-20 00:00:00'
 ORDER BY sc.score DESC, sc.doc_id ASC
 LIMIT 10
 """
@@ -776,6 +843,32 @@ WITH tok AS (
 SELECT 'text' AS field, count(*)::BIGINT AS doc_count, sum(n)::BIGINT AS sum_ttf FROM dl
 """
     return sql
+
+
+def _bm25_full_english(terms: list[str], prefix: str = "") -> str:
+    """tok/dl/st + tf/df/sc CTE chain with the English analyzer chain:
+    standard tokenize → stopword filter → generated-SQL Porter stemmer
+    (nixiesearch_spark.stem.porter_sql — bit-identical to the python form
+    the engine builds/queries with)."""
+    from nixiesearch_spark.analysis import LANG_STOPWORDS
+    from nixiesearch_spark.stem import porter_sql
+
+    stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["english"]) + "]"
+    base = (
+        f"list_filter(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'), "
+        f"x -> x <> '' AND length(x) <= 255 AND NOT list_contains({stops}, x))"
+    )
+    stemmed = porter_sql(base, var="w")
+    p = prefix
+    return f"""
+{p}tok_f AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({stemmed}) AS t(term)
+),
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok_f GROUP BY doc_id),
+{p}st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM {p}dl),
+{_bm25_cte(terms, "text", prefix).strip()}
+"""
 
 
 def _md5_long_sql(expr: str) -> str:

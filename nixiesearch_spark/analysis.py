@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -157,13 +158,76 @@ def _stop_py(stops: list[str]):
     return py_fn
 
 
+# English analyzer = the Lucene EnglishAnalyzer chain (reference
+# Language.scala:52-99): standard tokenize → stopwords → PorterStemFilter.
+# The column form is an Arrow-batched pandas_udf running the SAME python
+# chain (equivalence by construction; per-batch stem memoization keeps the
+# cost ~vocab-sized, not token-sized). This is the documented UDF surface —
+# stemming is per-token conditional logic Catalyst can't express.
+
+
+def _stem_py(stops: list[str]):
+    sset = set(stops)
+
+    def py_fn(text: str | None) -> list[str]:
+        from nixiesearch_spark.stem import porter_py
+
+        return [porter_py(t) for t in tokenize_py(text) if t not in sset]
+
+    return py_fn
+
+
+def _stem_col(stops: list[str]):
+    sset = set(stops)
+
+    def col_fn(col: Column) -> Column:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        from nixiesearch_spark.stem import porter_py
+
+        # executors may not have this package on their import path (host
+        # sessions with a foreign cwd) — ship the referenced modules by value
+        try:
+            import sys as _sys
+
+            from pyspark import cloudpickle as _cp
+
+            from nixiesearch_spark import stem as _stem_mod
+
+            _cp.register_pickle_by_value(_stem_mod)
+            _cp.register_pickle_by_value(_sys.modules[__name__])
+        except Exception:  # pragma: no cover
+            pass
+
+        @pandas_udf(ArrayType(StringType()))
+        def _udf(s: pd.Series) -> pd.Series:
+            memo: dict = {}
+
+            def stem(t: str) -> str:
+                v = memo.get(t)
+                if v is None:
+                    memo[t] = v = porter_py(t)
+                return v
+
+            return s.map(
+                lambda x: [stem(t) for t in tokenize_py(x) if t not in sset]
+            )
+
+        return _udf(col)
+
+    return col_fn
+
+
 ANALYZERS = {
     "standard": (tokenize_col, tokenize_py),
     "whitespace": (_whitespace_col, _whitespace_py),
     "keyword": (_keyword_col, _keyword_py),
+    "english": (_stem_col(LANG_STOPWORDS["english"]), _stem_py(LANG_STOPWORDS["english"])),
     **{
         lang: (_stop_col(words), _stop_py(words))
         for lang, words in LANG_STOPWORDS.items()
+        if lang != "english"
     },
 }
 

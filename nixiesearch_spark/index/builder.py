@@ -11,7 +11,10 @@ unit of build parallelism, resume granularity, and query fan-out:
                  sha256(text), per-field doclen/norm
 - ``postings/``  flat rows (shard, field, term, docid, ordinal, tf, norm),
                  term-sorted files → parquet row-group min/max on ``term``
-                 gives query-time skip
+                 gives query-time skip. All tables are FLAT parquet dirs
+                 (shard is a column, not a hive partition): build exchanges
+                 mix shards per task, so directory-partitioning would write
+                 tasks×shards files, and no query path prunes by shard dir
 - ``packed/``    (shard, field, term, block_id..block_last, n, doc_gaps,
                  tfs, norms, max_impact, tf_sum) — delta+VByte blocks over
                  dense ORDINALS (not hash docids — uniform 64-bit gaps
@@ -34,6 +37,11 @@ Scale notes (100 TB / 1000 executors):
   postings fit an executor (sandbox: 32, cluster: 10^4-10^5).
 - the groupBy posting aggregation is one shuffle with map-side partial
   aggregation; AQE splits any residual skew.
+- ordinal assignment is two-level (see _with_ordinals): hash-bucketed
+  ranks + broadcast prefix offsets — parallelism never caps at n_shards
+  and no task sorts a whole shard.
+- packed posting groups sub-split by ordinal range (see _pack): no
+  collect_list row exceeds block_size·K postings even for stopword terms.
 - resume: shards whose lineage rows are committed are skipped on re-run; the
   build is idempotent per shard (deterministic docids + deterministic
   tokenize), so re-runs produce byte-identical postings (north rule).
@@ -176,23 +184,7 @@ class IndexBuilder:
         # ~2^59/df), over dense ordinals the gaps are ~shard_size/df — the
         # packed table shrinks ~5x. Appends offset by the shard's committed
         # row count (from lineage) so ordinals never collide.
-        from pyspark.sql import Window
-
-        bases = self._shard_bases(index_dir, shards)
-        base_df = self.spark.createDataFrame(
-            [(int(k), int(v)) for k, v in bases.items()], "shard int, _base long"
-        )
-        w_ord = Window.partitionBy("shard").orderBy("docid")
-        base = (
-            base.join(F.broadcast(base_df), "shard", "left")
-            .withColumn(
-                "ordinal",
-                (F.row_number().over(w_ord) - 1 + F.coalesce(F.col("_base"), F.lit(0))).cast(
-                    "long"
-                ),
-            )
-            .drop("_base")
-        )
+        base = self._with_ordinals(base, self._shard_bases(index_dir, shards))
         docs = base
         for f in c.text_fields:
             tok = analyzer_col(c.analyzers.get(f, "standard"))
@@ -241,14 +233,15 @@ class IndexBuilder:
         docs_out = docs.select(
             "docid", "ordinal", "shard", "sha256", *per_field_cols, *stored
         ).observe(obs_docs, *doc_exprs)
-        # no pre-write shuffle: the dynamic-partition writer splits by
-        # shard; re-shuffling the whole corpus here would double the
-        # build's shuffle volume at 100 TB (merge() compacts files later)
+        # flat write (no partitionBy): the ordinal exchange leaves each task
+        # holding many (shard, bucket) groups — hive-partitioning by shard
+        # would explode into tasks×shards files. Rows arrive already sorted
+        # by (shard, bucket, docid) from the ordinal window, so parquet
+        # row-group min/max on shard/docid stays tight without a re-sort;
+        # docs access paths are docid joins + shard column filters, neither
+        # needs directory pruning.
         (
-            docs_out.sortWithinPartitions("shard", "docid")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(os.path.join(index_dir, "docs"))
+            docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
         )
         posting_parts = [
             docs.select(
@@ -277,12 +270,14 @@ class IndexBuilder:
         obs_post = Observation()
         # the groupBy already shuffled once; write straight out of the
         # aggregation partitions (sorted so parquet row-group min/max on
-        # term stays tight for query-time skipping)
+        # term stays tight for query-time skipping). Flat write: the agg
+        # exchange mixes shards per task, so hive-partitioning by shard
+        # would write tasks×shards files; queries filter postings by
+        # (field, term), never by shard directory.
         (
             postings.observe(obs_post, *post_exprs)
             .sortWithinPartitions("shard", "field", "term", "docid")
             .write.mode("append")
-            .partitionBy("shard")
             .parquet(os.path.join(index_dir, "postings"))
         )
         dvals, pvals = obs_docs.get, obs_post.get
@@ -329,6 +324,57 @@ class IndexBuilder:
             ),
         )
         lineage.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+
+    def _with_ordinals(self, base: DataFrame, bases: dict) -> DataFrame:
+        """Two-level dense per-shard ordinals without a per-shard global sort.
+
+        A plain ``Window.partitionBy("shard")`` caps parallelism at n_shards
+        and makes one task sort a whole shard (corpus/n_shards rows) — the
+        100 TB scale hazard. Instead the docid space splits into R hash
+        buckets: ordinal = prefix_offset(shard, bucket) + local rank within
+        (shard, bucket). The exchange now has n_shards·R keys (full
+        parallelism at any shard count) and each task sorts only its own
+        slice. The bucket prefix offsets come from a tiny counts aggregation
+        (n_shards·R rows) cumulated per shard and broadcast back — no driver
+        collect, all one job.
+
+        Ordinals stay a pure function of the data (docid → bucket → rank by
+        docid), so the docs write and the later postings recompute assign
+        identical ordinals regardless of input partitioning, and re-runs are
+        deterministic (north rule). Appends stay collision-free via the
+        per-shard lineage ``bases`` offset.
+        """
+        from pyspark.sql import Window
+
+        R = int(self.config.extra.get("ordinal_buckets", 64))
+        base_df = self.spark.createDataFrame(
+            [(int(k), int(v)) for k, v in bases.items()], "shard int, _base long"
+        )
+        base = base.withColumn(
+            "_hb", F.pmod(F.xxhash64(F.col("docid")), F.lit(R)).cast("int")
+        )
+        counts = base.groupBy("shard", "_hb").agg(F.count(F.lit(1)).alias("_c"))
+        w_pre = (
+            Window.partitionBy("shard").orderBy("_hb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "shard", "_hb", F.coalesce(F.sum("_c").over(w_pre), F.lit(0)).alias("_off")
+        )
+        w_rank = Window.partitionBy("shard", "_hb").orderBy("docid")
+        return (
+            base.join(F.broadcast(offsets), ["shard", "_hb"], "left")
+            .join(F.broadcast(base_df), "shard", "left")
+            .withColumn(
+                "ordinal",
+                (
+                    F.row_number().over(w_rank) - 1
+                    + F.col("_off")
+                    + F.coalesce(F.col("_base"), F.lit(0))
+                ).cast("long"),
+            )
+            .drop("_hb", "_off", "_base")
+        )
 
     def _committed_shards(self, index_dir: str) -> set:
         path = os.path.join(index_dir, "lineage")
@@ -460,11 +506,19 @@ class IndexBuilder:
         shuffle, no Python row traffic), so Arrow moves ~#terms rows of
         packed primitive arrays instead of every posting as a Python row
         (~25x less Python-boundary work). mapInPandas then VByte-encodes
-        with bulk numpy. Group size is bounded: a term's postings in one
-        shard ≈ df / n_shards. Quantized-only: the norm byte is what WAND
-        decodes.
+        with bulk numpy. Quantized-only: the norm byte is what WAND decodes.
+
+        Giant-term guard: a stopword's postings in one shard are
+        O(shard_docs) — a single collect_list row would approach the 2 GB
+        array limit at 100x scale. The groupBy key therefore includes an
+        ordinal-range sub-group ``floor(ordinal / (block_size*K))``, bounding
+        every collected list to block_size*K postings (~0.5 MB of structs).
+        Sub-groups pack independently into the same block format (block
+        boundaries are range-local; WAND treats blocks as independent
+        docid-range intervals, so split points don't change results).
         """
         block_size = self.config.block_size
+        group_span = block_size * int(self.config.extra.get("pack_group_blocks", 256))
         caches = {
             f: lucene.norm_cache(np.float32(a)) for f, a in avgdl_by_field.items()
         }
@@ -523,7 +577,12 @@ class IndexBuilder:
 
         postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
         grouped = (
-            postings.groupBy("shard", "field", "term")
+            postings.groupBy(
+                "shard",
+                "field",
+                "term",
+                F.floor(F.col("ordinal") / F.lit(group_span)).alias("_g"),
+            )
             .agg(F.array_sort(F.collect_list(F.struct("ordinal", "tf", "norm"))).alias("ps"))
             .select(
                 "shard",
@@ -538,7 +597,6 @@ class IndexBuilder:
         (
             packed.sortWithinPartitions("shard", "field", "term", "block_id")
             .write.mode("overwrite")
-            .partitionBy("shard")
             .parquet(os.path.join(index_dir, "packed"))
         )
 
@@ -557,9 +615,8 @@ class IndexBuilder:
         df = spark.read.parquet(p)
         (
             df.repartition(self.config.n_shards, "shard")
-            .sortWithinPartitions("field", "term", "docid")
+            .sortWithinPartitions("shard", "field", "term", "docid")
             .write.mode("overwrite")
-            .partitionBy("shard")
             .parquet(tmp)
         )
         shutil.rmtree(p)

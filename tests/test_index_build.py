@@ -43,10 +43,10 @@ def test_merge_compacts_files_and_preserves_results(spark, tmp_path):
     pdf = make_corpus(120, seed=3)
     df = spark.createDataFrame(pdf)
     b = IndexBuilder(spark, cfg)
-    # two appends (simulating incremental batches) → many small files
+    # six appends (simulating incremental batches) → many small files
     os.makedirs(d)
-    b._build_shards(spark.createDataFrame(pdf.iloc[:60]), d, list(range(4)))
-    b._build_shards(spark.createDataFrame(pdf.iloc[60:]), d, list(range(4)))
+    for lo in range(0, 120, 20):
+        b._build_shards(spark.createDataFrame(pdf.iloc[lo:lo + 20]), d, list(range(4)))
     b.finalize(d)
     before = len(glob.glob(os.path.join(d, "postings", "**", "*.parquet"), recursive=True))
     s = Searcher(IndexReader(spark, d))

@@ -58,6 +58,41 @@ def test_wand_equals_flat_path(built):
     ]
 
 
+def test_pack_subsplit_ubiquitous_term(spark, tmp_path):
+    """A term present in EVERY doc must pack into multiple ordinal-range
+    sub-groups (the giant-term collect_list guard), and WAND over the split
+    blocks must stay bit-identical to the exhaustive flat path."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"common filler{i % 7} word{i % 13} " + ("rare_zz " if i % 50 == 0 else ""))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    cfg = IndexConfig(
+        text_fields=("content",), id_col="doc_id", n_shards=2, quantize=True,
+        block_size=8, extra={"pack_group_blocks": 4},  # groups of 32 postings
+    )
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, cfg).build(df, d)
+    reader = IndexReader(spark, d)
+    packed = reader.packed.where(F.col("term") == "common")
+    per_shard = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"),
+        F.max("n").alias("maxn"),
+    ).collect()
+    assert sum(r["postings"] for r in per_shard) == 400
+    for r in per_shard:
+        assert r["blocks"] > r["postings"] // 32  # sub-groups actually split
+        assert r["maxn"] <= 8  # block size still respected
+    s = Searcher(reader)
+    flat = s.search(MatchQuery("content", "common rare_zz word3"), size=30).collect()
+    wand = wand_topk(reader, "content", "common rare_zz word3", k=30).collect()
+    assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
+        (r["docid"], np.float32(r["score"])) for r in wand
+    ]
+
+
 @pytest.mark.parametrize("text", ["def import return", "ident00001 the"])
 def test_wand_and_mode(built, text):
     reader, oracle = built

@@ -45,6 +45,11 @@ def _index(
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
         df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        if "text_parts" in fields:
+            # text[] field synthesized by sentence-splitting (testdata has no
+            # array column); ". " is a tokenizer delimiter either way, so the
+            # flattened token stream equals the whole-text stream
+            df = df.withColumn("text_parts", F.split(F.col("text"), r"\. "))
         if derive_ts:
             # deterministic synthetic timestamp stored field (testdata has no
             # datetime column): 2024-01-01 + (doc_id % 720) hours
@@ -192,6 +197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 size=10,
             )
         )
+
+    def q_match_textlist(spark, sf):
+        # text[] lexical search: repeated field instances share one norm
+        s = _index(spark, sf, ("text_parts",), False)
+        return _as_docid(s.search(MatchQuery("text_parts", "spark join window"), size=10))
 
     def q_match_all_filtered(spark, sf):
         s = _index(spark, sf, ("text",), False)
@@ -378,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_filtered": q_match_filtered,
         "bm25_match_english": q_match_english,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
+        "bm25_match_textlist": q_match_textlist,
         "match_all_filtered": q_match_all_filtered,
         "facet_term_lang": q_facet_term,
         "facet_range_nchars": q_facet_range,
@@ -593,6 +604,11 @@ WHERE dts.ts >= TIMESTAMP '2024-01-10 00:00:00' AND dts.ts < TIMESTAMP '2024-01-
 ORDER BY sc.score DESC, sc.doc_id ASC
 LIMIT 10
 """
+
+    # text[] oracle: items come from splitting text on ". " — a delimiter
+    # either way — so the flattened per-item token stream (and the shared
+    # norm = summed doc length) equals plain whole-text tokenization
+    sql["bm25_match_textlist"] = _match_sql(["spark", "join", "window"])
 
     sql["match_all_filtered"] = """
 SELECT doc_id, 1.0::DOUBLE AS score

@@ -232,6 +232,11 @@ ANALYZERS = {
 }
 
 
+# analyzers whose column form is an Arrow pandas_udf (cannot run inside
+# F.transform lambdas — text[] fields concat items first for these)
+UDF_ANALYZERS = {"english"}
+
+
 def analyzer_col(name: str):
     return ANALYZERS[name][0]
 

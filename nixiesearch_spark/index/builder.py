@@ -186,10 +186,32 @@ class IndexBuilder:
         # row count (from lineage) so ordinals never collide.
         base = self._with_ordinals(base, self._shard_bases(index_dir, shards))
         docs = base
+        field_types = dict(df.dtypes)
         for f in c.text_fields:
             tok = analyzer_col(c.analyzers.get(f, "standard"))
-            docs = docs.withColumn(f"_toks_{f}", tok(F.col(f)))
-            docs = docs.withColumn(f"doclen_{f}", F.size(F.col(f"_toks_{f}")))
+            if field_types.get(f, "").startswith("array"):
+                # text[] (reference TextListFieldCodec.scala:89-92): each item
+                # is an extra TextField instance sharing ONE norm — tokens
+                # concatenate across items, doc length = sum over items; the
+                # 32000-char analyzer cut applies per item, like Lucene's
+                # per-field-instance truncation
+                from nixiesearch_spark.analysis import UDF_ANALYZERS
+
+                if c.analyzers.get(f, "standard") in UDF_ANALYZERS:
+                    # pandas_udf analyzers can't run inside transform lambdas;
+                    # space-join items first (space is a delimiter in every
+                    # chain, so tokens are identical; the 32000 cut then
+                    # applies to the joined string)
+                    toks = tok(F.concat_ws(" ", F.col(f)))
+                else:
+                    toks = F.flatten(F.transform(F.col(f), lambda x: tok(x)))
+            else:
+                toks = tok(F.col(f))
+            docs = docs.withColumn(f"_toks_{f}", toks)
+            # size(NULL) is -1 — clamp so null-field docs don't pollute sum_dl
+            docs = docs.withColumn(
+                f"doclen_{f}", F.greatest(F.size(F.col(f"_toks_{f}")), F.lit(0))
+            )
             norm = (
                 F.expr(_norm_expr(f"doclen_{f}")).cast("int")
                 if c.quantize

@@ -56,15 +56,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = 10000,
+    max_shingle_df: int | None = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode distinct shingles → self-join on shingle → pair intersection
     counts → |A∩B| / (|A| + |B| - |A∩B|) ≥ threshold.
 
     ``max_shingle_df`` drops ubiquitous shingles before the pair join (the
-    classic prefix-filter guard: a shingle shared by k docs creates k² pair
-    candidates — boilerplate headers would otherwise dominate the shuffle).
+    classic prefix-filter guard). The boundary is QUADRATIC: a shingle at
+    the cap generates ~cap²/2 candidate pairs in one join key, so the
+    default stays low (500 → ≤125k pairs per hot shingle); raise it only
+    with a corresponding shuffle budget, or switch to minhash_lsh_pairs —
+    the scale path — when corpora share heavy boilerplate. Dropping a
+    shingle can only lower a pair's computed Jaccard (both sides lose it),
+    so the guard trades recall near the threshold, never precision.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles(text_col, n)).alias("sh"))

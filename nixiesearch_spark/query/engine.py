@@ -102,6 +102,7 @@ class Searcher:
         """Full match-set scores (docid, float score) — facets and sorts run
         over this, mirroring the reference's FacetsCollector running beside
         the top-k collector (RetrieveQuery.scala:88-90)."""
+        query = self._expand_wildcards(query)
         if self.mapping is not None:
             self._validate_query(query)
         scored = self._score(query)
@@ -118,6 +119,50 @@ class Searcher:
             keep = self.reader.docs.where(pred).select("docid")
             scored = scored.join(keep, "docid", "left_semi")
         return scored
+
+    def _expand_wildcards(self, q: ast.Query) -> ast.Query:
+        """Expand multi_match field patterns like ``title_*`` before
+        compiling (reference RetrieveQuery.scala:59-66). Candidates come
+        from the mapping's searchable text fields when a mapping is set,
+        else from the index's actually-built fields."""
+        from nixiesearch_spark.mapping import _wildcard_matches
+
+        if isinstance(q, ast.MultiMatchQuery):
+            out: list[str] = []
+            for p in q.fields:
+                if p.endswith("_*") or p.startswith("*_"):
+                    # universe = fields actually built into the index,
+                    # narrowed to mapping-searchable ones when a mapping is
+                    # set (works for wildcard-declared mappings too: lookup
+                    # resolves concrete names against wildcard schemas)
+                    cands = list(self.reader.stats["fields"])
+                    if self.mapping is not None:
+                        cands = [
+                            f for f in cands
+                            if (s := self.mapping.lookup(f)) is not None and s.search
+                        ]
+                    hits = [f for f in sorted(cands) if _wildcard_matches(p, f)]
+                    if not hits:
+                        raise ValueError(f"multi_match field pattern {p!r} matched no fields")
+                    out.extend(h for h in hits if h not in out)
+                elif p not in out:
+                    out.append(p)
+            return ast.MultiMatchQuery(
+                query=q.query, fields=out, type=q.type,
+                tie_breaker=q.tie_breaker, operator=q.operator,
+            )
+        if isinstance(q, ast.BoolQuery):
+            return ast.BoolQuery(
+                must=[self._expand_wildcards(s) for s in q.must],
+                should=[self._expand_wildcards(s) for s in q.should],
+                must_not=[self._expand_wildcards(s) for s in q.must_not],
+            )
+        if isinstance(q, ast.DisMaxQuery):
+            return ast.DisMaxQuery(
+                queries=[self._expand_wildcards(s) for s in q.queries],
+                tie_breaker=q.tie_breaker,
+            )
+        return q
 
     def _validate_query(self, q: ast.Query) -> None:
         if isinstance(q, ast.MatchQuery):
@@ -508,8 +553,10 @@ class Searcher:
                 )
         order.append(F.asc("docid"))  # stable tiebreak
         top = df.orderBy(*order).limit(size)
-        # rank over the k-row frame so a later fetch can restore this order
+        # rank over the k-row frame so a later fetch can restore this order;
+        # constant partition key = one task for ≤size rows, minus the
+        # "No Partition Defined" warning a bare global window logs
         from pyspark.sql import Window
 
-        w = Window.orderBy(*order)
+        w = Window.partitionBy(F.lit(0)).orderBy(*order)
         return top.select("docid", "score", F.row_number().over(w).alias("_rank"))

@@ -27,17 +27,30 @@ def rrf_fuse(
     TakeOrderedAndProject — tiny frames), then fused with a cheap union +
     groupBy; no large shuffle at any point.
     """
-    ranked = []
-    for i, b in enumerate(branches):
-        top = b.orderBy(F.desc("score"), F.asc("docid")).limit(window)
-        w = Window.orderBy(F.desc("score"), F.asc("docid"))
-        ranked.append(
-            top.select("docid", (F.row_number().over(w) - 1).alias("rank"))
-        )
-    union = ranked[0]
-    for r in ranked[1:]:
-        union = union.unionByName(r)
-    fused = union.groupBy("docid").agg(
+    return _fuse_ranked(
+        [
+            b.orderBy(F.desc("score"), F.asc("docid")).limit(window)
+            for b in branches
+        ],
+        size,
+        k,
+    )
+
+
+def _fuse_ranked(tops: list[DataFrame], size: int, k: float) -> DataFrame:
+    """Union the per-branch top-window frames (each a TakeOrderedAndProject —
+    per-partition heap, no full sort), rank with ONE branch-partitioned
+    window over ≤ branches×window rows, then hash-aggregate the RRF sum.
+    Single job, fully on-cluster, no driver loop."""
+    tagged = [
+        t.select("docid", "score", F.lit(i).alias("_branch")) for i, t in enumerate(tops)
+    ]
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    w = Window.partitionBy("_branch").orderBy(F.desc("score"), F.asc("docid"))
+    ranked = union.select("docid", (F.row_number().over(w) - 1).alias("rank"))
+    fused = ranked.groupBy("docid").agg(
         F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))).alias("score")
     )
     return fused.orderBy(F.desc("score"), F.asc("docid")).limit(size)
@@ -46,34 +59,30 @@ def rrf_fuse(
 def rrf_fuse_matches(searcher, matches, size: int = 10, window: int = 100,
                      k: float = DEFAULT_RRF_K) -> DataFrame:
     """Branch-fused RRF for match-query branches: ONE postings scan + one
-    aggregation produces every branch's scores as columns; the per-branch
-    rank lists come from the persisted frame (tiny re-reads) and fusion runs
-    driver-side on ≤ branches×window rows — mirroring the reference's
-    in-process RRF (RRFQuery.scala re-queries branches then fuses locally).
-    Results identical to rrf_fuse over separate score frames."""
+    aggregation produces every branch's scores as columns; each branch's
+    top-window then reads off that shared frame and fusion runs on-cluster
+    in the same job (no per-branch collect, no driver loop). Results
+    identical to rrf_fuse over separate score frames."""
     per_doc, live, metas = searcher._fused(
         [("dismax", m) for m in matches], kind="branches"
     )
+    if not live:
+        return searcher.spark.createDataFrame([], "docid long, score double")
     per_doc = per_doc.persist()
-    try:
-        fused: dict = {}
-        for i in live:
-            need = metas[i]["n"] if metas[i]["op"] == "and" else 1
-            rows = (
-                per_doc.where(F.col(f"_n{i}") >= need)
-                .select("docid", F.col(f"_s{i}").alias("score"))
-                .orderBy(F.desc("score"), F.asc("docid"))
-                .limit(window)
-                .collect()
-            )
-            for rank, r in enumerate(rows):
-                fused[r["docid"]] = fused.get(r["docid"], 0.0) + 1.0 / (float(k) + rank)
-        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
-        spark = searcher.spark
-        if not top:
-            return spark.createDataFrame([], "docid long, score double")
-        return spark.createDataFrame(
-            [(int(d), float(sc)) for d, sc in top], "docid long, score double"
+    tops = []
+    for i in live:
+        need = metas[i]["n"] if metas[i]["op"] == "and" else 1
+        tops.append(
+            per_doc.where(F.col(f"_n{i}") >= need)
+            .select("docid", F.col(f"_s{i}").cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(window)
         )
-    finally:
-        per_doc.unpersist()
+    out = _fuse_ranked(tops, size, k)
+    # materialize before unpersisting the shared frame the plan hangs off
+    rows = out.collect()
+    per_doc.unpersist()
+    spark = searcher.spark
+    if not rows:
+        return spark.createDataFrame([], "docid long, score double")
+    return spark.createDataFrame(rows, "docid long, score double")

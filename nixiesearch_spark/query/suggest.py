@@ -68,9 +68,12 @@ def load_suggest(spark: SparkSession, index_dir: str, field: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "suggest", f"field={field}"))
 
 
-def _ranked(branch: DataFrame, window: int) -> DataFrame:
+def _ranked(branch: DataFrame, window: int, tag: int) -> DataFrame:
+    # rank over the already-limited window frame; the constant-keyed window
+    # partition spec keeps the ≤window rows in one task WITHOUT the global-
+    # window warning (and the later union ranks per-branch via the tag)
     top = branch.orderBy(F.desc("freq"), F.asc("suggestion")).limit(window)
-    w = Window.orderBy(F.desc("freq"), F.asc("suggestion"))
+    w = Window.partitionBy(F.lit(tag)).orderBy(F.desc("freq"), F.asc("suggestion"))
     return top.select("suggestion", (F.row_number().over(w) - 1).alias("rank"))
 
 
@@ -89,7 +92,9 @@ def suggest(
         (F.length(s).between(lenq - 2, lenq + 2)) & (F.levenshtein(s, F.lit(q)) <= 2)
     )
     infix = sugg_table.where(s.contains(q))
-    branches = [_ranked(b, window) for b in (prefix, fuzzy1, fuzzy2, infix)]
+    branches = [
+        _ranked(b, window, i) for i, b in enumerate((prefix, fuzzy1, fuzzy2, infix))
+    ]
     union = branches[0]
     for b in branches[1:]:
         union = union.unionByName(b)

@@ -1,1 +1,1 @@
-from nixiesearch_spark.streaming.incremental import IncrementalIndexer  # noqa: F401
+from nixiesearch_spark.streaming.incremental import IncrementalIndexer, MergePolicy  # noqa: F401

@@ -24,8 +24,10 @@ Spark-native shape:
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,24 +35,62 @@ from pyspark.sql import functions as F
 from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig
 
 
+@dataclass
+class MergePolicy:
+    """Auto-compaction trigger for incremental appends — the analog of the
+    reference's merge policies (``config/mapping/MergePolicyConfig.scala:
+    19-124``: No/LogByteSize/LogDoc/Tiered). Every append batch adds small
+    postings files; unmerged they degrade query scans. ``tiered`` merges when
+    the postings file count exceeds ``segments_per_tier`` × the post-merge
+    baseline (merge() rewrites to ≈1 file per shard), mirroring Lucene's
+    TieredMergePolicy size-ratio trigger at the file-count level where
+    parquet layout decides scan cost. ``kind="none"`` = manual merge only."""
+
+    kind: str = "tiered"  # "none" | "tiered"
+    segments_per_tier: int = 4  # allowed file-count multiple of the baseline
+    min_files: int = 8  # never trigger below this many files
+
+    def should_merge(self, n_files: int, n_shards: int) -> bool:
+        if self.kind == "none":
+            return False
+        return n_files >= max(self.min_files, self.segments_per_tier * n_shards)
+
+
 class IncrementalIndexer:
-    def __init__(self, spark: SparkSession, config: IndexConfig, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: IndexConfig,
+        index_dir: str,
+        merge_policy: MergePolicy | None = None,
+    ):
         self.spark = spark
         self.config = config
         self.index_dir = index_dir
         self.builder = IndexBuilder(spark, config)
+        self.merge_policy = merge_policy or MergePolicy(kind="none")
 
     # ---------- micro-batch sink ----------
+
+    def _postings_file_count(self) -> int:
+        return len(
+            glob.glob(os.path.join(self.index_dir, "postings", "**", "*.parquet"),
+                      recursive=True)
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: append this batch's docs + postings delta with
         seqnum=batch_id, then refresh derived tables (stats/dictionary/packed).
+        A merge policy may then fold the accumulated small files
+        (commit-then-compact, like the reference's flush + merge scheduling).
         """
         if batch_df.isEmpty():
             return
         tagged = batch_df.withColumn("seqnum", F.lit(int(batch_id)))
         self.builder._build_shards(tagged, self.index_dir, list(range(self.config.n_shards)))
         self.builder.finalize(self.index_dir)
+        if self.merge_policy.should_merge(self._postings_file_count(), self.config.n_shards):
+            self.builder.merge(self.index_dir)
 
     def start_file_stream(self, input_dir: str, schema, checkpoint_dir: str):
         """availableNow file-source stream → foreachBatch index appends.

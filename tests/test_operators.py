@@ -229,6 +229,85 @@ def test_fetch_projection(s):
     assert all(set(r.asDict()) == {"docid", "title", "price", "score"} for r in rows)
 
 
+def test_text_list_field(spark, tmp_path):
+    """text[] lexical search (reference TextListFieldCodec.scala:89-92):
+    repeated field instances share one norm — BM25 over the array equals
+    BM25 over the space-joined string (our tokenizer treats the item
+    boundary as a delimiter either way)."""
+    rows = [
+        (1, ["red dress", "summer cotton"]),
+        (2, ["white dress"]),
+        (3, ["red pajama", "flannel red"]),
+        (4, []),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    d1 = str(tmp_path / "arr")
+    cfg = IndexConfig(text_fields=("tags",), id_col="doc_id", n_shards=2)
+    IndexBuilder(spark, cfg).build(df, d1)
+    s1 = Searcher(IndexReader(spark, d1))
+    # matches span items; doc 3 has tf(red)=2 across two instances
+    got = {r["docid"]: r["score"] for r in s1.search(MatchQuery("tags", "red"), size=10).collect()}
+    assert set(got) == {1, 3}
+    joined = df.select(
+        "doc_id", F.array_join(F.col("tags"), " ").alias("tags")
+    ).na.fill({"tags": ""})
+    d2 = str(tmp_path / "join")
+    IndexBuilder(spark, IndexConfig(text_fields=("tags",), id_col="doc_id", n_shards=2)).build(
+        joined, d2
+    )
+    s2 = Searcher(IndexReader(spark, d2))
+    for q in (MatchQuery("tags", "red"), MatchQuery("tags", "red dress"), MatchQuery("tags", "summer flannel")):
+        a = [(r["docid"], np.float32(r["score"])) for r in s1.search(q, size=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s2.search(q, size=10).collect()]
+        assert a == b, q
+
+
+def test_multi_match_wildcard_expansion(spark, tmp_path):
+    """multi_match field patterns expand against the mapping/index before
+    compile (reference RetrieveQuery.scala:59-66)."""
+    from nixiesearch_spark.mapping import IndexMapping
+
+    df = spark.createDataFrame(
+        [(1, "red dress", "rotes kleid", "x"), (2, "blue coat", "roter mantel", "red")],
+        "doc_id long, title_en string, title_de string, other string",
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_fields=("title_en", "title_de", "other"), id_col="doc_id", n_shards=2
+    )
+    IndexBuilder(spark, cfg).build(df, d)
+    s = Searcher(IndexReader(spark, d))
+    wild = s.search(
+        MultiMatchQuery(query="red roter", fields=["title_*"], type="most_fields"), size=10
+    ).collect()
+    explicit = s.search(
+        MultiMatchQuery(query="red roter", fields=["title_en", "title_de"], type="most_fields"),
+        size=10,
+    ).collect()
+    assert [(r["docid"], r["score"]) for r in wild] == [
+        (r["docid"], r["score"]) for r in explicit
+    ]
+    # doc 2's "red" in the non-matching field `other` must NOT contribute
+    assert {r["docid"] for r in wild} == {1, 2}  # doc2 matches "roter" in title_de
+    with pytest.raises(ValueError):
+        s.search(MultiMatchQuery(query="x", fields=["nope_*"]), size=5)
+    # mapping narrows the wildcard universe to searchable fields
+    m = IndexMapping.from_dict(
+        {"name": "t", "fields": {
+            "title_en": {"type": "text", "search": True},
+            "title_de": {"type": "text", "search": False},
+            "other": {"type": "text", "search": True},
+        }}
+    )
+    s2 = Searcher(IndexReader(spark, d), mapping=m)
+    only_en = s2.search(
+        MultiMatchQuery(query="red roter", fields=["title_*"], type="most_fields"), size=10
+    ).collect()
+    en = s2.search(MatchQuery("title_en", "red roter"), size=10).collect()
+    assert [(r["docid"], r["score"]) for r in only_en] == [(r["docid"], r["score"]) for r in en]
+
+
 def test_geo_filters(spark, tmp_path):
     # geopoint struct column (reference GeopointField: lat/lon doubles)
     from nixiesearch_spark.query.filters import compile_predicate

@@ -147,6 +147,33 @@ def test_incremental_stream_and_compact(spark, tmp_path):
     assert docs.count() == 4  # upsert-by-id collapsed doc 3
 
 
+def test_tiered_auto_compaction(spark, tmp_path):
+    """Repeated small append batches must auto-merge when the postings file
+    count crosses the tiered policy threshold, keeping the file count bounded
+    and the query results unchanged (reference MergePolicyConfig.scala)."""
+    from nixiesearch_spark.streaming import MergePolicy
+
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=2)
+    idx = str(tmp_path / "idx")
+    inc = IncrementalIndexer(
+        spark, cfg, idx, merge_policy=MergePolicy(kind="tiered", segments_per_tier=2, min_files=4)
+    )
+    for b in range(6):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"batch{b} common doc number{b * 10 + i}") for i in range(5)],
+            "doc_id long, content string",
+        )
+        inc.process_batch(df, b)
+    # policy bound: files never accumulate past one merge-cycle worth
+    assert inc._postings_file_count() <= max(4, 2 * cfg.n_shards) + 2
+    s = Searcher(IndexReader(spark, idx))
+    got = {r["docid"] for r in s.search(MatchQuery("content", "common"), size=50).collect()}
+    assert got == {b * 10 + i for b in range(6) for i in range(5)}
+    assert {r["docid"] for r in s.search(MatchQuery("content", "batch3"), size=50).collect()} == {
+        30, 31, 32, 33, 34
+    }
+
+
 def test_delete_by_id(spark, tmp_path):
     from nixiesearch_spark.query.wand import wand_topk
 

@@ -17,8 +17,11 @@ Phases:
    against what the hardware actually offers.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_SKIP_SCALING=1,
-BENCH_CORPUS_DOCS (default 60000), BENCH_LEVELS (default "4,16"),
-BENCH_REPEATS (default 1; raise for best-of-N noise mitigation).
+BENCH_CORPUS_DOCS (default 120000 — large enough that per-level fixed
+overhead (JVM job scheduling, parquet commits, ~13 s) stops distorting the
+scaling ratio), BENCH_LEVELS (default "4,16"; 8,32 hits this box's memory
+wall — stream ceiling 0.40 — and measures the host, not the engine),
+BENCH_REPEATS (default 2 — best-of-N against the host's ±40% run noise).
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ sys.path.insert(0, ROOT)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
-CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "60000"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "120000"))
 LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "4,16").split(",")]
 
 
@@ -113,7 +116,7 @@ def scaling_phase(tmp: str) -> dict:
         corpus = cached
     have_taskset = shutil.which("taskset") is not None
     child = _CHILD.format(root=ROOT)
-    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     res = {}
     for cores in LEVELS:
         best = None

@@ -185,6 +185,43 @@ class IndexBuilder:
         # packed table shrinks ~5x. Appends offset by the shard's committed
         # row count (from lineage) so ordinals never collide.
         base = self._with_ordinals(base, self._shard_bases(index_dir, shards))
+        base = base.withColumn(
+            "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
+        )
+        # Lineage metrics ride the write jobs via Observation (computed
+        # inside the same action — zero extra jobs, no persist of the
+        # tokenized frame: recompute beats caching 30M-token arrays, and
+        # at 100 TB caching them is not an option at all).
+        from pyspark.sql import Observation
+
+        per_shard = len(shards) <= 64  # per-shard metric exprs; totals beyond
+        groups = shards if per_shard else [-1]
+
+        def shard_pred(s):
+            return F.lit(True) if s == -1 else (F.col("shard") == s)
+
+        # ---------- docs job: row store only, ZERO tokenization ----------
+        # The docs table stores docid/ordinal/shard/sha + stored fields;
+        # norms live in the postings rows (the only place scoring reads
+        # them), so the expensive analyze pass runs exactly ONCE — in the
+        # postings job below — instead of once per output table.
+        obs_docs = Observation()
+        doc_exprs = [
+            F.sum(F.when(shard_pred(s), 1).otherwise(0)).alias(f"rows__{s}") for s in groups
+        ]
+        docs_out = base.select("docid", "ordinal", "shard", "sha256", *stored).observe(
+            obs_docs, *doc_exprs
+        )
+        # flat write (no partitionBy): the ordinal exchange leaves each task
+        # holding many (shard, bucket) groups — hive-partitioning by shard
+        # would explode into tasks×shards files. Rows arrive already sorted
+        # by (shard, bucket, docid) from the ordinal window, so parquet
+        # row-group min/max on shard/docid stays tight without a re-sort;
+        # docs access paths are docid joins + shard column filters, neither
+        # needs directory pruning.
+        docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+        # ---------- postings job: the single tokenize pass ----------
         docs = base
         field_types = dict(df.dtypes)
         for f in c.text_fields:
@@ -218,53 +255,25 @@ class IndexBuilder:
                 else F.col(f"doclen_{f}").cast("int")
             )
             docs = docs.withColumn(f"norm_{f}", norm)
-        docs = docs.withColumn(
-            "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
-        )
-        # Lineage metrics ride the write jobs via Observation (computed
-        # inside the same action — zero extra jobs, no persist of the
-        # tokenized frame: recompute beats caching 30M-token arrays, and
-        # at 100 TB caching them is not an option at all).
-        from pyspark.sql import Observation
-
-        per_shard = len(shards) <= 64  # per-shard metric exprs; totals beyond
-        groups = shards if per_shard else [-1]
-
-        def shard_pred(s):
-            return F.lit(True) if s == -1 else (F.col("shard") == s)
-
-        doc_exprs = []
+        # doc-length field stats observe the tokenized frame BEFORE the
+        # explode, inside the same postings action — every row flows through
+        # the observe node even when it yields zero postings
+        len_exprs = []
         for s in groups:
             for f in c.text_fields:
                 p = shard_pred(s)
-                doc_exprs.append(
-                    F.sum(F.when(p, 1).otherwise(0)).alias(f"rows__{s}__{f}")
-                )
-                doc_exprs.append(
+                len_exprs.append(
                     F.sum(F.when(p & (F.col(f"doclen_{f}") > 0), 1).otherwise(0)).alias(
                         f"docs__{s}__{f}"
                     )
                 )
-                doc_exprs.append(
+                len_exprs.append(
                     F.sum(F.when(p, F.col(f"doclen_{f}")).otherwise(0)).alias(
                         f"dl__{s}__{f}"
                     )
                 )
-        obs_docs = Observation()
-        per_field_cols = [c_ for f in c.text_fields for c_ in (f"doclen_{f}", f"norm_{f}")]
-        docs_out = docs.select(
-            "docid", "ordinal", "shard", "sha256", *per_field_cols, *stored
-        ).observe(obs_docs, *doc_exprs)
-        # flat write (no partitionBy): the ordinal exchange leaves each task
-        # holding many (shard, bucket) groups — hive-partitioning by shard
-        # would explode into tasks×shards files. Rows arrive already sorted
-        # by (shard, bucket, docid) from the ordinal window, so parquet
-        # row-group min/max on shard/docid stays tight without a re-sort;
-        # docs access paths are docid joins + shard column filters, neither
-        # needs directory pruning.
-        (
-            docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
-        )
+        obs_len = Observation()
+        docs = docs.observe(obs_len, *len_exprs)
         posting_parts = [
             docs.select(
                 "docid",
@@ -302,7 +311,7 @@ class IndexBuilder:
             .write.mode("append")
             .parquet(os.path.join(index_dir, "postings"))
         )
-        dvals, pvals = obs_docs.get, obs_post.get
+        dvals, lvals, pvals = obs_docs.get, obs_len.get, obs_post.get
         wall_ms = int((time.time() - t0) * 1000)
         rows = []
         for s in shards:
@@ -312,9 +321,9 @@ class IndexBuilder:
                     {
                         "shard": s,
                         "field": f,
-                        "rows_in": int(dvals[f"rows__{g}__{f}"]) if per_shard else None,
-                        "docs_with_field": int(dvals[f"docs__{g}__{f}"]) if per_shard else None,
-                        "sum_dl": int(dvals[f"dl__{g}__{f}"]) if per_shard else None,
+                        "rows_in": int(dvals[f"rows__{g}"]) if per_shard else None,
+                        "docs_with_field": int(lvals[f"docs__{g}__{f}"]) if per_shard else None,
+                        "sum_dl": int(lvals[f"dl__{g}__{f}"]) if per_shard else None,
                         "postings_out": int(pvals[f"post__{g}__{f}"]) if per_shard else None,
                         "wall_ms": wall_ms,
                         "status": "committed",
@@ -328,9 +337,9 @@ class IndexBuilder:
                     {
                         "shard": -1,
                         "field": f,
-                        "rows_in": int(dvals[f"rows__-1__{f}"]),
-                        "docs_with_field": int(dvals[f"docs__-1__{f}"]),
-                        "sum_dl": int(dvals[f"dl__-1__{f}"]),
+                        "rows_in": int(dvals["rows__-1"]),
+                        "docs_with_field": int(lvals[f"docs__-1__{f}"]),
+                        "sum_dl": int(lvals[f"dl__-1__{f}"]),
                         "postings_out": int(pvals[f"post__-1__{f}"]),
                         "wall_ms": wall_ms,
                         "status": "summary",

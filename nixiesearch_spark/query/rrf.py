@@ -38,19 +38,18 @@ def rrf_fuse(
 
 
 def _fuse_ranked(tops: list[DataFrame], size: int, k: float) -> DataFrame:
-    """Union the per-branch top-window frames (each a TakeOrderedAndProject —
-    per-partition heap, no full sort), rank with ONE branch-partitioned
-    window over ≤ branches×window rows, then hash-aggregate the RRF sum.
+    """Rank each branch's top-window frame in place (a limited frame is
+    already one partition — the constant-key window adds NO exchange and no
+    global-window warning), union, then hash-aggregate the RRF sum.
     Single job, fully on-cluster, no driver loop."""
-    tagged = [
-        t.select("docid", "score", F.lit(i).alias("_branch")) for i, t in enumerate(tops)
-    ]
-    union = tagged[0]
-    for t in tagged[1:]:
+    ranked = []
+    for i, t in enumerate(tops):
+        w = Window.partitionBy(F.lit(i)).orderBy(F.desc("score"), F.asc("docid"))
+        ranked.append(t.select("docid", (F.row_number().over(w) - 1).alias("rank")))
+    union = ranked[0]
+    for t in ranked[1:]:
         union = union.unionByName(t)
-    w = Window.partitionBy("_branch").orderBy(F.desc("score"), F.asc("docid"))
-    ranked = union.select("docid", (F.row_number().over(w) - 1).alias("rank"))
-    fused = ranked.groupBy("docid").agg(
+    fused = union.groupBy("docid").agg(
         F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))).alias("score")
     )
     return fused.orderBy(F.desc("score"), F.asc("docid")).limit(size)

@@ -203,6 +203,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text_parts",), False)
         return _as_docid(s.search(MatchQuery("text_parts", "spark join window"), size=10))
 
+    def q_ce_rerank(spark, sf):
+        # cross-encoder rerank plumbing: BM25 window=50 → Arrow batch-score
+        # (deterministic lexical-overlap scorer standing in for the ONNX
+        # cross-encoder) → re-sort
+        from nixiesearch_spark.query.rerank import ce_rerank
+
+        s = _index(spark, sf, ("text",), False)
+        out = ce_rerank(
+            s, MatchQuery("text", "spark join"), "text",
+            "spark join window stream", k=10, window=50,
+        )
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("ce_score"), 6).alias("ce_score"),
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
     def q_match_all_filtered(spark, sf):
         s = _index(spark, sf, ("text",), False)
         return _as_docid(
@@ -291,6 +308,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_lsh_topk(
             e.where(F.col("vec_id") != 0), "vec_id", "embedding", qv,
             k=10, n_planes=6, multiprobe_bits=2,
+        )
+
+    def q_emb_near_dup(spark, sf):
+        # embedding-cosine near-dup pairs: LSH-bucket candidates + exact verify
+        e = _emb(spark, sf)
+        return similarity.embedding_near_dup_pairs(
+            e, "vec_id", "embedding", dim=64, threshold=0.3, n_planes=8
+        )
+
+    def q_multimodal_features(spark, sf):
+        # multimodal plumbing end-to-end: opaque binary payloads (derived
+        # deterministically from text — no media libs in the container)
+        # through the Arrow mapInPandas feature extractor
+        from nixiesearch_spark.pipeline import multimodal
+
+        d = _docs(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text-blob").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+        out = multimodal.extract_features(d)
+        return out.select(
+            F.col("media_id").alias("doc_id"),
+            "payload_sha",
+            "n_bytes",
+            *[
+                F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+                for i in range(4)
+            ],
         )
 
     def q_events_hourly(spark, sf):
@@ -389,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_english": q_match_english,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
+        "ce_rerank": q_ce_rerank,
         "match_all_filtered": q_match_all_filtered,
         "facet_term_lang": q_facet_term,
         "facet_range_nchars": q_facet_range,
@@ -404,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "emb_near_dup": q_emb_near_dup,
+        "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "suggest_rrf": q_suggest,
         "facet_rrf_merged": q_facet_rrf_merged,
@@ -609,6 +662,31 @@ LIMIT 10
     # either way — so the flattened per-item token stream (and the shared
     # norm = summed doc length) equals plain whole-text tokenization
     sql["bm25_match_textlist"] = _match_sql(["spark", "join", "window"])
+
+    from nixiesearch_spark.analysis import tokenize_py
+
+    _qset = sorted(set(tokenize_py("spark join window stream")))
+    _qlist = "[" + ",".join(f"'{t}'" for t in _qset) + "]"
+    _ce = (
+        f"CASE WHEN len(dtoks) = 0 THEN 0.0 ELSE "
+        f"len(list_intersect(dtoks, {_qlist})) / sqrt({len(_qset)} * len(dtoks)) END"
+    )
+    sql["ce_rerank"] = f"""
+WITH {_bm25_full(["spark", "join"])},
+win AS (
+  SELECT doc_id, sc.score AS score FROM sc ORDER BY sc.score DESC, doc_id ASC LIMIT 50
+),
+dt AS (
+  SELECT w.doc_id, w.score,
+         list_distinct(list_filter(regexp_split_to_array(lower(substr(d.text,1,32000)), '{TOKSPLIT}'),
+                       x -> x <> '' AND length(x) <= 255)) AS dtoks
+  FROM win w JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT doc_id, round({_ce}, 6) AS ce_score, round(score, 4) AS score
+FROM dt
+ORDER BY ({_ce}) DESC, doc_id ASC
+LIMIT 10
+"""
 
     sql["match_all_filtered"] = """
 SELECT doc_id, 1.0::DOUBLE AS score
@@ -849,6 +927,20 @@ LIMIT 15
     sql["dedup_minhash_lsh"] = _minhash_sql(num_hashes=32, bands=16, threshold=0.5)
     sql["dedup_simhash"] = _simhash_sql(bits=60, max_hamming=3)
     sql["ann_lsh_topk"] = _ann_lsh_sql(n_planes=6, multiprobe_bits=2, k=10)
+    sql["emb_near_dup"] = _near_dup_sql(n_planes=8, threshold=0.3)
+
+    # multimodal stub features: f_i = float32(sha256_byte_i / 255) — the
+    # FLOAT-typed division reproduces numpy's float32 rounding bit-for-bit
+    feats = ",\n  ".join(
+        "round(CAST(CAST(CAST(concat('0x', substr(sha256(text), {o}, 2)) AS INT) AS FLOAT)"
+        " / CAST(255.0 AS FLOAT) AS DOUBLE), 6) AS f{i}".format(o=2 * i + 1, i=i)
+        for i in range(4)
+    )
+    sql["multimodal_features"] = f"""
+SELECT doc_id, sha256(text) AS payload_sha, strlen(text)::BIGINT AS n_bytes,
+  {feats}
+FROM documents
+"""
 
     sql["index_stats"] = f"""
 WITH tok AS (
@@ -1004,6 +1096,42 @@ ORDER BY list_dot_product(v.emb, qe.qemb)
          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(qe.qemb, qe.qemb))) DESC,
          v.vec_id ASC
 LIMIT {k}
+"""
+
+
+def _near_dup_sql(n_planes: int, threshold: float) -> str:
+    """Embedding near-dup pairs: same-LSH-bucket candidates (literal
+    hyperplanes, matching similarity.rp_lsh_buckets seed=42) + exact cosine
+    verify — the SQL twin of similarity.embedding_near_dup_pairs."""
+    from nixiesearch_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=42)
+    rows = ",\n    ".join(
+        f"({i}, [{','.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH pl(pid, pvec) AS (VALUES
+    {rows}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(emb, pvec) > 0 THEN (1::BIGINT << pid) ELSE 0 END) AS bucket
+  FROM v, pl GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(va.emb, vb.emb)
+             / (sqrt(list_dot_product(va.emb, va.emb)) * sqrt(list_dot_product(vb.emb, vb.emb))), 6)
+         AS cosine
+FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+WHERE round(list_dot_product(va.emb, vb.emb)
+      / (sqrt(list_dot_product(va.emb, va.emb)) * sqrt(list_dot_product(vb.emb, vb.emb))), 6)
+      >= {threshold}  -- Spark side thresholds the ROUNDED cosine; mirror it
 """
 
 

@@ -263,6 +263,33 @@ def test_text_list_field(spark, tmp_path):
         assert a == b, q
 
 
+def test_ce_rerank_pipeline(s):
+    """Cross-encoder rerank plumbing (reference CEQuery.scala:27-95):
+    fetch-window → batch-score via mapInPandas → re-sort. The default
+    deterministic lexical scorer makes the order hand-checkable; a custom
+    scorer function is injectable (the ONNX surface)."""
+    from nixiesearch_spark.analysis import tokenize_py
+    from nixiesearch_spark.query.rerank import ce_rerank, lexical_overlap_scorer
+
+    q = "red flannel pajama"
+    out = ce_rerank(s, MatchQuery("desc", "red"), "desc", q, k=5, window=10).collect()
+    # expected: the "red"-in-desc candidates (docs 3, 5) ranked by overlap
+    texts = {3: "flannel red pajama", 5: "mystery item red"}
+    def manual(t):
+        qs, ds = set(tokenize_py(q)), set(tokenize_py(t))
+        return len(qs & ds) / (len(qs) * len(ds)) ** 0.5
+    want = sorted(((d, manual(t)) for d, t in texts.items()), key=lambda x: (-x[1], x[0]))
+    assert [r["docid"] for r in out] == [d for d, _ in want]
+    for r, (_, v) in zip(out, want):
+        assert r["ce_score"] == pytest.approx(v)
+    assert out[0]["docid"] == 3  # all three query tokens hit doc 3's desc
+    # custom scorer injection: reverse-docid scorer must invert the order
+    custom = lambda query, texts: [float(i) for i in range(len(texts))]  # noqa: E731
+    got = ce_rerank(s, MatchQuery("desc", "red"), "desc", q, k=5, window=10,
+                    scorer=custom).collect()
+    assert len(got) == 2 and got[0]["ce_score"] >= got[-1]["ce_score"]
+
+
 def test_multi_match_wildcard_expansion(spark, tmp_path):
     """multi_match field patterns expand against the mapping/index before
     compile (reference RetrieveQuery.scala:59-66)."""

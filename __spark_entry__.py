@@ -310,6 +310,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, n_planes=6, multiprobe_bits=2,
         )
 
+    def q_ann_ivf(spark, sf):
+        # IVF ANN: deterministic k-means centroids (driver-side sample = all
+        # 500 vectors here), distributed bucket assignment, n_probe bucket
+        # scan + exact cosine rerank
+        import numpy as np
+
+        e = _emb(spark, sf)
+        rows = sorted(
+            e.where(F.col("vec_id") != 0).select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        cents = similarity.kmeans_centroids(mat, k=16, iters=8, seed=42)
+        qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return similarity.ivf_topk(
+            e.where(F.col("vec_id") != 0), "vec_id", "embedding", qv, cents,
+            k=10, n_probe=4,
+        )
+
+    def q_knn_parent_block(spark, sf):
+        # parent/child block-join knn: children = embeddings grouped into
+        # synthetic parents (vec_id % 100); parent score = max child cosine
+        e = _emb(spark, sf)
+        qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        children = e.where(F.col("vec_id") != 0).select(
+            F.pmod(F.col("vec_id"), F.lit(100)).alias("parent_id"), "embedding"
+        )
+        return similarity.block_join_topk(children, "parent_id", "embedding", qv, k=10)
+
     def q_emb_near_dup(spark, sf):
         # embedding-cosine near-dup pairs: LSH-bucket candidates + exact verify
         e = _emb(spark, sf)
@@ -455,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
+        "knn_parent_block": q_knn_parent_block,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -928,6 +959,27 @@ LIMIT 15
     sql["dedup_simhash"] = _simhash_sql(bits=60, max_hamming=3)
     sql["ann_lsh_topk"] = _ann_lsh_sql(n_planes=6, multiprobe_bits=2, k=10)
     sql["emb_near_dup"] = _near_dup_sql(n_planes=8, threshold=0.3)
+    _ivf = _ivf_sql(k_centroids=16, n_probe=4, k=10)
+    if _ivf is not None:
+        sql["ann_ivf_topk"] = _ivf
+
+    sql["knn_parent_block"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
+ch AS (
+  SELECT vec_id % 100 AS parent_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id <> 0
+),
+sc AS (
+  SELECT parent_id,
+         list_dot_product(emb, qemb)
+         / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS c
+  FROM ch, q
+)
+SELECT parent_id, round(max(c), 6) AS cosine
+FROM sc GROUP BY parent_id
+ORDER BY round(max(c), 6) DESC, parent_id ASC
+LIMIT 10
+"""
 
     # multimodal stub features: f_i = float32(sha256_byte_i / 255) — the
     # FLOAT-typed division reproduces numpy's float32 rounding bit-for-bit
@@ -1132,6 +1184,71 @@ FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
 WHERE round(list_dot_product(va.emb, vb.emb)
       / (sqrt(list_dot_product(va.emb, va.emb)) * sqrt(list_dot_product(vb.emb, vb.emb))), 6)
       >= {threshold}  -- Spark side thresholds the ROUNDED cosine; mirror it
+"""
+
+
+def _ivf_sql(k_centroids: int, n_probe: int, k: int) -> str | None:
+    """IVF ANN oracle: centroids and probe buckets are DETERMINISTIC
+    functions of the sf0.01 embeddings (seeded numpy k-means — the exact
+    code the Spark entry runs), so they bake into the SQL as literals; the
+    assignment argmax, probe filter, and cosine rerank run in SQL. Returns
+    None when the testdata isn't present (entry then records rows-only)."""
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from nixiesearch_spark.pipeline.similarity import kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}') "
+        "WHERE vec_id <> 0 ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = kmeans_centroids(mat, k_centroids, iters=8, seed=42)
+    q = np.array(
+        con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchall()[0][0],
+        dtype=np.float64,
+    )
+    scores = cents @ q - (cents * cents).sum(1) / 2.0
+    order = np.lexsort((np.arange(len(cents)), -scores))
+    probes = ",".join(str(int(x)) for x in order[:n_probe])
+    crows = ",\n    ".join(
+        "({i}, [{v}]::DOUBLE[], {h!r})".format(
+            i=i,
+            v=",".join(repr(float(x)) for x in cents[i]),
+            h=float(cents[i] @ cents[i] / 2.0),
+        )
+        for i in range(k_centroids)
+    )
+    return f"""
+WITH ct(cid, cvec, half) AS (VALUES
+    {crows}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0),
+sc AS (SELECT vec_id, cid, list_dot_product(emb, cvec) - half AS s FROM v, ct),
+asg AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc) t
+  WHERE rn = 1
+),
+qe AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       round(list_dot_product(v.emb, qe.qemb)
+             / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(qe.qemb, qe.qemb))), 6)
+         AS cosine
+FROM v JOIN asg USING(vec_id), qe
+WHERE asg.bucket IN ({probes})
+ORDER BY list_dot_product(v.emb, qe.qemb)
+         / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(qe.qemb, qe.qemb))) DESC,
+         v.vec_id ASC
+LIMIT {k}
 """
 
 

@@ -112,6 +112,95 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over a driver-side sample (float64).
+
+    At 100 TB the sample comes from a deterministic hash filter
+    (pmod(xxhash64(id), N) == 0) — a few 10^5 vectors train centroids fine;
+    the expensive part (assignment) stays fully distributed in
+    :func:`ivf_assign`. Empty clusters keep their previous centroid."""
+    v = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(v), size=k, replace=False)
+    cents = v[idx].copy()
+    for _ in range(iters):
+        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            m = v[assign == j]
+            if len(m):
+                cents[j] = m.mean(0)
+    return cents
+
+
+def _centroid_score(vec_col, centroid: np.ndarray):
+    """argmin ||v-c||² ≡ argmax (v·c − |c|²/2); the score column for one
+    centroid (centroid folds in as a literal array)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    half = float((centroid @ centroid) / 2.0)
+    return _dot(vec_col, c) - F.lit(half)
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """IVF bucket assignment: bucket = argmax_j (v·c_j − |c_j|²/2), pure
+    Column math (k literal dot products per row, whole-stage codegen; ties
+    break to the LOWEST centroid id via array_position-first-match). At
+    scale this frame is written bucketed/partitioned by ``bucket`` so probe
+    queries scan only the probed partitions."""
+    scores = F.array(*[_centroid_score(F.col(vec_col), c) for c in centroids])
+    bucket = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF probe search: scan the ``n_probe`` buckets whose centroids are
+    nearest the query (same argmax metric as assignment), exact-rerank by
+    cosine. n_probe = len(centroids) degrades gracefully to exact search."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    scores = centroids @ q - (centroids * centroids).sum(1) / 2.0
+    order = np.lexsort((np.arange(len(centroids)), -scores))
+    probes = [int(x) for x in order[:n_probe]]
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    cand = assigned.where(F.col("bucket").isin(probes))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), qcol), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def block_join_topk(
+    df: DataFrame,
+    parent_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Parent/child block-join knn (reference TextListFieldCodec.scala:95-109
+    nested embeddings + Lucene ToParentBlockJoinQuery with max score mode):
+    score every CHILD vector, roll up max(child cosine) per parent, top-k
+    parents. One scan + one hash agg + TakeOrderedAndProject — the
+    Spark-native equivalent of the parent block join."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(parent_col).alias("parent_id"),
+        cosine_sim(F.col(vec_col), q).alias("_c"),
+    )
+    agg = scored.groupBy("parent_id").agg(F.round(F.max("_c"), 6).alias("cosine"))
+    return agg.orderBy(F.desc("cosine"), F.asc("parent_id")).limit(k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -56,6 +56,37 @@ def test_minhash_lsh(spark, docs):
     assert (1, 4) not in got
 
 
+def test_ivf_ann(spark, vecs):
+    """IVF bucket search: probing ALL buckets equals exact brute force;
+    fewer probes still find the planted near-dup (high recall on the easy
+    case) and assignment is deterministic."""
+    import numpy as np
+
+    from nixiesearch_spark.pipeline import similarity
+
+    rows = sorted(vecs.collect(), key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = similarity.kmeans_centroids(mat, k=4, iters=8, seed=42)
+    q = rows[0]["embedding"]
+    rest = vecs.where("vec_id <> 0")
+    exact = [(r["vec_id"], r["cosine"]) for r in
+             similarity.cosine_topk(rest, "vec_id", "embedding", q, 10).collect()]
+    full_probe = [(r["vec_id"], r["cosine"]) for r in
+                  similarity.ivf_topk(rest, "vec_id", "embedding", q, cents,
+                                      k=10, n_probe=4).collect()]
+    assert full_probe == exact  # all-bucket probe ≡ exact search
+    one_probe = [r["vec_id"] for r in
+                 similarity.ivf_topk(rest, "vec_id", "embedding", q, cents,
+                                     k=10, n_probe=1).collect()]
+    assert one_probe[0] == 1  # planted near-dup of vec 0 lands in q's bucket
+    # deterministic assignment: rerun gives identical buckets
+    a1 = similarity.ivf_assign(rest, "vec_id", "embedding", cents).collect()
+    a2 = similarity.ivf_assign(rest, "vec_id", "embedding", cents).collect()
+    assert sorted((r["vec_id"], r["bucket"]) for r in a1) == sorted(
+        (r["vec_id"], r["bucket"]) for r in a2
+    )
+
+
 def test_minhash_simhash_md5_mode(spark, docs):
     # oracle-mode md5 hash family behaves like xxhash64: identical docs
     # collide with est_jaccard 1.0 / hamming 0, unrelated docs don't pair

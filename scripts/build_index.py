@@ -24,11 +24,14 @@ def main():
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from nixiesearch_spark.index import IndexBuilder, IndexConfig
 
-    spark = SparkSession.builder.appName("nixiesearch-build").getOrCreate()
+    # get_spark is a no-op config-wise under spark-submit (an existing
+    # session wins); run locally it sizes the JVM for the build workload
+    # instead of the 1g default heap
+    from nixiesearch_spark.session import get_spark
+
+    spark = get_spark("nixiesearch-build")
     df = spark.read.parquet(args.input)
     cfg = IndexConfig(
         text_fields=tuple(args.fields.split(",")),

@@ -21,13 +21,16 @@ def main():
     p.add_argument("--wand", action="store_true", help="serve a match query via block-max WAND")
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from nixiesearch_spark.index import IndexReader
     from nixiesearch_spark.query import Searcher, parse_query
     from nixiesearch_spark.query.wand import wand_topk
 
-    spark = SparkSession.builder.appName("nixiesearch-search").getOrCreate()
+    # get_spark is a no-op config-wise under spark-submit (an existing
+    # session wins); run locally it sizes the JVM for the build workload
+    # instead of the 1g default heap
+    from nixiesearch_spark.session import get_spark
+
+    spark = get_spark("nixiesearch-search")
     reader = IndexReader(spark, args.index)
     q = json.loads(args.query) if args.query else None
     if args.wand:

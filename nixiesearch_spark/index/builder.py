@@ -479,7 +479,17 @@ class IndexBuilder:
 
     # ---------- finalize: stats + dictionary + packed ----------
 
-    def finalize(self, index_dir: str) -> dict:
+    def finalize(self, index_dir: str, pack: bool = True) -> dict:
+        """Refresh stats/dictionary (+ packed, unless ``pack=False``).
+
+        ``pack=False`` is the heavy-streaming mode: packing rewrites the
+        whole packed table (VByte blocks are immutable and plain parquet
+        can't replace the boundary groups an append touches — true
+        incremental pack needs snapshot/table-format deletes, i.e. Iceberg
+        on a real deployment). Deferring it to merge()/compact() keeps
+        per-batch cost proportional to the batch; the flat serving path is
+        always fresh, and WAND refuses a stale packed table via the
+        ``packed_seqnum`` guard instead of silently missing new docs."""
         c = self.config
         spark = self.spark
         lin = spark.read.parquet(os.path.join(index_dir, "lineage"))
@@ -495,6 +505,13 @@ class IndexBuilder:
                 float(lucene.avg_field_length(ttf, dc)) if c.quantize else (ttf / dc if dc else 0.0)
             )
             fields[r["field"]] = {"doc_count": dc, "sum_ttf": ttf, "avgdl": avgdl}
+        seqnum = int(time.time() * 1000)
+        prev_packed = None
+        prev_stats_path = os.path.join(index_dir, "stats.json")
+        if os.path.exists(prev_stats_path):
+            with open(prev_stats_path) as f:
+                prev_packed = json.load(f).get("packed_seqnum")
+        do_pack = c.quantize and pack
         stats = {
             "fields": fields,
             "analyzers": {f: c.analyzers.get(f, "standard") for f in c.text_fields},
@@ -502,10 +519,13 @@ class IndexBuilder:
             "n_shards": c.n_shards,
             "block_size": c.block_size,
             "tokenizer": TOKENIZER_VERSION,
-            "seqnum": int(time.time() * 1000),
+            "seqnum": seqnum,
+            # seqnum the packed table was built at; < seqnum ⇒ WAND stale
+            "packed_seqnum": seqnum if do_pack else prev_packed,
         }
-        if c.quantize:
+        if do_pack:
             self._pack(index_dir, {f: s["avgdl"] for f, s in fields.items()})
+        if c.quantize and do_pack:
             # dictionary from packed block rows (~postings/block_size rows)
             # instead of re-scanning the full postings table
             dict_src = (

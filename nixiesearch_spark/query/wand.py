@@ -214,6 +214,13 @@ def wand_topk(
     applied inside the stripe scorer; the OR upper bounds stay valid)."""
     if not reader.quantize:
         raise ValueError("WAND serving path requires a quantized index")
+    if "packed_seqnum" in reader.stats:  # absent = legacy stats (always packed)
+        ps = reader.stats["packed_seqnum"]
+        if ps is None or ps != reader.stats.get("seqnum"):
+            raise ValueError(
+                "packed table is stale (appends since last pack) — run merge()/"
+                "compact() or finalize(pack=True); the flat Searcher path is fresh"
+            )
     if reader.tombstones is not None:
         raise ValueError(
             "WAND serves fully-compacted indexes; pending deletes exist — "

@@ -63,12 +63,19 @@ class IncrementalIndexer:
         config: IndexConfig,
         index_dir: str,
         merge_policy: MergePolicy | None = None,
+        pack_each_batch: bool = True,
     ):
+        """``pack_each_batch=False`` is the heavy-streaming mode: packing
+        rewrites the whole packed table, so deferring it to the merge-policy
+        compaction keeps per-batch cost proportional to the batch. The flat
+        serving path stays fresh every batch; WAND refuses the stale packed
+        table until the next merge (builder.finalize docstring)."""
         self.spark = spark
         self.config = config
         self.index_dir = index_dir
         self.builder = IndexBuilder(spark, config)
         self.merge_policy = merge_policy or MergePolicy(kind="none")
+        self.pack_each_batch = pack_each_batch
 
     # ---------- micro-batch sink ----------
 
@@ -88,9 +95,9 @@ class IncrementalIndexer:
             return
         tagged = batch_df.withColumn("seqnum", F.lit(int(batch_id)))
         self.builder._build_shards(tagged, self.index_dir, list(range(self.config.n_shards)))
-        self.builder.finalize(self.index_dir)
+        self.builder.finalize(self.index_dir, pack=self.pack_each_batch)
         if self.merge_policy.should_merge(self._postings_file_count(), self.config.n_shards):
-            self.builder.merge(self.index_dir)
+            self.builder.merge(self.index_dir)  # merge() re-finalizes with pack
 
     def start_file_stream(self, input_dir: str, schema, checkpoint_dir: str):
         """availableNow file-source stream → foreachBatch index appends.

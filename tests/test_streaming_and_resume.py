@@ -174,6 +174,34 @@ def test_tiered_auto_compaction(spark, tmp_path):
     }
 
 
+def test_deferred_pack_streaming_mode(spark, tmp_path):
+    """pack_each_batch=False: the flat path serves every batch immediately,
+    WAND refuses the stale packed table, and the next merge re-packs."""
+    import numpy as np
+
+    from nixiesearch_spark.query.wand import wand_topk
+
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=2)
+    idx = str(tmp_path / "idx")
+    inc = IncrementalIndexer(spark, cfg, idx, pack_each_batch=False)
+    inc.process_batch(
+        spark.createDataFrame([(1, "red dress"), (2, "white dress")],
+                              "doc_id long, content string"), 0)
+    inc.process_batch(
+        spark.createDataFrame([(3, "red pajama")], "doc_id long, content string"), 1)
+    s = Searcher(IndexReader(spark, idx))
+    assert {r["docid"] for r in s.search(MatchQuery("content", "red"), size=5).collect()} == {1, 3}
+    with pytest.raises(ValueError, match="stale"):
+        wand_topk(s.reader, "content", "red", 5)
+    inc.builder.merge(idx)  # compaction re-packs
+    r2 = IndexReader(spark, idx)
+    flat = [(r["docid"], np.float32(r["score"]))
+            for r in Searcher(r2).search(MatchQuery("content", "red"), size=5).collect()]
+    wand = [(r["docid"], np.float32(r["score"]))
+            for r in wand_topk(r2, "content", "red", 5).collect()]
+    assert flat == wand and {d for d, _ in wand} == {1, 3}
+
+
 def test_delete_by_id(spark, tmp_path):
     from nixiesearch_spark.query.wand import wand_topk
 

@@ -186,20 +186,6 @@ def _stem_col(stops: list[str]):
 
         from nixiesearch_spark.stem import porter_py
 
-        # executors may not have this package on their import path (host
-        # sessions with a foreign cwd) — ship the referenced modules by value
-        try:
-            import sys as _sys
-
-            from pyspark import cloudpickle as _cp
-
-            from nixiesearch_spark import stem as _stem_mod
-
-            _cp.register_pickle_by_value(_stem_mod)
-            _cp.register_pickle_by_value(_sys.modules[__name__])
-        except Exception:  # pragma: no cover
-            pass
-
         @pandas_udf(ArrayType(StringType()))
         def _udf(s: pd.Series) -> pd.Series:
             memo: dict = {}
@@ -243,6 +229,22 @@ def analyzer_col(name: str):
 
 def analyzer_py(name: str):
     return ANALYZERS[name][1]
+
+
+# executors may not have this package on their import path (host sessions
+# with a foreign cwd) — ship the analyzer/stemmer modules by value once at
+# import, like index.builder does for codec/lucene
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    from nixiesearch_spark import stem as _stem_mod
+
+    _cp.register_pickle_by_value(_stem_mod)
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort on older pyspark
+    pass
 
 
 def tokenize_arrow_batches(texts):

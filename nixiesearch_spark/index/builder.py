@@ -166,6 +166,18 @@ class IndexBuilder:
     def _build_shards(self, df: DataFrame, index_dir: str, shards: list[int]) -> None:
         c = self.config
         t0 = time.time()
+        # layout guard: appending flat part files into a directory written by
+        # the old hive-partitioned layout (shard=N subdirs) would make the
+        # table unreadable ("conflicting directory structures") — fail loudly
+        import glob as _glob
+
+        for tbl in ("docs", "postings"):
+            if _glob.glob(os.path.join(index_dir, tbl, "shard=*")):
+                raise ValueError(
+                    f"{tbl}/ uses the legacy hive-partitioned layout; "
+                    "rebuild the index (or compact() with the old version) "
+                    "before appending with this version"
+                )
         base = self.with_docid(df)
         # guarantee enough input splits: a corpus delivered as few/large
         # row-groups would otherwise serialize the tokenize stage (real
@@ -241,7 +253,14 @@ class IndexBuilder:
                     # applies to the joined string)
                     toks = tok(F.concat_ws(" ", F.col(f)))
                 else:
-                    toks = F.flatten(F.transform(F.col(f), lambda x: tok(x)))
+                    # drop NULL items first: flatten over a NULL element
+                    # returns NULL and would silently drop the whole field
+                    toks = F.flatten(
+                        F.transform(
+                            F.filter(F.col(f), lambda x: x.isNotNull()),
+                            lambda x: tok(x),
+                        )
+                    )
             else:
                 toks = tok(F.col(f))
             docs = docs.withColumn(f"_toks_{f}", toks)

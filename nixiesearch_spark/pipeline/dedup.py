@@ -245,9 +245,14 @@ def simhash_pairs(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidates
-    via (bits/4)-wide band buckets (a pair within distance 3 shares ≥1 of 4
-    bands — pigeonhole), verified with bit_count(xor)."""
-    band_bits = bits // 4
+    via (max_hamming+1) band buckets — pigeonhole: ≤ h differing bits over
+    h+1 bands leave ≥1 band identical — verified with bit_count(xor).
+    (Bits past band_bits·n_bands sit in no band, which only ADDS candidates,
+    never loses one.)"""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    if band_bits < 1:
+        raise ValueError(f"max_hamming={max_hamming} too large for {bits}-bit simhash")
     band_mask = (1 << band_bits) - 1
     sh = simhash(df, id_col, text_col, bits, hash_fn)
     bands = sh.select(
@@ -260,7 +265,7 @@ def simhash_pairs(
                         F.lit(b).alias("band"),
                         F.expr(f"shiftright(simhash, {band_bits * b}) & {band_mask}").alias("bh"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -126,8 +126,12 @@ def kmeans_centroids(
     idx = rng.choice(len(v), size=k, replace=False)
     cents = v[idx].copy()
     for _ in range(iters):
-        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        # argmin ||v-c||² = argmax (v·c − |c|²/2): an N×k score matrix, not
+        # the N×k×dim broadcast tensor (which would be ~150 GB at the
+        # documented 10^5×768×256 sample scale). Same metric/tie-break as
+        # ivf_assign, so training and assignment agree exactly.
+        scores = v @ cents.T - (cents * cents).sum(1) / 2.0
+        assign = scores.argmax(1)
         for j in range(k):
             m = v[assign == j]
             if len(m):

@@ -257,11 +257,17 @@ class Searcher:
                     w = float(lucene.idf(tstats[t][0], fs["doc_count"]))
                 wrows.append((bi, m.field, t, float(w), int(mult[t])))
         # a dead MUST kills the query; dead should/must_not branches drop out
+        # (kind="branches" callers unpack a 3-tuple — keep the shape on the
+        # empty early-returns too)
+        def _empty():
+            e = self._empty_scores()
+            return (e, [], metas) if kind == "branches" else e
+
         if any(x["dead"] and x["role"] == "must" for x in metas):
-            return self._empty_scores()
+            return _empty()
         live = [i for i, x in enumerate(metas) if not x["dead"]]
         if not any(metas[i]["role"] in ("must", "should", "dismax") for i in live):
-            return self._empty_scores()
+            return _empty()
         fields = sorted({x["field"] for i, x in enumerate(metas) if i in set(live)})
         all_terms = sorted({r[2] for r in wrows})
         postings = self.reader.postings.where(

@@ -80,7 +80,11 @@ def ce_rerank(
             )
             yield out
 
-    scored = cands.mapInPandas(run, schema="docid long, ce_score double, score float")
+    # first-phase score keeps the reader's own type: float (quantized) or
+    # double (oracle mode) — a fixed "float" would silently truncate doubles
+    scored = cands.mapInPandas(
+        run, schema=f"docid long, ce_score double, score {searcher._stype}"
+    )
     cols = ["docid", "ce_score"] + (["score"] if keep_first_score else [])
     return (
         scored.select(*cols)

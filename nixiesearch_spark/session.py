@@ -39,9 +39,16 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores // 2, 8) if serving else max(cores, 8)
+    # never override a master provided by spark-submit / cluster launcher —
+    # forcing local[N] there would silently run the "cluster" job on one box
+    from pyspark import SparkConf
+
+    preset_master = SparkConf().get("spark.master", None)
+    builder = SparkSession.builder.appName(app_name)
+    if preset_master is None:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "false" if serving else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -41,7 +41,9 @@ def compare(name, sdf, osql, con) -> str:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default = the driver's contractual gate scale (sf0.01) — the
+    # ann_ivf_topk oracle bakes centroids from that corpus
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
     import duckdb
 

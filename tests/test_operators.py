@@ -240,17 +240,19 @@ def test_text_list_field(spark, tmp_path):
         (3, ["red pajama", "flannel red"]),
         (4, []),
         (5, None),
+        (6, ["red", None]),  # NULL item must not drop the whole field
     ]
     df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
     d1 = str(tmp_path / "arr")
     cfg = IndexConfig(text_fields=("tags",), id_col="doc_id", n_shards=2)
     IndexBuilder(spark, cfg).build(df, d1)
     s1 = Searcher(IndexReader(spark, d1))
-    # matches span items; doc 3 has tf(red)=2 across two instances
+    # matches span items; doc 3 has tf(red)=2 across two instances; doc 6's
+    # NULL item is skipped, its "red" still indexes
     got = {r["docid"]: r["score"] for r in s1.search(MatchQuery("tags", "red"), size=10).collect()}
-    assert set(got) == {1, 3}
+    assert set(got) == {1, 3, 6}
     joined = df.select(
-        "doc_id", F.array_join(F.col("tags"), " ").alias("tags")
+        "doc_id", F.array_join(F.col("tags"), " ").alias("tags")  # skips NULL items too
     ).na.fill({"tags": ""})
     d2 = str(tmp_path / "join")
     IndexBuilder(spark, IndexConfig(text_fields=("tags",), id_col="doc_id", n_shards=2)).build(
@@ -261,6 +263,14 @@ def test_text_list_field(spark, tmp_path):
         a = [(r["docid"], np.float32(r["score"])) for r in s1.search(q, size=10).collect()]
         b = [(r["docid"], np.float32(r["score"])) for r in s2.search(q, size=10).collect()]
         assert a == b, q
+
+
+def test_rrf_fuse_matches_all_dead_branches(s):
+    # every branch's terms absent from the index → empty frame, no crash
+    from nixiesearch_spark.query.rrf import rrf_fuse_matches
+
+    out = rrf_fuse_matches(s, [MatchQuery("title", "zzqqxx_nohit")], size=5)
+    assert out.collect() == []
 
 
 def test_ce_rerank_pipeline(s):

@@ -114,6 +114,9 @@ def test_simhash(spark, docs):
     assert ham13 < ham14  # near-dup closer than unrelated
     pairs = dedup.simhash_pairs(docs, "id", "text", max_hamming=ham13).collect()
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+    # max_hamming > 3 widens to max_hamming+1 bands (pigeonhole stays sound)
+    wide = dedup.simhash_pairs(docs, "id", "text", max_hamming=5).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in wide}
 
 
 @pytest.fixture(scope="module")

@@ -384,6 +384,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_events_sessionized(spark, sf):
+        # gap-based session windows (session_window builtin; same operator
+        # the streaming path uses, batch mode here for the oracle)
+        from nixiesearch_spark.streaming.analytics import sessionized
+
+        return sessionized(_events(spark, sf), gap="10 minutes")
+
+    def q_events_sliding(spark, sf):
+        # sliding event-time windows (2h window, 1h slide)
+        from nixiesearch_spark.streaming.analytics import windowed_rollup
+
+        return windowed_rollup(_events(spark, sf), window="2 hours", slide="1 hour")
+
     def q_suggest(spark, sf):
         import shutil as _sh
 
@@ -489,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "events_sessionized": q_events_sessionized,
+        "events_sliding": q_events_sliding,
         "suggest_rrf": q_suggest,
         "facet_rrf_merged": q_facet_rrf_merged,
         "geo_sort": q_geo_sort,
@@ -881,6 +896,38 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
+    # session semantics: windows [t, t+gap) merge when they overlap, i.e. a
+    # new session starts iff the gap to the previous event is >= gap;
+    # session_end = last event + gap
+    sql["events_sessionized"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum
+FROM g GROUP BY user_id, sid
+"""
+
+    sql["events_sliding"] = """
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)])
+           AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, event_type,
+       count(*)::BIGINT AS cnt, round(sum(value), 4) AS value_sum
+FROM w GROUP BY window_start, event_type
+"""
+
     sql["suggest_rrf"] = f"""
 WITH t AS (
   SELECT list_filter(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),

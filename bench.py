@@ -21,7 +21,9 @@ BENCH_CORPUS_DOCS (default 120000 — large enough that per-level fixed
 overhead (JVM job scheduling, parquet commits, ~13 s) stops distorting the
 scaling ratio), BENCH_LEVELS (default "4,16"; 8,32 hits this box's memory
 wall — stream ceiling 0.40 — and measures the host, not the engine),
-BENCH_REPEATS (default 2 — best-of-N against the host's ±40% run noise).
+BENCH_REPEATS (default 1 to keep the per-round bench under ~6 min; raise
+for best-of-N against the host's ±40% run noise — BENCH.md records the
+best-of-N evidence runs).
 """
 
 from __future__ import annotations
@@ -116,7 +118,7 @@ def scaling_phase(tmp: str) -> dict:
         corpus = cached
     have_taskset = shutil.which("taskset") is not None
     child = _CHILD.format(root=ROOT)
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     res = {}
     for cores in LEVELS:
         best = None

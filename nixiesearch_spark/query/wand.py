@@ -208,10 +208,13 @@ def wand_topk(
     k: int = 10,
     n_stripes: int = 32,
     operator: str = "or",
+    resolve: str = "auto",
 ) -> DataFrame:
     """Distributed block-max WAND match top-k over the packed table.
     ``operator="and"`` requires every query term per doc (conjunction is
-    applied inside the stripe scorer; the OR upper bounds stay valid)."""
+    applied inside the stripe scorer; the OR upper bounds stay valid).
+    ``resolve``: ordinal→docid strategy — "join" | "lookup" | "auto"
+    (lookup above 5M docs; see inline rationale)."""
     if not reader.quantize:
         raise ValueError("WAND serving path requires a quantized index")
     if "packed_seqnum" in reader.stats:  # absent = legacy stats (always packed)
@@ -260,8 +263,48 @@ def wand_topk(
     )
     nsh = int(reader.stats.get("n_shards", 32))
     local = matched.repartition(nsh, "shard").mapInPandas(run, schema=TOPK_SCHEMA)
-    # map shard-local ordinals back to global docids (broadcast the tiny
-    # candidate frame against the docs table), then the global cut with the
-    # Lucene docid-asc tiebreak
-    joined = reader.ordinal_map.join(F.broadcast(local), ["shard", "ordinal"])
-    return joined.select("docid", "score").orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    # map shard-local ordinals back to global docids. Two physical
+    # strategies with identical results:
+    # - "join": broadcast the tiny candidate frame against the
+    #   (shard, ordinal, docid) map — one job, minimal plan, fastest when
+    #   the map fits a cached scan (sandbox scale);
+    # - "lookup": collect the ≈k-per-shard candidates and fold them into
+    #   pushable point predicates (OR of shard = s AND ordinal IN (...))
+    #   + a literal score map — at 10^9+ docs the join side would scan the
+    #   WHOLE docs-derived map per query, while the predicates prune to a
+    #   handful of parquet row-groups (docs are written sorted by
+    #   (shard, bucket, docid)). Plan-compile cost of the literals is
+    #   ~1 s, noise at that scale.
+    doc_count = max(
+        (f.get("doc_count", 0) for f in reader.stats.get("fields", {}).values()),
+        default=0,
+    )
+    use_lookup = resolve == "lookup" or (resolve == "auto" and doc_count > 5_000_000)
+    if not use_lookup:
+        joined = reader.ordinal_map.join(F.broadcast(local), ["shard", "ordinal"])
+        return (
+            joined.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+    rows = local.collect()
+    if not rows:
+        return spark.createDataFrame([], FINAL_SCHEMA)
+    by_shard: dict[int, list[int]] = {}
+    smap: dict[str, float] = {}
+    for r in rows:
+        by_shard.setdefault(int(r["shard"]), []).append(int(r["ordinal"]))
+        smap[f"{int(r['shard'])}_{int(r['ordinal'])}"] = float(r["score"])
+    pred = None
+    for s, ords in by_shard.items():
+        p = (F.col("shard") == s) & F.col("ordinal").isin(ords)
+        pred = p if pred is None else (pred | p)
+    score_map = F.create_map(
+        *[x for kv in smap.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    key = F.concat_ws("_", F.col("shard"), F.col("ordinal"))
+    out = (
+        reader.ordinal_map.where(pred)
+        .select("docid", score_map[key].cast("float").alias("score"))
+    )
+    return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from nixiesearch_spark.corpus import MARKERS, make_corpus
+from nixiesearch_spark.corpus import MARKERS
 from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
 from nixiesearch_spark.oracle import build_oracle_index, score_match
 from nixiesearch_spark.query import MatchQuery, Searcher

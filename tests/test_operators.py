@@ -279,7 +279,7 @@ def test_ce_rerank_pipeline(s):
     deterministic lexical scorer makes the order hand-checkable; a custom
     scorer function is injectable (the ONNX surface)."""
     from nixiesearch_spark.analysis import tokenize_py
-    from nixiesearch_spark.query.rerank import ce_rerank, lexical_overlap_scorer
+    from nixiesearch_spark.query.rerank import ce_rerank
 
     q = "red flannel pajama"
     out = ce_rerank(s, MatchQuery("desc", "red"), "desc", q, k=5, window=10).collect()

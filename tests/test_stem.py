@@ -9,7 +9,6 @@ classic Porter algorithm's full-pipeline outputs (the famous demo pairs —
 from __future__ import annotations
 
 import duckdb
-import pytest
 
 from nixiesearch_spark.stem import porter_py, porter_sql
 

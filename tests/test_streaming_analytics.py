@@ -7,8 +7,6 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-import pytest
-
 from nixiesearch_spark.streaming.analytics import (
     running_user_stats,
     sessionized,

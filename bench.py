@@ -253,8 +253,21 @@ def main():
         p95 = all_times[max(int(len(all_times) * 0.95) - 1, 0)]
         scaling, machine = {}, {}
         if not SKIP_SCALING:
-            machine = machine_ceiling(LEVELS)
+            # bracket the engine's scaling runs with hardware probes: the
+            # host's own ceilings swing minute-to-minute (0.40-0.94 observed),
+            # so the pre/post pair shows what the box offered DURING the run
+            pre = machine_ceiling(LEVELS)
             scaling = scaling_phase(tmp)
+            post = machine_ceiling(LEVELS)
+            machine = {
+                **{f"{k}_pre": v for k, v in pre.items()},
+                **{f"{k}_post": v for k, v in post.items()},
+                # headline = mean of pre/post, the fairest single number
+                **{
+                    k: round((pre[k] + post[k]) / 2, 3)
+                    for k in pre
+                },
+            }
         results.update(
             {
                 "metric": "index-build docs/sec + BM25 top-k query latency",

@@ -52,9 +52,23 @@ class Searcher:
         self.mapping = mapping
         self.spark: SparkSession = reader.spark
         self._cache_df = {}  # field -> broadcastable norm-cache DataFrame
+        self._persisted: list[DataFrame] = []  # searcher-lifetime cached frames
         # quantized mode scores are float32 (Lucene parity); unquantized mode
         # keeps full double precision (SQL-oracle parity)
         self._stype = "float" if reader.quantize else "double"
+
+    def _track_persisted(self, df: DataFrame) -> DataFrame:
+        """Persist ``df`` for the searcher's lifetime (shared-scan frames the
+        fused RRF path hangs plans off); release() drops them all."""
+        df = df.persist()
+        self._persisted.append(df)
+        return df
+
+    def release(self) -> None:
+        """Unpersist searcher-lifetime cached frames (non-blocking)."""
+        for df in self._persisted:
+            df.unpersist(blocking=False)
+        self._persisted.clear()
 
     # ---------- public API ----------
 
@@ -560,9 +574,7 @@ class Searcher:
         order.append(F.asc("docid"))  # stable tiebreak
         top = df.orderBy(*order).limit(size)
         # rank over the k-row frame so a later fetch can restore this order;
-        # constant partition key = one task for ≤size rows, minus the
-        # "No Partition Defined" warning a bare global window logs
-        from pyspark.sql import Window
+        # window-free (ranks.rank_limited) — no WindowExec node, no warning
+        from nixiesearch_spark.query.ranks import rank_limited
 
-        w = Window.partitionBy(F.lit(0)).orderBy(*order)
-        return top.select("docid", "score", F.row_number().over(w).alias("_rank"))
+        return rank_limited(top, order, ["docid", "score"], "_rank", base=1)

@@ -8,8 +8,10 @@ take size. Sorting is rejected under RRF (reference Searcher.scala:119).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nixiesearch_spark.query.ranks import rank_limited
 
 DEFAULT_RRF_K = 60.0
 
@@ -38,14 +40,14 @@ def rrf_fuse(
 
 
 def _fuse_ranked(tops: list[DataFrame], size: int, k: float) -> DataFrame:
-    """Rank each branch's top-window frame in place (a limited frame is
-    already one partition — the constant-key window adds NO exchange and no
-    global-window warning), union, then hash-aggregate the RRF sum.
-    Single job, fully on-cluster, no driver loop."""
-    ranked = []
-    for i, t in enumerate(tops):
-        w = Window.partitionBy(F.lit(i)).orderBy(F.desc("score"), F.asc("docid"))
-        ranked.append(t.select("docid", (F.row_number().over(w) - 1).alias("rank")))
+    """Rank each branch's top-window frame in place (window-free: see
+    ranks.rank_limited — no WindowExec node, no global-window warning),
+    union, then hash-aggregate the RRF sum. Single job, fully on-cluster,
+    no driver loop."""
+    ranked = [
+        rank_limited(t, [F.desc("score"), F.asc("docid")], ["docid"], "rank")
+        for t in tops
+    ]
     union = ranked[0]
     for t in ranked[1:]:
         union = union.unionByName(t)
@@ -61,13 +63,20 @@ def rrf_fuse_matches(searcher, matches, size: int = 10, window: int = 100,
     aggregation produces every branch's scores as columns; each branch's
     top-window then reads off that shared frame and fusion runs on-cluster
     in the same job (no per-branch collect, no driver loop). Results
-    identical to rrf_fuse over separate score frames."""
+    identical to rrf_fuse over separate score frames.
+
+    The shared frame stays persisted for the searcher's lifetime (it's the
+    searcher's own cache, registered via _track_persisted — release() or
+    session end drops it): unpersisting eagerly would force a driver
+    round-trip to materialize the k fused rows first, breaking plan
+    composability (a downstream facet would re-plan from a literal frame).
+    """
     per_doc, live, metas = searcher._fused(
         [("dismax", m) for m in matches], kind="branches"
     )
     if not live:
         return searcher.spark.createDataFrame([], "docid long, score double")
-    per_doc = per_doc.persist()
+    per_doc = searcher._track_persisted(per_doc)
     tops = []
     for i in live:
         need = metas[i]["n"] if metas[i]["op"] == "and" else 1
@@ -77,11 +86,4 @@ def rrf_fuse_matches(searcher, matches, size: int = 10, window: int = 100,
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(window)
         )
-    out = _fuse_ranked(tops, size, k)
-    # materialize before unpersisting the shared frame the plan hangs off
-    rows = out.collect()
-    per_doc.unpersist()
-    spark = searcher.spark
-    if not rows:
-        return spark.createDataFrame([], "docid long, score double")
-    return spark.createDataFrame(rows, "docid long, score double")
+    return _fuse_ranked(tops, size, k)

@@ -20,10 +20,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nixiesearch_spark.analysis import tokenize_col
+from nixiesearch_spark.query.ranks import rank_limited
 
 RRF_SCALE = 60.0
 MAX_SHINGLE = 3
@@ -68,13 +69,13 @@ def load_suggest(spark: SparkSession, index_dir: str, field: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "suggest", f"field={field}"))
 
 
-def _ranked(branch: DataFrame, window: int, tag: int) -> DataFrame:
-    # rank over the already-limited window frame; the constant-keyed window
-    # partition spec keeps the ≤window rows in one task WITHOUT the global-
-    # window warning (and the later union ranks per-branch via the tag)
+def _ranked(branch: DataFrame, window: int) -> DataFrame:
+    # rank over the already-limited window frame, window-function-free
+    # (ranks.rank_limited): no WindowExec node, no global-window warning
     top = branch.orderBy(F.desc("freq"), F.asc("suggestion")).limit(window)
-    w = Window.partitionBy(F.lit(tag)).orderBy(F.desc("freq"), F.asc("suggestion"))
-    return top.select("suggestion", (F.row_number().over(w) - 1).alias("rank"))
+    return rank_limited(
+        top, [F.desc("freq"), F.asc("suggestion")], ["suggestion"], "rank"
+    )
 
 
 def suggest(
@@ -92,9 +93,7 @@ def suggest(
         (F.length(s).between(lenq - 2, lenq + 2)) & (F.levenshtein(s, F.lit(q)) <= 2)
     )
     infix = sugg_table.where(s.contains(q))
-    branches = [
-        _ranked(b, window, i) for i, b in enumerate((prefix, fuzzy1, fuzzy2, infix))
-    ]
+    branches = [_ranked(b, window) for b in (prefix, fuzzy1, fuzzy2, infix)]
     union = branches[0]
     for b in branches[1:]:
         union = union.unionByName(b)

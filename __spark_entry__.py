@@ -448,6 +448,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out
 
+    def _knn_searcher(spark, sf):
+        # index with a stored embedding column (documents ⋈ embeddings on
+        # doc_id = vec_id, cast to double so Spark + DuckDB share the exact
+        # fp chain); serves the knn / hybrid DSL entries
+        from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
+
+        key = (sf, "knn_dsl")
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="nsentry_knn_")
+            docs = _docs(spark, sf)
+            emb = _emb(spark, sf).select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            df = docs.join(emb, "doc_id")
+            cfg = IndexConfig(
+                text_fields=("text",), id_col="doc_id", n_shards=8, quantize=False
+            )
+            IndexBuilder(spark, cfg).build(df, d)
+            _CACHE[key] = Searcher(IndexReader(spark, d))
+        return _CACHE[key]
+
+    def _query_vec(spark, sf):
+        return _emb(spark, sf).where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+    def q_knn_dsl(spark, sf):
+        # knn through the query DSL with a PRE-filter (reference
+        # KnnQuery.scala:20-88: filters apply inside the vector search, so
+        # all k survivors satisfy them)
+        s = _knn_searcher(spark, sf)
+        qv = _query_vec(spark, sf)
+        out = s.search(
+            {"knn": {"field": "embedding", "query_vector": qv, "k": 10}},
+            filters={"term": {"lang": "en"}},
+            size=10,
+        )
+        return _as_docid(out, 6)
+
+    def q_hybrid_rrf(spark, sf):
+        # the reference's flagship hybrid search: lexical match ∥ vector knn
+        # fused under one rrf request (RRFQuery.scala:23-79)
+        s = _knn_searcher(spark, sf)
+        qv = _query_vec(spark, sf)
+        out = s.search(
+            {
+                "rrf": {
+                    "retrieve": [
+                        {"match": {"text": "spark join window"}},
+                        {"knn": {"field": "embedding", "query_vector": qv, "k": 50}},
+                    ],
+                    "rank_window_size": 50,
+                }
+            },
+            size=10,
+        )
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+
+    def q_knn_nested_dsl(spark, sf):
+        # nested knn via DSL: array<array<double>> stored field scores
+        # max-over-children per parent (DiversifyingChildren analog,
+        # reference KnnQuery.scala:42-58)
+        from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
+
+        key = (sf, "knn_nested_dsl")
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="nsentry_knnn_")
+            e = _emb(spark, sf).where(F.col("vec_id") != 0)
+            parents = (
+                e.groupBy(F.pmod(F.col("vec_id"), F.lit(100)).alias("parent_id"))
+                .agg(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("vec_id"),
+                                    F.col("embedding").cast("array<double>").alias("e"),
+                                )
+                            )
+                        ),
+                        lambda x: x["e"],
+                    ).alias("children")
+                )
+                .withColumn("label", F.col("parent_id").cast("string"))
+            )
+            cfg = IndexConfig(
+                text_fields=("label",), id_col="parent_id", n_shards=4, quantize=False
+            )
+            IndexBuilder(spark, cfg).build(parents, d)
+            _CACHE[key] = Searcher(IndexReader(spark, d))
+        s = _CACHE[key]
+        qv = _query_vec(spark, sf)
+        out = s.search(
+            {"knn": {"field": "children", "query_vector": qv, "k": 10}}, size=10
+        )
+        return out.select(
+            F.col("docid").alias("parent_id"),
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+
     def q_wand_topk(spark, sf):  # packed/WAND path; quantized float32 SQL oracle
         from nixiesearch_spark.query.wand import wand_topk
 
@@ -499,6 +601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "knn_parent_block": q_knn_parent_block,
+        "knn_query_dsl": q_knn_dsl,
+        "knn_nested_dsl": q_knn_nested_dsl,
+        "hybrid_rrf": q_hybrid_rrf,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1025,6 +1130,80 @@ sc AS (
 SELECT parent_id, round(max(c), 6) AS cosine
 FROM sc GROUP BY parent_id
 ORDER BY round(max(c), 6) DESC, parent_id ASC
+LIMIT 10
+"""
+
+    # knn DSL entries: Lucene VectorSimilarityFunction.COSINE score
+    # (1 + cosine) / 2 over double-cast embeddings — fp chain identical on
+    # both sides (documents ⋈ embeddings on doc_id = vec_id)
+    sql["knn_query_dsl"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
+v AS (
+  SELECT d.doc_id, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+sc AS (
+  SELECT doc_id,
+         (1 + list_dot_product(emb, qemb)
+              / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb)))) / 2 AS s
+  FROM v, q
+)
+SELECT doc_id, round(s, 6) AS score
+FROM sc
+ORDER BY s DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sql["knn_nested_dsl"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
+ch AS (
+  SELECT vec_id % 100 AS parent_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id <> 0
+),
+sc AS (
+  SELECT parent_id,
+         list_dot_product(emb, qemb)
+         / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS c
+  FROM ch, q
+)
+SELECT parent_id, round((1 + max(c)) / 2, 6) AS score
+FROM sc GROUP BY parent_id
+ORDER BY (1 + max(c)) / 2 DESC, parent_id ASC
+LIMIT 10
+"""
+
+    # hybrid RRF: lexical branch (double BM25, same CTE chain as rrf_fusion)
+    # + vector branch (knn cosine), each ranked by (score DESC, doc_id ASC),
+    # 0-based ranks fused as Σ 1/(60 + rank) over a window of 50
+    sql["hybrid_rrf"] = f"""
+WITH {_bm25_full(["spark", "join", "window"])},
+q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
+v AS (
+  SELECT d.doc_id, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+ks AS (
+  SELECT doc_id,
+         (1 + list_dot_product(emb, qemb)
+              / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb)))) / 2 AS s
+  FROM v, q
+),
+b1 AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sc.score DESC, doc_id ASC) - 1 AS rnk FROM sc
+  ) WHERE rnk < 50
+),
+b2 AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1 AS rnk FROM ks
+  ) WHERE rnk < 50
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+f AS (SELECT doc_id, sum(1.0 / (60.0 + rnk)) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM f
+ORDER BY f.score DESC, doc_id ASC
 LIMIT 10
 """
 

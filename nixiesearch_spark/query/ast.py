@@ -1,7 +1,10 @@
 """Query AST — the retrieve-query DSL of the reference
 (``api/query/Query.scala:36-50``: one-key JSON object dispatch;
-retrieve set {match_all, bool, dis_max, match, multi_match, knn, semantic} —
-knn/semantic are out of v1 scope, documented parity gap).
+retrieve set {match_all, bool, dis_max, match, multi_match, knn} plus the
+rerank query {rrf}; ``semantic`` (model-embedded query text) stays out of
+scope — it needs ONNX inference — but ``knn`` with a pre-embedded query
+vector needs no model and is fully supported, including hybrid
+lexical ∥ vector fusion under ``rrf``).
 """
 
 from __future__ import annotations
@@ -62,6 +65,49 @@ class MatchAllQuery(Query):
     constant score 1.0 over all docs; the default for an empty body."""
 
 
+MAX_NUM_CANDIDATES = 10000  # reference KnnQuery.scala:72
+
+
+@dataclass
+class KnnQuery(Query):
+    """Reference ``api/query/retrieve/KnnQuery.scala:20-88``: vector top-k
+    over a pre-embedded query vector. ``k`` defaults to 10; the candidate
+    pool is ``final_k = max(k, num_candidates or round(1.5k))``; request
+    filters apply as a PRE-filter (Lucene KnnFloatVectorQuery's filter arg),
+    so the k survivors all satisfy the filter. Score = Lucene
+    VectorSimilarityFunction.COSINE: (1 + cosine) / 2. A nested
+    (array-of-vectors) field scores max-over-children per parent doc —
+    DiversifyingChildrenFloatKnnVectorQuery (KnnQuery.scala:42-58)."""
+
+    field: str
+    query_vector: list = field(default_factory=list)
+    k: int | None = None
+    num_candidates: int | None = None
+
+    @property
+    def final_k(self) -> int:
+        real_k = self.k if self.k is not None else 10
+        num_cand = (
+            self.num_candidates
+            if self.num_candidates is not None
+            else int(round(real_k * 1.5))
+        )
+        return max(real_k, num_cand)
+
+
+@dataclass
+class RRFQuery(Query):
+    """Reference ``api/query/rerank/RRFQuery.scala:23-79``: retrieve each
+    branch's top ``rank_window_size`` (default = request size), fuse with
+    Σ 1/(k + rank), rank 0-based, k=60 default; a single branch passes
+    through with its RAW scores (combine's head::Nil case). Top-level only;
+    sort is rejected under RRF (Searcher.scala:119)."""
+
+    retrieve: list = field(default_factory=list)
+    k: float = 60.0
+    rank_window_size: int | None = None
+
+
 def parse_query(obj: dict | None) -> Query:
     """One-key JSON object → Query (reference Query.scala dispatch).
     Empty/None → match_all (reference api/SearchRoute.scala:79-81)."""
@@ -96,5 +142,27 @@ def parse_query(obj: dict | None) -> Query:
         return DisMaxQuery(
             queries=[parse_query(q) for q in body["queries"]],
             tie_breaker=float(body.get("tie_breaker", 0.0)),
+        )
+    if kind == "knn":
+        nc = body.get("num_candidates")
+        if nc is not None and int(nc) > MAX_NUM_CANDIDATES:
+            raise ValueError(
+                f"num_candidates should be less than {MAX_NUM_CANDIDATES}"
+            )
+        return KnnQuery(
+            field=body["field"],
+            query_vector=[float(x) for x in body["query_vector"]],
+            k=int(body["k"]) if body.get("k") is not None else None,
+            num_candidates=int(nc) if nc is not None else None,
+        )
+    if kind == "rrf":
+        return RRFQuery(
+            retrieve=[parse_query(q) for q in body["retrieve"]],
+            k=float(body.get("k", 60.0)),
+            rank_window_size=(
+                int(body["rank_window_size"])
+                if body.get("rank_window_size") is not None
+                else None
+            ),
         )
     raise ValueError(f"unsupported query kind: {kind}")

@@ -85,6 +85,15 @@ class Searcher:
         ``fields``: stored columns to fetch (default [docid, score])."""
         if isinstance(query, dict) or query is None:
             query = ast.parse_query(query)
+        if isinstance(query, ast.RRFQuery):
+            # rerank query: fuse per-branch top-windows; sorting is rejected
+            # (reference Searcher.scala:119)
+            if sort:
+                raise ValueError("sorting is not supported for rrf queries")
+            fused = self._rrf(query, filters, size)
+            if fields:
+                return self.fetch(fused, fields)
+            return fused
         if self.mapping is not None and sort:
             for item in sort:
                 if item[0] not in ("_score", "_doc"):
@@ -116,6 +125,14 @@ class Searcher:
         """Full match-set scores (docid, float score) — facets and sorts run
         over this, mirroring the reference's FacetsCollector running beside
         the top-k collector (RetrieveQuery.scala:88-90)."""
+        if isinstance(query, ast.RRFQuery):
+            raise ValueError("rrf is a top-level rerank query — use search()")
+        if isinstance(query, ast.KnnQuery):
+            # filters + tombstones apply INSIDE knn (pre-filter semantics:
+            # Lucene KnnFloatVectorQuery takes the filter as an argument, so
+            # the k survivors all satisfy it — a post-filter would return
+            # fewer than k)
+            return self._score_knn(query, filters)
         query = self._expand_wildcards(query)
         if self.mapping is not None:
             self._validate_query(query)
@@ -133,6 +150,78 @@ class Searcher:
             keep = self.reader.docs.where(pred).select("docid")
             scored = scored.join(keep, "docid", "left_semi")
         return scored
+
+    def _rrf(self, q: ast.RRFQuery, filters: dict | None, size: int) -> DataFrame:
+        """RRF fusion over retrieve branches (reference RRFQuery.topDocs):
+        each branch retrieves its top ``rank_window_size`` (default = size)
+        WITH the request filters, then ranks fuse as Σ 1/(k + rank). One
+        branch passes through with raw scores (combine's head::Nil case).
+        All-match branches with no filters take the single-scan fused path
+        (rrf_fuse_matches: one postings scan feeds every branch)."""
+        from nixiesearch_spark.query.rrf import rrf_fuse, rrf_fuse_matches
+
+        if not q.retrieve:
+            raise ValueError("rrf requires at least one retrieve query")
+        window = q.rank_window_size if q.rank_window_size is not None else size
+        if len(q.retrieve) == 1:
+            return (
+                self.score(q.retrieve[0], filters)
+                .orderBy(F.desc("score"), F.asc("docid"))
+                .limit(size)
+            )
+        if (
+            filters is None
+            and self.reader.tombstones is None
+            and all(isinstance(s, ast.MatchQuery) for s in q.retrieve)
+        ):
+            return rrf_fuse_matches(self, q.retrieve, size=size, window=window, k=q.k)
+        branches = [self.score(s, filters) for s in q.retrieve]
+        return rrf_fuse(branches, size=size, window=window, k=q.k)
+
+    def _score_knn(self, q: ast.KnnQuery, filters: dict | None) -> DataFrame:
+        """Vector top-final_k as a score frame (reference KnnQuery.compile):
+        brute-force exact cosine over the stored embedding column — one scan,
+        JVM-side fold, TakeOrderedAndProject (see pipeline.similarity for the
+        LSH/IVF scale paths; exact scan is the correctness baseline and the
+        right plan for single queries). Score = (1 + cosine) / 2, Lucene
+        VectorSimilarityFunction.COSINE. A nested array<array<float>> field
+        scores max-over-children per parent doc — the
+        DiversifyingChildrenFloatKnnVectorQuery analog (KnnQuery.scala:42-58);
+        pure Catalyst (array_max ∘ transform), no explode, no shuffle."""
+        from nixiesearch_spark.pipeline.similarity import cosine_sim
+
+        docs = self.reader.docs
+        if q.field not in docs.columns:
+            raise ValueError(
+                f"field '{q.field}' is not stored in this index — knn needs a "
+                "stored array<float> (or nested array<array<float>>) column"
+            )
+        if not q.query_vector:
+            raise ValueError("knn query_vector must be non-empty")
+        tombs = self.reader.tombstones
+        if tombs is not None:
+            docs = docs.join(tombs, "docid", "left_anti")
+        if filters is not None:
+            if self.mapping is not None:
+                from nixiesearch_spark.query.filters import collect_filter_fields
+
+                for f in collect_filter_fields(filters):
+                    self.mapping.require(f, "filter")
+            docs = docs.where(compile_predicate(filters))
+        vec = F.col(q.field)
+        qv = F.array(*[F.lit(float(x)) for x in q.query_vector])
+        dtype = dict(docs.dtypes).get(q.field, "")
+        if dtype.startswith("array<array"):
+            sim = F.array_max(F.transform(vec, lambda x: cosine_sim(x, qv)))
+        else:
+            sim = cosine_sim(vec, qv)
+        score = (F.lit(1.0) + sim) / F.lit(2.0)
+        return (
+            docs.where(vec.isNotNull())
+            .select("docid", score.cast(self._stype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(q.final_k)
+        )
 
     def _expand_wildcards(self, q: ast.Query) -> ast.Query:
         """Expand multi_match field patterns like ``title_*`` before

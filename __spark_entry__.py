@@ -564,6 +564,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = wand_topk(s.reader, "text", "spark join window", k=10, operator="and")
         return _as_docid(out)
 
+    def q_wand_filtered(spark, sf):
+        # filters ride INSIDE the pruned WAND search (allowed-ordinal mask;
+        # the Occur.FILTER leapfrog analog) — bit-identical to the flat
+        # filtered path, quantized float32 SQL oracle
+        from nixiesearch_spark.query.wand import wand_topk
+
+        s = _index(spark, sf, ("text",), True)
+        out = wand_topk(
+            s.reader, "text", "spark join window group", k=10,
+            filters={"term": {"lang": "en"}},
+        )
+        return _as_docid(out)
+
     def q_index_stats(spark, sf):
         s = _index(spark, sf, ("text",), False)
         rows = [
@@ -615,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "wand_topk": q_wand_topk,
         "wand_topk_and": q_wand_and,
+        "wand_filtered": q_wand_filtered,
     }
 
 
@@ -672,14 +686,24 @@ LIMIT {k}
 """
 
 
-def _wand_sql(terms: list[str], op: str = "or", k: int = 10) -> str:
+def _wand_sql(terms: list[str], op: str = "or", k: int = 10, doc_where: str | None = None) -> str:
     """Quantized (Lucene-exact float32) BM25 in DuckDB: SmallFloat norm byte
     → LENGTH_TABLE decode → float32 norm-cache chain → per-posting
     w - w/(1f + tf*cache) with FLOAT ops at every step (DuckDB FLOAT
     arithmetic rounds to float32 per op, verified bit-equal to numpy).
-    Mirrors engine.py quantized chain / lucene.py op-for-op."""
+    Mirrors engine.py quantized chain / lucene.py op-for-op.
+    ``doc_where``: extra predicate over documents alias ``d`` (the filtered
+    WAND entries)."""
     tl = ",".join(f"'{t}'" for t in terms)
-    flt = f"WHERE nt = {len(terms)}" if op == "and" else ""
+    conds = []
+    if op == "and":
+        conds.append(f"nt = {len(terms)}")
+    dj = "JOIN documents d ON d.doc_id = sc.doc_id" if doc_where else ""
+    if doc_where:
+        conds.append(doc_where)
+    flt = (dj + ("\nWHERE " + " AND ".join(conds) if conds else "")) if doc_where else (
+        f"WHERE {conds[0]}" if conds else ""
+    )
     return f"""
 WITH tok_f AS (
   SELECT doc_id, t.term
@@ -719,9 +743,9 @@ sc AS (
          count(*) AS nt
   FROM tf JOIN w USING(term) JOIN cch ON cch.doc_id = tf.doc_id
   GROUP BY tf.doc_id)
-SELECT doc_id, round(CAST(sc.score AS DOUBLE), 4) AS score
+SELECT sc.doc_id, round(CAST(sc.score AS DOUBLE), 4) AS score
 FROM sc {flt}
-ORDER BY sc.score DESC, doc_id ASC
+ORDER BY sc.score DESC, sc.doc_id ASC
 LIMIT {k}
 """
 
@@ -1107,6 +1131,9 @@ LIMIT 15
 
     sql["wand_topk"] = _wand_sql(["spark", "join", "window", "group"])
     sql["wand_topk_and"] = _wand_sql(["spark", "join", "window"], "and")
+    sql["wand_filtered"] = _wand_sql(
+        ["spark", "join", "window", "group"], doc_where="d.lang = 'en'"
+    )
     sql["dedup_minhash_lsh"] = _minhash_sql(num_hashes=32, bands=16, threshold=0.5)
     sql["dedup_simhash"] = _simhash_sql(bits=60, max_hamming=3)
     sql["ann_lsh_topk"] = _ann_lsh_sql(n_planes=6, multiprobe_bits=2, k=10)

@@ -36,8 +36,21 @@ Per-shard algorithm (vectorized block-max pruning + heap-style threshold)
 Skip test uses strict ``<`` so score==θ docs still surface for the
 docid-asc tiebreak (Lucene competitive-iff-equal-and-lower-docid rule).
 
-Scope: OR and AND match, quantized indexes, no filters — the flat
-Catalyst path covers the rest; parity verified in tests/test_wand.py.
+Filters and tombstones ride INSIDE the pruned search (the analog of
+Lucene's Occur.FILTER clause leapfrog, reference
+``api/query/retrieve/RetrieveQuery.scala:42-57``): the filter predicate
+resolves against the docs table to a per-shard allowed-ordinal set (docs
+carry shard+ordinal columns — no join), which is unioned into the same
+explicit-repartition exchange as the packed blocks and applied as a
+vectorized membership mask at block-decode time. Upper bounds stay sound
+(a filter only removes candidates), so filtered WAND results are
+bit-identical to the flat filtered path. Tombstones become a banned-ordinal
+set the same way. Intended for SELECTIVE filters — a filter matching most
+of the corpus ships ~matching-ordinals×8B through the exchange, and the
+flat Catalyst path is the better plan there (same answer either way).
+
+Scope: OR and AND match, quantized indexes; parity verified in
+tests/test_wand.py.
 """
 
 from __future__ import annotations
@@ -81,6 +94,8 @@ def _shard_topk(
     k: int,
     n_stripes: int,
     n_required: int = 0,  # >0 → AND semantics: doc must match all n terms
+    allow: np.ndarray | None = None,  # sorted allowed ordinals (filter mode)
+    ban: np.ndarray | None = None,  # sorted banned ordinals (tombstones)
 ) -> pd.DataFrame:
     shard = int(pdf["shard"].iloc[0])
     terms = list(dict.fromkeys(pdf["term"]))
@@ -155,6 +170,21 @@ def _shard_topk(
             if key not in decoded:
                 b = blocks[t]
                 d, tf, nm = codec.decode_posting_block(b["gaps"][j], b["tfs"][j], b["norms"][j])
+                # filter/tombstone mask at decode time, cached with the block
+                # (membership by binary search on the sorted ordinal sets)
+                if allow is not None:
+                    if len(allow) == 0:
+                        keep = np.zeros(len(d), dtype=bool)
+                    else:
+                        pos = np.searchsorted(allow, d)
+                        keep = (pos < len(allow)) & (
+                            allow[np.minimum(pos, len(allow) - 1)] == d
+                        )
+                    d, tf, nm = d[keep], tf[keep], nm[keep]
+                if ban is not None and len(ban):
+                    pos = np.searchsorted(ban, d)
+                    hit = (pos < len(ban)) & (ban[np.minimum(pos, len(ban) - 1)] == d)
+                    d, tf, nm = d[~hit], tf[~hit], nm[~hit]
                 w = np.float32(weights[t])
                 c = lucene.bm25_contrib(w, tf.astype(np.float32), nm, cache)
                 decoded[key] = (d, np.float64(mults[t]) * c.astype(np.float64))
@@ -209,12 +239,18 @@ def wand_topk(
     n_stripes: int = 32,
     operator: str = "or",
     resolve: str = "auto",
+    filters: dict | None = None,
 ) -> DataFrame:
     """Distributed block-max WAND match top-k over the packed table.
     ``operator="and"`` requires every query term per doc (conjunction is
     applied inside the stripe scorer; the OR upper bounds stay valid).
     ``resolve``: ordinal→docid strategy — "join" | "lookup" | "auto"
-    (lookup above 5M docs; see inline rationale)."""
+    (lookup above 5M docs; see inline rationale).
+    ``filters``: same predicate dict as the flat Searcher — applied inside
+    the pruned search as an allowed-ordinal mask (module docstring); results
+    are bit-identical to ``Searcher.search(..., filters=...)``. Tombstones
+    are honored the same way (banned-ordinal set), so a WAND query between
+    deletes and the next compaction stays correct."""
     if not reader.quantize:
         raise ValueError("WAND serving path requires a quantized index")
     if "packed_seqnum" in reader.stats:  # absent = legacy stats (always packed)
@@ -224,11 +260,6 @@ def wand_topk(
                 "packed table is stale (appends since last pack) — run merge()/"
                 "compact() or finalize(pack=True); the flat Searcher path is fresh"
             )
-    if reader.tombstones is not None:
-        raise ValueError(
-            "WAND serves fully-compacted indexes; pending deletes exist — "
-            "run IncrementalIndexer.compact() or use the flat Searcher path"
-        )
     terms = analyzer_py(reader.field_analyzer(field))(text)
     spark = reader.spark
     if not terms:
@@ -243,6 +274,26 @@ def wand_topk(
     mults = {t: int(mult[t]) for t in present}
     cache = lucene.norm_cache(np.float32(reader.field_stats(field)["avgdl"]))
 
+    # resolve filters/tombstones to per-shard ordinal sets (docs rows carry
+    # shard + ordinal — a column projection, no join); "allow" mode when a
+    # filter is present (tombstones anti-joined in), "ban" mode for
+    # tombstones alone (cheaper: ships only deleted ordinals)
+    tombs = reader.tombstones
+    mode = 0  # 0 = none, 1 = allow, 2 = ban
+    fframe = None
+    if filters is not None:
+        from nixiesearch_spark.query.filters import compile_predicate
+
+        keep = reader.docs.where(compile_predicate(filters))
+        if tombs is not None:
+            keep = keep.join(tombs, "docid", "left_anti")
+        fframe, mode = keep.select("shard", "ordinal"), 1
+    elif tombs is not None:
+        fframe, mode = (
+            reader.docs.join(tombs, "docid", "left_semi").select("shard", "ordinal"),
+            2,
+        )
+
     def run(batches) -> "pd.DataFrame":
         # mapInPandas over an explicit repartition: AQE would coalesce the
         # tiny query-time shuffle into ONE task (serializing all shards into
@@ -254,13 +305,47 @@ def wand_topk(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         for _, g in pdf.groupby("shard", sort=False):
-            yield _shard_topk(g, weights, mults, cache, k, n_stripes, n_required)
+            allow = ban = None
+            if mode:
+                ords = np.sort(
+                    g.loc[g["_f"] != 0, "f_ord"].to_numpy(dtype=np.int64)
+                )
+                if mode == 1:
+                    allow = ords
+                elif len(ords):
+                    ban = ords
+                g = g[g["_f"] == 0]
+                if not len(g) or (mode == 1 and not len(allow)):
+                    continue
+            yield _shard_topk(
+                g, weights, mults, cache, k, n_stripes, n_required, allow, ban
+            )
 
     matched = reader.packed.where(
         (F.col("field") == field) & F.col("term").isin(present)
     ).select(
         "shard", "term", "block_id", "block_last", "doc_gaps", "tfs", "norms", "max_impact"
     )
+    if mode:
+        # union the ordinal set into the SAME exchange as the packed blocks
+        # (one shuffle, co-located by shard; no cogroup — grouped applyInPandas
+        # would hand AQE a coalescible shuffle again)
+        matched = matched.withColumn("_f", F.lit(0).cast("int")).withColumn(
+            "f_ord", F.lit(None).cast("long")
+        )
+        fpad = fframe.select(
+            "shard",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("block_id"),
+            F.lit(None).cast("long").alias("block_last"),
+            F.lit(None).cast("binary").alias("doc_gaps"),
+            F.lit(None).cast("binary").alias("tfs"),
+            F.lit(None).cast("binary").alias("norms"),
+            F.lit(None).cast("float").alias("max_impact"),
+            F.lit(mode).cast("int").alias("_f"),
+            F.col("ordinal").alias("f_ord"),
+        )
+        matched = matched.unionByName(fpad)
     nsh = int(reader.stats.get("n_shards", 32))
     local = matched.repartition(nsh, "shard").mapInPandas(run, schema=TOPK_SCHEMA)
     # map shard-local ordinals back to global docids. Two physical

@@ -113,3 +113,79 @@ def test_wand_and_mode(built, text):
     assert [r["docid"] for r in got] == [e[0] for e in expected]
     for r, e in zip(got, expected):
         assert np.float32(r["score"]) == np.float32(e[1])
+
+
+def test_wand_filtered_equals_flat(built):
+    """Filters inside the pruned search (Occur.FILTER leapfrog analog) must
+    be bit-identical to the flat filtered path."""
+    reader, _ = built
+    s = Searcher(reader)
+    lang = sorted(
+        r["lang"] for r in reader.docs.select("lang").distinct().collect()
+    )[0]
+    flt = {"term": {"lang": lang}}
+    for text in ("def import return", "def the a for while int string"):
+        flat = s.search(MatchQuery("content", text), filters=flt, size=15).collect()
+        wand = wand_topk(reader, "content", text, k=15, filters=flt).collect()
+        assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
+            (r["docid"], np.float32(r["score"])) for r in wand
+        ], text
+
+
+def test_wand_filtered_and_mode(built):
+    reader, _ = built
+    s = Searcher(reader)
+    lang = sorted(
+        r["lang"] for r in reader.docs.select("lang").distinct().collect()
+    )[-1]
+    flt = {"range": {"commit": {"gte": "0"}}}  # matches all — loose filter
+    flt = {"term": {"lang": lang}}
+    flat = s.search(
+        MatchQuery("content", "def import", operator="and"), filters=flt, size=10
+    ).collect()
+    wand = wand_topk(
+        reader, "content", "def import", k=10, operator="and", filters=flt
+    ).collect()
+    assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
+        (r["docid"], np.float32(r["score"])) for r in wand
+    ]
+
+
+def test_wand_filter_matches_nothing(built):
+    reader, _ = built
+    out = wand_topk(
+        reader, "content", "def import", k=10, filters={"term": {"lang": "nope_xx"}}
+    ).collect()
+    assert out == []
+
+
+def test_wand_tombstones_ban_and_allow(built, spark, tmp_path):
+    """Tombstoned docs vanish from WAND results (ban mode), matching the
+    flat path; with a filter too, the allow set excludes them."""
+    import shutil
+
+    reader, _ = built
+    d = str(tmp_path / "idxcopy")
+    shutil.copytree(reader.index_dir, d)
+    text = "def import return"
+    top = wand_topk(reader, "content", text, k=3).collect()
+    dead = [r["docid"] for r in top[:2]]
+    spark.createDataFrame([(int(x),) for x in dead], "docid long").coalesce(
+        1
+    ).write.mode("append").parquet(d + "/tombstones")
+    r2 = IndexReader(spark, d)
+    s2 = Searcher(r2)
+    flat = s2.search(MatchQuery("content", text), size=10).collect()
+    wand = wand_topk(r2, "content", text, k=10).collect()
+    assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
+        (r["docid"], np.float32(r["score"])) for r in wand
+    ]
+    assert not (set(dead) & {r["docid"] for r in wand})
+    lang = sorted(r["lang"] for r in r2.docs.select("lang").distinct().collect())[0]
+    flt = {"term": {"lang": lang}}
+    flatf = s2.search(MatchQuery("content", text), filters=flt, size=10).collect()
+    wandf = wand_topk(r2, "content", text, k=10, filters=flt).collect()
+    assert [(r["docid"], np.float32(r["score"])) for r in flatf] == [
+        (r["docid"], np.float32(r["score"])) for r in wandf
+    ]
+    assert not (set(dead) & {r["docid"] for r in wandf})

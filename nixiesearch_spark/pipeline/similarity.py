@@ -62,15 +62,9 @@ def rp_lsh_buckets(
     """Random-hyperplane signature: bucket = Σ 2^i·[v·h_i > 0] (a long).
     Pure Column math — the hyperplanes fold in as literal arrays."""
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = None
-    for i in range(n_planes):
-        h = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col(vec_col), h) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})") * bit
-        sig = term if sig is None else sig + term
-    return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    return df.select(
+        F.col(id_col), F.col(vec_col), _plane_sig(F.col(vec_col), planes).alias("bucket")
+    )
 
 
 def ann_lsh_topk(
@@ -158,6 +152,37 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) 
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_probes(query_vec: list[float], centroids: np.ndarray, n_probe: int) -> list[int]:
+    """The ``n_probe`` bucket ids whose centroids are nearest the query —
+    same argmax metric and tie-break as :func:`ivf_assign`."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    scores = centroids @ q - (centroids * centroids).sum(1) / 2.0
+    order = np.lexsort((np.arange(len(centroids)), -scores))
+    return [int(x) for x in order[:n_probe]]
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    path: str,
+) -> None:
+    """BUILD step: assign buckets and write the table hive-partitioned by
+    ``bucket`` so probe queries prune to n_probe directories at the file
+    listing level (``PartitionFilters`` in the scan — zero bytes read from
+    unprobed buckets). ``repartition("bucket")`` first: the assignment
+    exchange would otherwise leave every task holding rows of many buckets
+    and the partitioned write would explode into tasks×buckets files."""
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    (
+        assigned.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -166,21 +191,45 @@ def ivf_topk(
     centroids: np.ndarray,
     k: int = 10,
     n_probe: int = 4,
+    pre_assigned: bool = False,
 ) -> DataFrame:
     """IVF probe search: scan the ``n_probe`` buckets whose centroids are
     nearest the query (same argmax metric as assignment), exact-rerank by
-    cosine. n_probe = len(centroids) degrades gracefully to exact search."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    scores = centroids @ q - (centroids * centroids).sum(1) / 2.0
-    order = np.lexsort((np.arange(len(centroids)), -scores))
-    probes = [int(x) for x in order[:n_probe]]
-    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    cosine. n_probe = len(centroids) degrades gracefully to exact search.
+
+    ``pre_assigned=True`` is the serving form: ``df`` already carries the
+    ``bucket`` column (an :func:`ivf_build` table read back), so the probe
+    predicate prunes partitions instead of recomputing the assignment over
+    the full table per query — that recomputation scores all N vectors
+    against all k centroids and defeats IVF's point. The inline-assign form
+    (default) is only for one-shot/batch use where no index exists yet."""
+    probes = ivf_probes(query_vec, centroids, n_probe)
+    assigned = df if pre_assigned else ivf_assign(df, id_col, vec_col, centroids)
     cand = assigned.where(F.col("bucket").isin(probes))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), qcol), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """SERVE step over an :func:`ivf_build` table: reads ONLY the probed
+    bucket partitions (directory-level pruning — verify with
+    ``PartitionFilters`` in ``.explain``)."""
+    return ivf_topk(
+        spark.read.parquet(path), id_col, vec_col, query_vec, centroids,
+        k=k, n_probe=n_probe, pre_assigned=True,
     )
 
 
@@ -205,6 +254,20 @@ def block_join_topk(
     return agg.orderBy(F.desc("cosine"), F.asc("parent_id")).limit(k)
 
 
+def _plane_sig(vec_col, planes: np.ndarray):
+    """Sign-bit signature column for a literal hyperplane set (the
+    rp_lsh_buckets kernel, reusable for re-split sub-signatures)."""
+    sig = None
+    for i in range(len(planes)):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(vec_col, h) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})") * bit
+        sig = term if sig is None else sig + term
+    return sig
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -213,16 +276,60 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int = 1000,
+    resplit_planes: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold. Candidates =
     same LSH bucket (recall grows with fewer planes); exact cosine verify.
-    Returns (id_a, id_b, cosine)."""
+    Returns (id_a, id_b, cosine).
+
+    Hot-bucket guard (the within-key self-join is quadratic — at 10^9
+    clustered embeddings one bucket can hold 10^6+ vectors → 10^12 candidate
+    pairs on one join key, the dedup.ngram_jaccard max_shingle_df hazard):
+    buckets above ``max_bucket_size`` are re-split with ``resplit_planes``
+    extra hyperplanes (a different seed) before pairing; groups STILL above
+    the cap after the re-split are near-identical by construction (they
+    agree on n_planes + resplit_planes sign bits — e.g. an all-identical
+    corpus, which no hyperplane can separate), and emit STAR edges
+    (group-min id ↔ every other member) instead of all pairs: O(group)
+    output that preserves duplicate-set connectivity for clustering, at the
+    cost of not enumerating every intra-cluster pair. Group-count frames are
+    tiny (≤ distinct buckets) and broadcast."""
     b = rp_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed)
-    l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    return (
-        l.join(r, "bucket")
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bc"))
+    b = b.join(F.broadcast(counts), "bucket")
+    planes2 = _hyperplanes(dim, resplit_planes, seed + 104729)
+    b = b.withColumn(
+        "_sub",
+        F.when(
+            F.col("_bc") > max_bucket_size, _plane_sig(F.col(vec_col), planes2)
+        ).otherwise(F.lit(-1).cast("long")),
+    ).drop("_bc")
+    counts2 = b.groupBy("bucket", "_sub").agg(F.count(F.lit(1)).alias("_gc"))
+    b = b.join(F.broadcast(counts2), ["bucket", "_sub"])
+    small = b.where(F.col("_gc") <= max_bucket_size)
+    l = small.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", "_sub"
+    )
+    r = small.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", "_sub"
+    )
+    cand = (
+        l.join(r, ["bucket", "_sub"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+    )
+    big = b.where(F.col("_gc") > max_bucket_size)
+    reps = big.groupBy("bucket", "_sub").agg(
+        F.min(id_col).alias("id_a"), F.min_by(vec_col, F.col(id_col)).alias("va")
+    )
+    star = (
+        big.join(F.broadcast(reps), ["bucket", "_sub"])
+        .where(F.col(id_col) != F.col("id_a"))
+        .select("id_a", "va", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    )
+    return (
+        cand.unionByName(star)
         .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -185,3 +185,84 @@ def test_multimodal_plumbing(spark):
     again = {r["media_id"]: (r["payload_sha"], r["features"]) for r in feats.collect()}
     first = {r["media_id"]: (r["payload_sha"], r["features"]) for r in rows}
     assert again == first
+
+
+def test_ivf_build_serve_partition_pruning(spark, vecs, tmp_path):
+    """Serve path reads ONLY probed bucket partitions: results equal the
+    inline-assign form, and the scan's partition count < total buckets
+    (directory-level pruning via the hive bucket= partition column)."""
+    rows = sorted(vecs.collect(), key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = similarity.kmeans_centroids(mat, k=4, iters=8, seed=42)
+    q = rows[0]["embedding"]
+    rest = vecs.where("vec_id <> 0")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build(rest, "vec_id", "embedding", cents, path)
+
+    out = similarity.ivf_topk_indexed(
+        spark, path, "vec_id", "embedding", q, cents, k=10, n_probe=2
+    )
+    inline = similarity.ivf_topk(
+        rest, "vec_id", "embedding", q, cents, k=10, n_probe=2
+    )
+    assert [(r["vec_id"], r["cosine"]) for r in out.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in inline.collect()
+    ]
+
+    # pruning evidence: the probe predicate lands in the scan's
+    # PartitionFilters (directory-level skip — unprobed bucket dirs are
+    # never listed into the scan), not as a post-scan data filter
+    probes = set(similarity.ivf_probes(q, cents, 2))
+    pruned = spark.read.parquet(path).where(F.col("bucket").isin(list(probes)))
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0] and "IN" in pf[0].upper(), plan
+    all_buckets = {
+        int(f.split("bucket=")[1].split("/")[0])
+        for f in spark.read.parquet(path).inputFiles()
+    }
+    assert len(all_buckets) > 2  # data actually spans >2 buckets
+
+
+def test_near_dup_hot_bucket_guard(spark):
+    """Adversarial all-identical corpus: every vector lands in one LSH
+    bucket that no hyperplane re-split can separate — the guard must emit
+    O(n) star edges (connectivity preserved) instead of O(n²) pairs."""
+    n = 3000
+    rows = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=4, threshold=0.9, n_planes=4,
+        max_bucket_size=100,
+    ).collect()
+    # star shape: exactly n-1 edges, all anchored at the min id, cosine 1.0
+    assert len(out) == n - 1
+    assert {r["id_a"] for r in out} == {0}
+    assert {r["id_b"] for r in out} == set(range(1, n))
+    assert all(r["cosine"] == 1.0 for r in out)
+
+
+def test_near_dup_resplit_separates_clusters(spark):
+    """A hot bucket holding two distinct clusters is separated by the
+    re-split planes: cross-cluster non-dup pairs are never even candidates,
+    and within-cluster dups still surface as full pairs when the sub-group
+    fits the cap."""
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(16)
+    bvec = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in a + 1e-3 * rng.standard_normal(16)]) for i in range(60)]
+    rows += [(100 + i, [float(x) for x in bvec + 1e-3 * rng.standard_normal(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n_planes=0 would be degenerate; use 1 plane so both clusters often
+    # share a bucket, cap forces the re-split
+    out = similarity.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=16, threshold=0.99, n_planes=1,
+        max_bucket_size=80, resplit_planes=8,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # within-cluster pairs exist; no cross-cluster pair survives
+    assert any(a_ < 100 and b_ < 100 for a_, b_ in pairs)
+    assert any(a_ >= 100 and b_ >= 100 for a_, b_ in pairs)
+    assert not any(a_ < 100 <= b_ for a_, b_ in pairs)

@@ -182,6 +182,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "english"})
         return _as_docid(s.search(MatchQuery("text", "running windows groups"), size=10))
 
+    def q_match_german(spark, sf):
+        # Snowball German chain over the Unicode-Latin tokenizer: query
+        # surface forms "filtern joins streamen" stem to filt/join/stream,
+        # matching corpus docs containing filter/join/stream
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "german"})
+        return _as_docid(s.search(MatchQuery("text", "filtern joins streamen"), size=10))
+
+    def q_match_french(spark, sf):
+        # Snowball French chain: tables/merges/parts stem to tabl/merg/part,
+        # matching corpus docs containing table/merge/part
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "french"})
+        return _as_docid(s.search(MatchQuery("text", "tables merges parts"), size=10))
+
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
 
@@ -603,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": q_bool,
         "bm25_match_filtered": q_match_filtered,
         "bm25_match_english": q_match_english,
+        "bm25_match_german": q_match_german,
+        "bm25_match_french": q_match_french,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
         "ce_rerank": q_ce_rerank,
@@ -822,6 +837,24 @@ LIMIT 10
     en_terms = analyzer_py("english")("running windows groups")
     sql["bm25_match_english"] = f"""
 WITH {_bm25_full_english(en_terms)}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    de_terms = analyzer_py("german")("filtern joins streamen")
+    sql["bm25_match_german"] = f"""
+WITH {_bm25_full_lang(de_terms, "german")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    fr_terms = analyzer_py("french")("tables merges parts")
+    sql["bm25_match_french"] = f"""
+WITH {_bm25_full_lang(fr_terms, "french")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -1287,6 +1320,32 @@ def _bm25_full_english(terms: list[str], prefix: str = "") -> str:
   SELECT doc_id, t.term
   FROM documents, unnest({stemmed}) AS t(term)
 ),
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok_f GROUP BY doc_id),
+{p}st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM {p}dl),
+{_bm25_cte(terms, "text", prefix).strip()}
+"""
+
+
+def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
+    """tok/dl/st + tf/df/sc CTE chain with a Snowball language chain:
+    Unicode-Latin tokenize → stopword filter → generated-SQL Snowball
+    stemmer CTEs (nixiesearch_spark.snowball.*_sql_ctes — rule-identical to
+    the python form the engine builds/queries with)."""
+    from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_LATIN
+    from nixiesearch_spark.snowball import french_sql_ctes, german_sql_ctes
+
+    ctes_fn = {"german": german_sql_ctes, "french": french_sql_ctes}[lang]
+    stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+    p = prefix
+    stem_ctes = ctes_fn(f"{p}tok_raw", f"{p}tok_f", p + "sb")
+    return f"""
+{p}tok_raw AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_filter(
+    regexp_split_to_array(lower(substr(text,1,32000)), '{TOKEN_SPLIT_LATIN}'),
+    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({stops}, x))) AS t(term)
+),
+{stem_ctes.strip()},
 {p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok_f GROUP BY doc_id),
 {p}st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM {p}dl),
 {_bm25_cte(terms, "text", prefix).strip()}

@@ -51,6 +51,26 @@ TOKEN_SPLIT_REGEX_RE2 = "[^0-9A-Za-z_]+"
 
 _SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
 
+# Unicode-Latin tokenizer spec used by the language analyzers (german/french):
+# word chars = ASCII word chars + Latin-1 Supplement / Latin Extended-A/B
+# letters (U+00C0–U+024F minus × U+00D7 and ÷ U+00F7). An EXPLICIT literal
+# class — not \w with engine flags — so Java regex (Spark), Python re and
+# RE2 (DuckDB) are identical by construction; all three lower() agree on
+# these ranges. This upgrades the reference's per-language Lucene analyzers
+# from the ASCII-pinned approximation: German "für"/French "été" survive as
+# single tokens instead of fragmenting.
+TOKEN_SPLIT_LATIN = "[^0-9A-Za-z_À-ÖØ-öø-ɏ]+"
+_SPLIT_LATIN_RE = re.compile(TOKEN_SPLIT_LATIN)
+
+
+def tokenize_latin_py(text: str | None) -> list[str]:
+    """Unicode-Latin tokenizer (python form; the language-analyzer chains are
+    pandas_udf-backed, so this IS the build/query path implementation)."""
+    if text is None:
+        return []
+    toks = _SPLIT_LATIN_RE.split(text[:MAX_FIELD_SEARCH_SIZE].lower())
+    return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
+
 
 def tokenize_py(text: str | None) -> list[str]:
     """Oracle tokenizer (single string). Must match :func:`tokenize_col`."""
@@ -111,12 +131,9 @@ def _keyword_py(text: str | None) -> list[str]:
 # stopwords OFF, matching the reference default). Extension point for the
 # remaining languages: add a list here.
 #
-# CONSTRAINT: entries must be pure-ASCII word tokens — the pinned ASCII
-# tokenizer splits on every non-ASCII char, so an accented entry (e.g.
-# German "für" → ["f","r"]) could never match and would be dead weight.
-# The chains therefore only approximate the reference's per-language Lucene
-# analyzers for ASCII-transliterated text; extending to real diacritics
-# means extending the shared tokenizer spec first (all three impls + oracle).
+# english/spanish run over the ASCII-pinned standard tokenizer (entries must
+# be ASCII); german/french run over the Unicode-Latin tokenizer, so accented
+# entries (für, été) are real tokens and belong in the lists.
 LANG_STOPWORDS = {
     "english": [
         "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
@@ -127,10 +144,14 @@ LANG_STOPWORDS = {
     "german": [
         "der", "die", "das", "und", "oder", "aber", "ist", "ein", "eine",
         "nicht", "mit", "von", "zu", "im", "auf", "den", "dem", "des",
+        "für", "über", "während", "würde", "daß", "dass", "als", "auch",
+        "an", "werden", "aus", "er", "es", "sie", "wir", "war", "wird",
     ],
     "french": [
         "le", "la", "les", "et", "ou", "mais", "est", "un", "une", "pas",
         "avec", "de", "du", "des", "au", "aux", "pour", "dans", "sur",
+        "à", "été", "être", "cette", "ces", "ce", "il", "elle", "ne", "se",
+        "son", "sa", "ses", "qui", "que", "plus", "par", "sont", "ont",
     ],
     "spanish": [
         "el", "la", "los", "las", "y", "o", "pero", "es", "un", "una", "no",
@@ -158,33 +179,49 @@ def _stop_py(stops: list[str]):
     return py_fn
 
 
-# English analyzer = the Lucene EnglishAnalyzer chain (reference
-# Language.scala:52-99): standard tokenize → stopwords → PorterStemFilter.
-# The column form is an Arrow-batched pandas_udf running the SAME python
-# chain (equivalence by construction; per-batch stem memoization keeps the
-# cost ~vocab-sized, not token-sized). This is the documented UDF surface —
+# Stemming analyzers = the Lucene per-language chains (reference
+# Language.scala:52-99): tokenize → stopwords → stemmer. english uses the
+# ASCII standard tokenizer + Porter; german/french use the Unicode-Latin
+# tokenizer + the published Snowball algorithms (snowball.py). The column
+# form is an Arrow-batched pandas_udf running the SAME python chain
+# (equivalence by construction; per-batch stem memoization keeps the cost
+# ~vocab-sized, not token-sized). This is the documented UDF surface —
 # stemming is per-token conditional logic Catalyst can't express.
 
 
-def _stem_py(stops: list[str]):
+def _porter_stem(t: str) -> str:
+    from nixiesearch_spark.stem import porter_py
+
+    return porter_py(t)
+
+
+def _german_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import german_py
+
+    return german_py(t)
+
+
+def _french_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import french_py
+
+    return french_py(t)
+
+
+def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
     def py_fn(text: str | None) -> list[str]:
-        from nixiesearch_spark.stem import porter_py
-
-        return [porter_py(t) for t in tokenize_py(text) if t not in sset]
+        return [stem_fn(t) for t in tok_fn(text) if t not in sset]
 
     return py_fn
 
 
-def _stem_col(stops: list[str]):
+def _stem_col(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
     def col_fn(col: Column) -> Column:
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import ArrayType, StringType
-
-        from nixiesearch_spark.stem import porter_py
 
         @pandas_udf(ArrayType(StringType()))
         def _udf(s: pd.Series) -> pd.Series:
@@ -193,11 +230,11 @@ def _stem_col(stops: list[str]):
             def stem(t: str) -> str:
                 v = memo.get(t)
                 if v is None:
-                    memo[t] = v = porter_py(t)
+                    memo[t] = v = stem_fn(t)
                 return v
 
             return s.map(
-                lambda x: [stem(t) for t in tokenize_py(x) if t not in sset]
+                lambda x: [stem(t) for t in tok_fn(x) if t not in sset]
             )
 
         return _udf(col)
@@ -210,17 +247,24 @@ ANALYZERS = {
     "whitespace": (_whitespace_col, _whitespace_py),
     "keyword": (_keyword_col, _keyword_py),
     "english": (_stem_col(LANG_STOPWORDS["english"]), _stem_py(LANG_STOPWORDS["english"])),
-    **{
-        lang: (_stop_col(words), _stop_py(words))
-        for lang, words in LANG_STOPWORDS.items()
-        if lang != "english"
-    },
+    "german": (
+        _stem_col(LANG_STOPWORDS["german"], _german_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["german"], _german_stem, tokenize_latin_py),
+    ),
+    "french": (
+        _stem_col(LANG_STOPWORDS["french"], _french_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["french"], _french_stem, tokenize_latin_py),
+    ),
+    "spanish": (
+        _stop_col(LANG_STOPWORDS["spanish"]),
+        _stop_py(LANG_STOPWORDS["spanish"]),
+    ),
 }
 
 
 # analyzers whose column form is an Arrow pandas_udf (cannot run inside
 # F.transform lambdas — text[] fields concat items first for these)
-UDF_ANALYZERS = {"english"}
+UDF_ANALYZERS = {"english", "german", "french"}
 
 
 def analyzer_col(name: str):
@@ -239,9 +283,11 @@ try:
 
     from pyspark import cloudpickle as _cp
 
+    from nixiesearch_spark import snowball as _snowball_mod
     from nixiesearch_spark import stem as _stem_mod
 
     _cp.register_pickle_by_value(_stem_mod)
+    _cp.register_pickle_by_value(_snowball_mod)
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - best effort on older pyspark
     pass

@@ -1,0 +1,760 @@
+"""Snowball German + French stemmers — one spec, two executable forms.
+
+The reference maps ``language: de`` / ``language: fr`` to Lucene's
+German/French analyzers (``config/mapping/Language.scala:52-99``); their
+stemming layer is M.F. Porter's published Snowball algorithms for German and
+French (snowballstem.org — public 2001 algorithm descriptions). This module
+re-implements both from the published rule tables, the same way
+``nixiesearch_spark.stem`` does for English Porter:
+
+- :func:`german_py` / :func:`french_py` — pure Python, one word at a time;
+  used by query-time analysis, the oracle, and (memoized over Arrow batches
+  via pandas_udf) the index build path.
+- :func:`german_sql_ctes` / :func:`french_sql_ctes` — generated DuckDB SQL:
+  a CTE chain over exploded ``(doc_id, term)`` rows, so the correctness-gate
+  oracle reproduces stemmed-field BM25 end-to-end in SQL. Regions (R1/R2/RV)
+  and the French control flags (step-1-altered / ment-found / 2a-failed)
+  bind ONCE per step as columns — unlike the scalar-expression Porter form,
+  nothing is re-inlined per suffix.
+
+Both forms are generated to be rule-for-rule identical (tests/test_snowball.py
+checks them over real vocab + hypothesis-random Latin strings).
+
+Two documented spec deviations (mirroring stem.py's precedent):
+
+1. The prelude's consonant-marking (u/i/y between/next to vowels → U/I/Y)
+   runs as a fixed sequence of global regex passes applied twice, instead of
+   Snowball's single left-to-right cursor scan. The two can differ only on
+   adjacent marked-candidate runs sharing vowels (e.g. ``ayua``) — no real
+   German/French word has one.
+2. Regions are computed with regexes on the post-prelude string; suffix
+   removal only ever shortens the tail, so the prefix-determined region
+   starts are identical to Snowball's compute-once positions.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ------------------------------------------------------------------ shared
+
+_BIG = 10_000  # "empty region" sentinel: no position ever reaches it
+
+
+def _r1r2_py(w: str, vowels: str, r1_min: int = 0) -> tuple[int, int]:
+    """0-based region start indexes (R1, R2); a suffix starting at index p
+    is "in R1" iff p >= r1."""
+    v, nv = f"[{vowels}]", f"[^{vowels}]"
+    m1 = re.match(f".*?{v}{nv}", w)
+    r1 = len(m1.group(0)) if m1 else _BIG
+    r1 = max(r1, r1_min)
+    m2 = re.match(f".*?{v}{nv}.*?{v}{nv}", w)
+    r2 = len(m2.group(0)) if m2 else _BIG
+    return r1, r2
+
+
+def _r1r2_sql(x: str, vowels: str, r1_min: int = 0) -> tuple[str, str]:
+    v, nv = f"[{vowels}]", f"[^{vowels}]"
+    p1 = f"^.*?{v}{nv}"
+    p2 = f"^.*?{v}{nv}.*?{v}{nv}"
+    r1 = (
+        f"CASE WHEN regexp_matches({x}, '{p1}') "
+        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END"
+    )
+    if r1_min:
+        r1 = f"greatest({r1}, {r1_min})"
+    r2 = (
+        f"CASE WHEN regexp_matches({x}, '{p2}') "
+        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END"
+    )
+    return r1, r2
+
+
+def _strip(x: str, n: int) -> str:
+    return f"substr({x}, 1, length({x}) - {n})"
+
+
+def _prev_sql(x: str, n: int) -> str:
+    """1-based substr index of the char just before an n-char suffix."""
+    return f"substr({x}, length({x}) - {n}, 1)"
+
+
+# ------------------------------------------------------------------ german
+# Published Snowball German algorithm. Vowels a e i o u y ä ö ü; ß → ss and
+# u/y between vowels marked U/Y (consonants) in the prelude; R1 start is
+# moved to at least 3. Valid s-endings b d f g h k l m n r t; valid
+# st-endings the same minus r.
+
+DE_VOWELS = "aeiouyäöü"
+DE_S_END = "bdfghklmnrt"
+DE_ST_END = "bdfghklmnt"
+# per-step suffix ladders, longest first (Snowball `among` longest-match)
+DE_STEP1 = ["ern", "em", "er", "en", "es", "e", "s"]
+DE_STEP2 = ["est", "er", "en", "st"]
+DE_STEP3 = ["isch", "lich", "heit", "keit", "end", "ung", "ik", "ig"]
+
+_DE_MARK = [
+    (re.compile(f"([{DE_VOWELS}])u([{DE_VOWELS}])"), r"\1U\2"),
+    (re.compile(f"([{DE_VOWELS}])y([{DE_VOWELS}])"), r"\1Y\2"),
+] * 2
+
+
+def _de_prelude_py(w: str) -> str:
+    w = w.replace("ß", "ss")
+    for rx, rep in _DE_MARK:
+        w = rx.sub(rep, w)
+    return w
+
+
+def german_py(word: str) -> str:
+    w = _de_prelude_py(word)
+    r1, r2 = _r1r2_py(w, DE_VOWELS, r1_min=3)
+
+    # step 1
+    for suf in DE_STEP1:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in ("ern", "em", "er"):
+                if pos >= r1:
+                    w = w[:pos]
+            elif suf in ("en", "es", "e"):
+                if pos >= r1:
+                    w = w[:pos]
+                    if w.endswith("niss"):
+                        w = w[:-1]
+            else:  # s
+                if pos >= r1 and pos >= 1 and w[pos - 1] in DE_S_END:
+                    w = w[:pos]
+            break
+    # step 2
+    for suf in DE_STEP2:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf == "st":
+                # st-ending char itself needs >= 3 letters before it
+                if pos >= r1 and pos >= 4 and w[pos - 1] in DE_ST_END:
+                    w = w[:pos]
+            else:
+                if pos >= r1:
+                    w = w[:pos]
+            break
+    # step 3 (d-suffixes, R2)
+    for suf in DE_STEP3:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in ("end", "ung"):
+                if pos >= r2:
+                    w = w[:pos]
+                    if w.endswith("ig") and not w.endswith("eig") and len(w) - 2 >= r2:
+                        w = w[:-2]
+            elif suf in ("ig", "ik", "isch"):
+                if pos >= r2 and not (pos >= 1 and w[pos - 1] == "e"):
+                    w = w[:pos]
+            elif suf in ("lich", "heit"):
+                if pos >= r2:
+                    w = w[:pos]
+                    if (w.endswith("er") or w.endswith("en")) and len(w) - 2 >= r1:
+                        w = w[:-2]
+            else:  # keit
+                if pos >= r2:
+                    w = w[:pos]
+                    if w.endswith("lich") and len(w) - 4 >= r2:
+                        w = w[:-4]
+                    elif w.endswith("ig") and len(w) - 2 >= r2:
+                        w = w[:-2]
+            break
+    # postlude: unmark, strip umlauts
+    w = w.replace("U", "u").replace("Y", "y")
+    return w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+
+
+def _de_prelude_sql(x: str) -> str:
+    v = DE_VOWELS
+    e = f"replace({x}, 'ß', 'ss')"
+    for _ in range(2):
+        e = f"regexp_replace({e}, '([{v}])u([{v}])', '\\1U\\2', 'g')"
+        e = f"regexp_replace({e}, '([{v}])y([{v}])', '\\1Y\\2', 'g')"
+    return e
+
+
+def _in(chars: str) -> str:
+    return "(" + ", ".join(f"'{c}'" for c in chars) + ")"
+
+
+def _de_step1_sql(x: str) -> str:
+    cases = []
+    for suf in DE_STEP1:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf in ("ern", "em", "er"):
+            act = f"CASE WHEN {pos} >= r1 THEN {st} ELSE {x} END"
+        elif suf in ("en", "es", "e"):
+            act = (
+                f"CASE WHEN {pos} >= r1 THEN "
+                f"(CASE WHEN ends_with({st}, 'niss') THEN {_strip(st, 1)} ELSE {st} END) "
+                f"ELSE {x} END"
+            )
+        else:
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 "
+                f"AND {_prev_sql(x, n)} IN {_in(DE_S_END)} THEN {st} ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _de_step2_sql(x: str) -> str:
+    cases = []
+    for suf in DE_STEP2:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf == "st":
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {pos} >= 4 "
+                f"AND {_prev_sql(x, n)} IN {_in(DE_ST_END)} THEN {st} ELSE {x} END"
+            )
+        else:
+            act = f"CASE WHEN {pos} >= r1 THEN {st} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _de_step3_sql(x: str) -> str:
+    cases = []
+    for suf in DE_STEP3:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf in ("end", "ung"):
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'ig') AND NOT ends_with({st}, 'eig') "
+                f"AND length({st}) - 2 >= r2 THEN {_strip(st, 2)} ELSE {st} END) "
+                f"ELSE {x} END"
+            )
+        elif suf in ("ig", "ik", "isch"):
+            act = (
+                f"CASE WHEN {pos} >= r2 AND NOT ({pos} >= 1 AND {_prev_sql(x, n)} = 'e') "
+                f"THEN {st} ELSE {x} END"
+            )
+        elif suf in ("lich", "heit"):
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN (ends_with({st}, 'er') OR ends_with({st}, 'en')) "
+                f"AND length({st}) - 2 >= r1 THEN {_strip(st, 2)} ELSE {st} END) "
+                f"ELSE {x} END"
+            )
+        else:  # keit
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'lich') AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} "
+                f"WHEN ends_with({st}, 'ig') AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) "
+                f"ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def german_sql_ctes(src: str, out: str, p: str = "de_") -> str:
+    """CTE-chain fragment stemming column ``term`` of ``src(doc_id, term)``
+    into ``out(doc_id, term)``. Compose inside a WITH list."""
+    r1, r2 = _r1r2_sql("term", DE_VOWELS, r1_min=3)
+    post = (
+        "replace(replace(replace(replace(replace("
+        "term, 'U', 'u'), 'Y', 'y'), 'ä', 'a'), 'ö', 'o'), 'ü', 'u')"
+    )
+    return f"""
+{p}s0 AS MATERIALIZED (SELECT doc_id, {_de_prelude_sql("term")} AS term FROM {src}),
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1, {r2} AS r2 FROM {p}s0),
+{p}s1 AS MATERIALIZED (SELECT doc_id, {_de_step1_sql("term")} AS term, r1, r2 FROM {p}sr),
+{p}s2 AS MATERIALIZED (SELECT doc_id, {_de_step2_sql("term")} AS term, r1, r2 FROM {p}s1),
+{p}s3 AS MATERIALIZED (SELECT doc_id, {_de_step3_sql("term")} AS term FROM {p}s2),
+{out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s3)
+"""
+
+
+# ------------------------------------------------------------------ french
+# Published Snowball French algorithm. Vowels a e i o u y â à ë é ê è ï î ô
+# û ù; prelude marks u/i between vowels → U/I, y next to a vowel → Y, u
+# after q → U. RV: after the 3rd letter if the word starts with two vowels
+# or par/col/tap, else after the first vowel not at the start.
+
+FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+_FR_MARK = [
+    (re.compile(f"([{FR_VOWELS}])u([{FR_VOWELS}])"), r"\1U\2"),
+    (re.compile(f"([{FR_VOWELS}])i([{FR_VOWELS}])"), r"\1I\2"),
+    (re.compile(f"([{FR_VOWELS}])y"), r"\1Y"),
+    (re.compile(f"y([{FR_VOWELS}])"), r"Y\1"),
+    (re.compile("qu"), "qU"),
+] * 2
+
+_FR_S1_GROUPS = {
+    "A": ["ance", "ances", "iqUe", "iqUes", "isme", "ismes", "able", "ables",
+          "iste", "istes", "eux"],
+    "B": ["atrice", "atrices", "ateur", "ateurs", "ation", "ations"],
+    "C": ["logie", "logies"],
+    "D": ["usion", "usions", "ution", "utions"],
+    "E": ["ence", "ences"],
+    "F": ["ement", "ements"],
+    "G": ["ité", "ités"],
+    "H": ["if", "ifs", "ive", "ives"],
+    "I": ["eaux"],
+    "J": ["aux"],
+    "K": ["euse", "euses"],
+    "L": ["issement", "issements"],
+    "M": ["amment"],
+    "N": ["emment"],
+    "O": ["ment", "ments"],
+}
+_FR_S1 = sorted(
+    ((s, g) for g, ss in _FR_S1_GROUPS.items() for s in ss), key=lambda t: -len(t[0])
+)
+
+_FR_S2A = sorted(
+    ["îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai", "iraIent",
+     "irais", "irait", "iras", "irent", "irez", "iriez", "irions", "irons",
+     "iront", "is", "issaIent", "issais", "issait", "issant", "issante",
+     "issantes", "issants", "isse", "issent", "isses", "issez", "issiez",
+     "issions", "issons", "it"],
+    key=len, reverse=True,
+)
+
+_FR_S2B_GROUPS = {
+    "ions": ["ions"],
+    "er": ["é", "ée", "ées", "és", "èrent", "erai", "eraIent", "erais",
+           "erait", "eras", "erez", "eriez", "erions", "erons", "eront", "er"],
+    "a": ["ât", "âmes", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+          "ante", "antes", "ants", "as", "asse", "assent", "asses",
+          "assiez", "assions"],
+}
+_FR_S2B = sorted(
+    ((s, g) for g, ss in _FR_S2B_GROUPS.items() for s in ss), key=lambda t: -len(t[0])
+)
+
+_FR_S4 = sorted(
+    [("ière", "ier"), ("Ière", "ier"), ("ier", "ier"), ("Ier", "ier"),
+     ("ion", "ion"), ("e", "e"), ("ë", "gue")],
+    key=lambda t: -len(t[0]),
+)
+
+
+def _fr_prelude_py(w: str) -> str:
+    for rx, rep in _FR_MARK:
+        w = rx.sub(rep, w)
+    return w
+
+
+def _fr_rv_py(w: str) -> int:
+    V = FR_VOWELS
+    if len(w) >= 2 and w[0] in V and w[1] in V:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    m = re.match(f".[^{V}]*[{V}]", w)
+    return len(m.group(0)) if m else _BIG
+
+
+def _fr_step1_py(w: str, rv: int, r1: int, r2: int) -> tuple[str, bool]:
+    """Returns (word, ment_found)."""
+    for suf, g in _FR_S1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if g == "A":
+            if pos >= r2:
+                w = w[:pos]
+        elif g == "B":
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif g == "C":
+            if pos >= r2:
+                w = w[:pos] + "log"
+        elif g == "D":
+            if pos >= r2:
+                w = w[:pos] + "u"
+        elif g == "E":
+            if pos >= r2:
+                w = w[:pos] + "ent"
+        elif g == "F":
+            if pos >= rv:
+                w = w[:pos]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif len(w) - 3 >= r1:
+                        w = w[:-3] + "eux"
+                elif (w.endswith("abl") or w.endswith("iqU")) and len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif (w.endswith("ièr") or w.endswith("Ièr")) and len(w) - 3 >= rv:
+                    w = w[:-3] + "i"
+        elif g == "G":
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("abil"):
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif g == "H":
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif g == "I":
+            w = w[:pos] + "eau"
+        elif g == "J":
+            if pos >= r1:
+                w = w[:pos] + "al"
+        elif g == "K":
+            if pos >= r2:
+                w = w[:pos]
+            elif pos >= r1:
+                w = w[:pos] + "eux"
+        elif g == "L":
+            if pos >= r1 and pos >= 1 and w[pos - 1] not in FR_VOWELS:
+                w = w[:pos]
+        elif g == "M":
+            if pos >= rv:
+                w = w[:pos] + "ant"
+            return w, True
+        elif g == "N":
+            if pos >= rv:
+                w = w[:pos] + "ent"
+            return w, True
+        else:  # O: ment ments — delete if preceded by a vowel in RV
+            if pos >= 1 and w[pos - 1] in FR_VOWELS and pos - 1 >= rv:
+                w = w[:pos]
+            return w, True
+        return w, False
+    return w, False
+
+
+def french_py(word: str) -> str:
+    w = _fr_prelude_py(word)
+    rv = _fr_rv_py(w)
+    r1, r2 = _r1r2_py(w, FR_VOWELS)
+
+    pre1 = w
+    w, ment_found = _fr_step1_py(w, rv, r1, r2)
+    altered = w != pre1
+
+    did2a = (not altered) or ment_found
+    altered2a = False
+    if did2a:
+        pre2a = w
+        for suf in _FR_S2A:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos >= 1 and pos - 1 >= rv and w[pos - 1] not in FR_VOWELS:
+                    w = w[:pos]
+                break
+        altered2a = w != pre2a
+        altered = altered or altered2a
+
+    if did2a and not altered2a:
+        pre2b = w
+        for suf, g in _FR_S2B:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if g == "ions":
+                    if pos >= rv and pos >= r2:
+                        w = w[:pos]
+                elif g == "er":
+                    if pos >= rv:
+                        w = w[:pos]
+                else:  # a-group; a preceding e in RV goes too
+                    if pos >= rv:
+                        w = w[:pos]
+                        if w.endswith("e") and len(w) - 1 >= rv:
+                            w = w[:-1]
+                break
+        altered = altered or (w != pre2b)
+
+    if altered:  # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:  # step 4
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        for suf, g in _FR_S4:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if g == "ion":
+                    if pos >= r2 and pos >= 1 and pos - 1 >= rv and w[pos - 1] in "st":
+                        w = w[:pos]
+                elif g == "ier":
+                    if pos >= rv:
+                        w = w[:pos] + "i"
+                elif g == "e":
+                    if pos >= rv:
+                        w = w[:pos]
+                else:  # ë after gu
+                    if pos >= rv and w[:pos].endswith("gu") and pos - 2 >= rv:
+                        w = w[:pos]
+                break
+    # step 5: un-double
+    for end in ("eill", "enn", "onn", "ett", "ell"):
+        if w.endswith(end):
+            w = w[:-1]
+            break
+    # step 6: un-accent before a final consonant run
+    w = re.sub(f"[éè]([^{FR_VOWELS}]+)$", r"e\1", w)
+    # postlude
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ---- french SQL form
+
+
+def _fr_prelude_sql(x: str) -> str:
+    v = FR_VOWELS
+    e = x
+    for _ in range(2):
+        e = f"regexp_replace({e}, '([{v}])u([{v}])', '\\1U\\2', 'g')"
+        e = f"regexp_replace({e}, '([{v}])i([{v}])', '\\1I\\2', 'g')"
+        e = f"regexp_replace({e}, '([{v}])y', '\\1Y', 'g')"
+        e = f"regexp_replace({e}, 'y([{v}])', 'Y\\1', 'g')"
+        e = f"regexp_replace({e}, 'qu', 'qU', 'g')"
+    return e
+
+
+def _fr_rv_sql(x: str) -> str:
+    V = FR_VOWELS
+    pat = f"^.[^{V}]*[{V}]"
+    return (
+        f"CASE WHEN length({x}) >= 2 AND contains('{V}', substr({x}, 1, 1)) "
+        f"AND contains('{V}', substr({x}, 2, 1)) THEN 3 "
+        f"WHEN substr({x}, 1, 3) IN ('par', 'col', 'tap') THEN 3 "
+        f"WHEN regexp_matches({x}, '{pat}') "
+        f"THEN length(regexp_extract({x}, '{pat}')) ELSE {_BIG} END"
+    )
+
+
+def _vsql(c: str) -> str:
+    """char expr c is a (lowercase) French vowel"""
+    return f"contains('{FR_VOWELS}', {c})"
+
+
+def _fr_step1_sql(x: str) -> tuple[str, str]:
+    """Returns (term CASE, ment_found CASE) over columns rv/r1/r2."""
+    cases, mf = [], []
+    for suf, g in _FR_S1:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "A":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} ELSE {x} END"
+        elif g == "B":
+            ic = _strip(st, 2)
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN (CASE WHEN ends_with({st}, 'ic') THEN "
+                f"(CASE WHEN length({st}) - 2 >= r2 THEN {ic} ELSE {ic} || 'iqU' END) "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "C":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'log' ELSE {x} END"
+        elif g == "D":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'u' ELSE {x} END"
+        elif g == "E":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'ent' ELSE {x} END"
+        elif g == "F":
+            iv, at = _strip(st, 2), _strip(_strip(st, 2), 2)
+            s3 = _strip(st, 3)
+            act = (
+                f"CASE WHEN {pos} >= rv THEN (CASE "
+                f"WHEN ends_with({st}, 'iv') AND length({st}) - 2 >= r2 THEN "
+                f"(CASE WHEN ends_with({iv}, 'at') AND length({iv}) - 2 >= r2 "
+                f"THEN {at} ELSE {iv} END) "
+                f"WHEN ends_with({st}, 'eus') THEN "
+                f"(CASE WHEN length({st}) - 3 >= r2 THEN {s3} "
+                f"WHEN length({st}) - 3 >= r1 THEN {s3} || 'eux' ELSE {st} END) "
+                f"WHEN (ends_with({st}, 'abl') OR ends_with({st}, 'iqU')) "
+                f"AND length({st}) - 3 >= r2 THEN {s3} "
+                f"WHEN (ends_with({st}, 'ièr') OR ends_with({st}, 'Ièr')) "
+                f"AND length({st}) - 3 >= rv THEN {s3} || 'i' "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "G":
+            ab, ic, iv = _strip(st, 4), _strip(st, 2), _strip(st, 2)
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN (CASE "
+                f"WHEN ends_with({st}, 'abil') THEN "
+                f"(CASE WHEN length({st}) - 4 >= r2 THEN {ab} ELSE {ab} || 'abl' END) "
+                f"WHEN ends_with({st}, 'ic') THEN "
+                f"(CASE WHEN length({st}) - 2 >= r2 THEN {ic} ELSE {ic} || 'iqU' END) "
+                f"WHEN ends_with({st}, 'iv') AND length({st}) - 2 >= r2 THEN {iv} "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "H":
+            at = _strip(st, 2)
+            ic = _strip(at, 2)
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN (CASE "
+                f"WHEN ends_with({st}, 'at') AND length({st}) - 2 >= r2 THEN "
+                f"(CASE WHEN ends_with({at}, 'ic') THEN "
+                f"(CASE WHEN length({at}) - 2 >= r2 THEN {ic} ELSE {ic} || 'iqU' END) "
+                f"ELSE {at} END) ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "I":
+            act = f"{st} || 'eau'"
+        elif g == "J":
+            act = f"CASE WHEN {pos} >= r1 THEN {st} || 'al' ELSE {x} END"
+        elif g == "K":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN {st} "
+                f"WHEN {pos} >= r1 THEN {st} || 'eux' ELSE {x} END"
+            )
+        elif g == "L":
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 "
+                f"AND NOT {_vsql(_prev_sql(x, n))} THEN {st} ELSE {x} END"
+            )
+        elif g == "M":
+            act = f"CASE WHEN {pos} >= rv THEN {st} || 'ant' ELSE {x} END"
+        elif g == "N":
+            act = f"CASE WHEN {pos} >= rv THEN {st} || 'ent' ELSE {x} END"
+        else:  # O
+            act = (
+                f"CASE WHEN {pos} >= 1 AND {_vsql(_prev_sql(x, n))} "
+                f"AND {pos} - 1 >= rv THEN {st} ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        mf.append(
+            f"WHEN ends_with({x}, '{suf}') THEN {'TRUE' if g in 'MNO' else 'FALSE'}"
+        )
+    return (
+        "CASE " + " ".join(cases) + f" ELSE {x} END",
+        "CASE " + " ".join(mf) + " ELSE FALSE END",
+    )
+
+
+def _fr_step2a_sql(x: str) -> str:
+    cases = []
+    for suf in _FR_S2A:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        act = (
+            f"CASE WHEN {pos} >= 1 AND {pos} - 1 >= rv "
+            f"AND NOT {_vsql(_prev_sql(x, n))} THEN {_strip(x, n)} ELSE {x} END"
+        )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _fr_step2b_sql(x: str) -> str:
+    cases = []
+    for suf, g in _FR_S2B:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "ions":
+            act = f"CASE WHEN {pos} >= rv AND {pos} >= r2 THEN {st} ELSE {x} END"
+        elif g == "er":
+            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+        else:
+            act = (
+                f"CASE WHEN {pos} >= rv THEN "
+                f"(CASE WHEN ends_with({st}, 'e') AND length({st}) - 1 >= rv "
+                f"THEN {_strip(st, 1)} ELSE {st} END) ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _fr_step4_sql(x: str) -> str:
+    # leading s-removal folded into the input expression by the caller
+    cases = []
+    for suf, g in _FR_S4:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "ion":
+            act = (
+                f"CASE WHEN {pos} >= r2 AND {pos} >= 1 AND {pos} - 1 >= rv "
+                f"AND {_prev_sql(x, n)} IN ('s', 't') THEN {st} ELSE {x} END"
+            )
+        elif g == "ier":
+            act = f"CASE WHEN {pos} >= rv THEN {st} || 'i' ELSE {x} END"
+        elif g == "e":
+            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+        else:  # ë after gu
+            act = (
+                f"CASE WHEN {pos} >= rv AND ends_with({st}, 'gu') "
+                f"AND {pos} - 2 >= rv THEN {st} ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def french_sql_ctes(src: str, out: str, p: str = "fr_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out``; French
+    control flow (altered / ment-found / 2a-failed) rides as bool columns."""
+    r1, r2 = _r1r2_sql("term", FR_VOWELS)
+    s1_term, s1_mf = _fr_step1_sql("term")
+    s_removed = (
+        "CASE WHEN ends_with(term, 's') AND length(term) >= 2 "
+        f"AND {_prev_sql('term', 1)} NOT IN ('a', 'i', 'o', 'u', 'è', 's') "
+        f"THEN {_strip('term', 1)} ELSE term END"
+    )
+    step3 = (
+        "CASE WHEN ends_with(term, 'Y') THEN "
+        f"{_strip('term', 1)} || 'i' "
+        "WHEN ends_with(term, 'ç') THEN "
+        f"{_strip('term', 1)} || 'c' ELSE term END"
+    )
+    step5 = (
+        "CASE WHEN ends_with(term, 'eill') OR ends_with(term, 'enn') "
+        "OR ends_with(term, 'onn') OR ends_with(term, 'ett') "
+        f"OR ends_with(term, 'ell') THEN {_strip('term', 1)} ELSE term END"
+    )
+    step6 = f"regexp_replace(term, '[éè]([^{FR_VOWELS}]+)$', 'e\\1')"
+    post = "replace(replace(replace(term, 'I', 'i'), 'U', 'u'), 'Y', 'y')"
+    return f"""
+{p}s0 AS MATERIALIZED (SELECT doc_id, {_fr_prelude_sql("term")} AS term FROM {src}),
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {_fr_rv_sql("term")} AS rv, {r1} AS r1, {r2} AS r2 FROM {p}s0),
+{p}s1 AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0, {s1_term} AS term, {s1_mf} AS mf FROM {p}sr),
+{p}s1b AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term, (term <> t0) AS a1, mf FROM {p}s1),
+{p}s2a AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0,
+  CASE WHEN (NOT a1) OR mf THEN {_fr_step2a_sql("term")} ELSE term END AS term,
+  a1, mf FROM {p}s1b),
+{p}s2ab AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term, (a1 OR term <> t0) AS a,
+  (((NOT a1) OR mf) AND term = t0) AS f2b FROM {p}s2a),
+{p}s2b AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0,
+  CASE WHEN f2b THEN {_fr_step2b_sql("term")} ELSE term END AS term, a FROM {p}s2ab),
+{p}s2bb AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term, (a OR term <> t0) AS a FROM {p}s2b),
+{p}s3 AS MATERIALIZED (SELECT doc_id, rv, r1, r2,
+  CASE WHEN a THEN {step3} ELSE {s_removed} END AS term, a FROM {p}s2bb),
+{p}s4 AS MATERIALIZED (SELECT doc_id, rv, r1, r2,
+  CASE WHEN a THEN term ELSE {_fr_step4_sql("term")} END AS term FROM {p}s3),
+{p}s5 AS MATERIALIZED (SELECT doc_id, {step5} AS term FROM {p}s4),
+{p}s6 AS MATERIALIZED (SELECT doc_id, {step6} AS term FROM {p}s5),
+{out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s6)
+"""

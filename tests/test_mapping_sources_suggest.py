@@ -229,20 +229,25 @@ def test_kafka_offset_options():
 
 
 def test_stopword_entries_survive_tokenizer():
-    # every stopword must be a token the ASCII tokenizer can produce —
-    # an accented entry (e.g. "für" → ["f","r"]) would be dead weight
-    from nixiesearch_spark.analysis import LANG_STOPWORDS, tokenize_py
+    # every stopword must be a token its chain's tokenizer can produce —
+    # otherwise the entry is dead weight (e.g. an accented word under the
+    # ASCII tokenizer). german/french run the Unicode-Latin tokenizer, so
+    # accented entries are legal there.
+    from nixiesearch_spark.analysis import LANG_STOPWORDS, tokenize_latin_py, tokenize_py
 
+    toks = {"german": tokenize_latin_py, "french": tokenize_latin_py}
     for lang, words in LANG_STOPWORDS.items():
+        tok = toks.get(lang, tokenize_py)
         for w in words:
-            assert tokenize_py(w) == [w], f"{lang} stopword {w!r} not a tokenizer token"
+            assert tok(w) == [w], f"{lang} stopword {w!r} not a tokenizer token"
 
 
 def test_language_analyzers(spark, tmp_path):
     from nixiesearch_spark.analysis import analyzer_py
 
     assert analyzer_py("english")("The quick fox and the dog") == ["quick", "fox", "dog"]
-    assert analyzer_py("german")("Der Hund und die Katze") == ["hund", "katze"]
+    # german is now a full Snowball chain: stop + stem (katze → katz)
+    assert analyzer_py("german")("Der Hund und die Katze") == ["hund", "katz"]
     # index+query use the same chain: stopword-only query matches nothing
     df = spark.createDataFrame(
         [(1, "the quick fox"), (2, "a lazy dog")], "doc_id long, content string"

@@ -1,0 +1,162 @@
+"""Snowball German/French stemmers: spec-traced outputs + two-form identity.
+
+Expected values are hand-traced from the published Snowball algorithm
+descriptions (snowballstem.org German/French); the heavier guarantee is that
+the Python form and the generated-DuckDB-SQL form agree everywhere — on real
+vocab, on the synthetic corpus tokens, and on hypothesis-random Latin
+strings (the property the correctness gate depends on).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nixiesearch_spark.snowball import (
+    french_py,
+    french_sql_ctes,
+    german_py,
+    german_sql_ctes,
+)
+
+GERMAN_CASES = {
+    # step 1 plural/case endings (R1)
+    "katzen": "katz", "laufen": "lauf", "filtern": "filt", "joins": "join",
+    "streamen": "stream", "hunden": "hund", "kinder": "kind",
+    # ß → ss, umlaut removal in the postlude
+    "bücher": "buch", "größte": "grosst", "füße": "fuss",
+    # niss fixup: verständnisse → verständniss → verständnis
+    "verständnisse": "verstandnis",
+    # step 2 st-removal after step 1 (valid st-ending, >= 3 letters before)
+    "schönsten": "schon",
+    # step 3 d-suffixes in R2, incl. the ung→ig secondary; "lich" in
+    # heimlich/freundlich starts BEFORE R2 so it survives (Snowball keeps it)
+    "reinigung": "reinig", "heimlich": "heimlich", "freundlich": "freundlich",
+    "möglichkeit": "moglich", "sauberkeit": "sauber",
+    "verständlich": "verstand",
+    # ig after e is kept
+    "wenig": "wenig",
+    # too short / empty regions: untouched (minus umlaut strip)
+    "rot": "rot", "das": "das", "zu": "zu",
+    # u between vowels marked consonant: bauen → "bau" + en in R1?
+    # b a u e n: marking a(v) u e(v) → aUe; vowels a,e; r1 = max(|"bau"|? —
+    # first v-nv pair is (a,U) → prefix "baU" len 3 → r1 3; "en" at 3 → cut
+    "bauen": "bau",
+}
+
+FRENCH_CASES = {
+    # step 1 standard suffixes
+    "continuation": "continu", "consolation": "consol", "amoureuse": "amour",
+    "majestueux": "majestu",
+    # ement in RV + step 5 un-double + accent kept on the prefix
+    "étonnement": "éton",
+    # logie → log, usion → u
+    "analogies": "analog",
+    # step 2b é-verb endings
+    "donné": "don", "montrèrent": "montr",  # donné: 2b é-strip then step-5 un-double
+    # step 4 residual: ion after t (R2), e-removal, s-removal
+    "tables": "tabl", "merges": "merg", "parts": "part",
+    # step 3: final ç → c after an altered step (menaçons? keep simple)
+    # eaux → eau, aux → al
+    "châteaux": "château", "journaux": "journal",
+    # untouched short words
+    "le": "le", "par": "par",
+}
+
+
+def test_german_spec_cases():
+    bad = {w: (german_py(w), want) for w, want in GERMAN_CASES.items() if german_py(w) != want}
+    assert not bad, bad
+
+
+def test_french_spec_cases():
+    bad = {w: (french_py(w), want) for w, want in FRENCH_CASES.items() if french_py(w) != want}
+    assert not bad, bad
+
+
+def _sql_stem(words: list[str], ctes_fn) -> list[str]:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE src AS SELECT i AS doc_id, w AS term "
+        "FROM (SELECT unnest(range(len($words))) AS i, unnest($words) AS w)",
+        {"words": words},
+    )
+    frag = ctes_fn("src", "out_cte", "x_")
+    rows = con.execute(
+        f"WITH {frag.strip()} SELECT term FROM out_cte ORDER BY doc_id"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+EXTRA_WORDS = [
+    "", "a", "ä", "ss", "ßß", "auen", "aueue", "ayua", "quai", "yeux",
+    "payer", "ennuyé", "joUis", "qualités", "voudriez", "indemnité",
+    "généralisation", "sécurité", "activités", "gouvernement", "heureusement",
+    "assurément", "possibilités", "immobilier", "guë", "aiguë", "batches",
+    "windows", "spark", "foo_bar", "x1ing", "größenordnung", "zusammengehörigkeit",
+    "aufeinanderfolgenden", "betriebsbereitschaft", "wettbewerbsfähigkeit",
+]
+
+
+def test_german_sql_equals_python():
+    words = list(GERMAN_CASES) + list(FRENCH_CASES) + EXTRA_WORDS
+    got = _sql_stem(words, german_sql_ctes)
+    want = [german_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+def test_french_sql_equals_python():
+    words = list(GERMAN_CASES) + list(FRENCH_CASES) + EXTRA_WORDS
+    got = _sql_stem(words, french_sql_ctes)
+    want = [french_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+LATIN = "abcdefghijklmnopqrstuvwxyzäöüßàâéèêëïîôûùç_0123456789"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=LATIN, min_size=0, max_size=14), min_size=1, max_size=40))
+def test_two_form_identity_random(words):
+    got_de = _sql_stem(words, german_sql_ctes)
+    want_de = [german_py(w) for w in words]
+    assert got_de == want_de, [
+        (w, g, p) for w, g, p in zip(words, got_de, want_de) if g != p
+    ]
+    got_fr = _sql_stem(words, french_sql_ctes)
+    want_fr = [french_py(w) for w in words]
+    assert got_fr == want_fr, [
+        (w, g, p) for w, g, p in zip(words, got_fr, want_fr) if g != p
+    ]
+
+
+def test_analyzer_chain_german_french():
+    from nixiesearch_spark.analysis import analyzer_py
+
+    # unicode tokenizer keeps accented words whole; stopwords drop; stems
+    assert analyzer_py("german")("Die Bücher und die Katzen laufen") == [
+        "buch", "katz", "lauf",
+    ]
+    assert analyzer_py("french")("les tables et la continuation") == [
+        "tabl", "continu",
+    ]
+
+
+def test_spark_column_form_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from nixiesearch_spark.analysis import analyzer_col, analyzer_py
+
+    rows = [(i, t) for i, t in enumerate(["Die Bücher laufen", "étonnement des tables", None])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for lang in ("german", "french"):
+        got = {
+            r["doc_id"]: r["toks"]
+            for r in df.select("doc_id", analyzer_col(lang)(F.col("text")).alias("toks")).collect()
+        }
+        want = {i: analyzer_py(lang)(t) for i, t in rows}
+        assert got == want, (lang, got, want)

@@ -125,6 +125,12 @@ PACKED_SCHEMA = StructType(
         StructField("norms", BinaryType()),
         StructField("max_impact", FloatType()),
         StructField("tf_sum", LongType()),
+        # ordinal group = floor(ordinal / group_span): the packed table's
+        # partition key. Appends only ever create ordinals ABOVE a shard's
+        # committed base, so a new batch touches only the tail og groups —
+        # the unit of incremental re-pack (finalize overwrites only changed
+        # og partitions; older ones are immutable files on disk).
+        StructField("og", IntegerType()),
     ]
 )
 
@@ -501,12 +507,12 @@ class IndexBuilder:
     def finalize(self, index_dir: str, pack: bool = True) -> dict:
         """Refresh stats/dictionary (+ packed, unless ``pack=False``).
 
-        ``pack=False`` is the heavy-streaming mode: packing rewrites the
-        whole packed table (VByte blocks are immutable and plain parquet
-        can't replace the boundary groups an append touches — true
-        incremental pack needs snapshot/table-format deletes, i.e. Iceberg
-        on a real deployment). Deferring it to merge()/compact() keeps
-        per-batch cost proportional to the batch; the flat serving path is
+        Packing is INCREMENTAL when the postings dir has only grown since
+        the last pack (_pack_or_repack): the packed table is partitioned by
+        ordinal group ``og``, appends only touch the per-shard tail groups,
+        and dynamic partition overwrite rewrites just those — per-batch
+        finalize cost is O(batch), not O(index). ``pack=False`` still defers
+        packing entirely (heaviest-streaming mode): the flat serving path is
         always fresh, and WAND refuses a stale packed table via the
         ``packed_seqnum`` guard instead of silently missing new docs."""
         c = self.config
@@ -530,7 +536,14 @@ class IndexBuilder:
         if os.path.exists(prev_stats_path):
             with open(prev_stats_path) as f:
                 prev_packed = json.load(f).get("packed_seqnum")
+        prev_pack_avgdl = None
+        if os.path.exists(prev_stats_path):
+            with open(prev_stats_path) as f:
+                prev_pack_avgdl = json.load(f).get("pack_avgdl")
         do_pack = c.quantize and pack
+        pack_avgdl, pack_mode, new_files = prev_pack_avgdl, "skip", None
+        if do_pack:
+            pack_avgdl, pack_mode, new_files = self._pack_or_repack(index_dir, fields)
         stats = {
             "fields": fields,
             "analyzers": {f: c.analyzers.get(f, "standard") for f in c.text_fields},
@@ -541,18 +554,62 @@ class IndexBuilder:
             "seqnum": seqnum,
             # seqnum the packed table was built at; < seqnum ⇒ WAND stale
             "packed_seqnum": seqnum if do_pack else prev_packed,
+            # avgdl the packed max_impact bounds were computed at: WAND
+            # scales bounds by max(1, avgdl_now / pack_avgdl) so incremental
+            # packs stay sound under avgdl drift (query/wand.py)
+            "pack_avgdl": pack_avgdl,
         }
-        if do_pack:
-            self._pack(index_dir, {f: s["avgdl"] for f, s in fields.items()})
-        if c.quantize and do_pack:
-            # dictionary from packed block rows (~postings/block_size rows)
-            # instead of re-scanning the full postings table
+        self._refresh_dictionary(index_dir, pack_mode, new_files)
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        return stats
+
+    def _refresh_dictionary(self, index_dir: str, pack_mode: str, new_files) -> None:
+        """term → (df, cf) table. Full modes aggregate packed block rows
+        (~postings/block_size rows) or flat postings; the incremental mode
+        folds only the NEW postings files' per-term deltas into the existing
+        dictionary — an O(vocab + batch) outer join instead of an O(index)
+        rescan (postings are append-only between compactions, so deltas are
+        strictly additive). "noop" = nothing changed since last finalize."""
+        if pack_mode == "noop":
+            return
+        c, spark = self.config, self.spark
+        dpath = os.path.join(index_dir, "dictionary")
+        if pack_mode == "incremental":
+            delta = (
+                spark.read.parquet(*new_files)
+                .groupBy("field", "term")
+                .agg(F.count(F.lit(1)).alias("df_d"), F.sum("tf").alias("cf_d"))
+            )
+            old = spark.read.parquet(dpath)
+            dict_src = (
+                old.join(delta, ["field", "term"], "full_outer")
+                .select(
+                    "field",
+                    "term",
+                    (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
+                    (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_d", F.lit(0))).alias("cf"),
+                )
+            )
+            tmp = dpath + ".updating"
+            (
+                dict_src.repartitionByRange(max(c.n_shards // 4, 1), "term")
+                .sortWithinPartitions("field", "term")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            import shutil
+
+            shutil.rmtree(dpath)
+            os.rename(tmp, dpath)
+            return
+        if pack_mode == "full":
             dict_src = (
                 spark.read.parquet(os.path.join(index_dir, "packed"))
                 .groupBy("field", "term")
                 .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
             )
-        else:
+        else:  # skip (pack=False / non-quantized): flat postings rescan
             dict_src = (
                 spark.read.parquet(os.path.join(index_dir, "postings"))
                 .groupBy("field", "term")
@@ -562,13 +619,73 @@ class IndexBuilder:
             dict_src.repartitionByRange(max(c.n_shards // 4, 1), "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "dictionary"))
+            .parquet(dpath)
         )
-        with open(os.path.join(index_dir, "stats.json"), "w") as f:
-            json.dump(stats, f, indent=2)
-        return stats
 
-    def _pack(self, index_dir: str, avgdl_by_field: dict) -> None:
+    # ---------- incremental pack bookkeeping ----------
+
+    def _postings_files(self, index_dir: str) -> list[str]:
+        import glob as _glob
+
+        root = os.path.join(index_dir, "postings")
+        return sorted(
+            os.path.relpath(f, root)
+            for f in _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+
+    def _pack_or_repack(self, index_dir: str, fields: dict):
+        """Pack the postings table, incrementally when possible.
+
+        ``packed_manifest.json`` records which postings files the current
+        packed table incorporates plus the avgdl the impact bounds were
+        computed at. If the manifest's files are a subset of the current
+        listing (append-only since last pack), only the ordinal groups (og)
+        touched by the NEW files are re-packed — dynamic partition overwrite
+        rewrites just those og partitions, so a streaming finalize costs
+        O(batch), not O(index) (the reference's policy-driven partial merges,
+        ``config/mapping/MergePolicyConfig.scala:19-124``). Bounds for
+        re-packed groups use the MANIFEST avgdl so the whole table stays
+        internally consistent; merge()/compact() rewrite postings files,
+        which voids the subset check and forces the full re-pack that
+        refreshes pack_avgdl.
+
+        Returns (pack_avgdl_by_field, mode, new_file_paths) with mode one of
+        "full" | "incremental" | "noop".
+        """
+        man_path = os.path.join(index_dir, "packed_manifest.json")
+        proot = os.path.join(index_dir, "postings")
+        cur = self._postings_files(index_dir)
+        span = self.config.block_size * int(self.config.extra.get("pack_group_blocks", 256))
+        cur_avgdl = {f: s["avgdl"] for f, s in fields.items()}
+        manifest = None
+        if os.path.exists(man_path) and os.path.isdir(os.path.join(index_dir, "packed")):
+            with open(man_path) as f:
+                manifest = json.load(f)
+        if (
+            manifest
+            and manifest.get("group_span") == span
+            and set(manifest["files"]) <= set(cur)
+            and all(f in manifest.get("pack_avgdl", {}) for f in cur_avgdl)
+        ):
+            new_rel = sorted(set(cur) - set(manifest["files"]))
+            pack_avgdl = manifest["pack_avgdl"]
+            if not new_rel:
+                return pack_avgdl, "noop", None
+            if len(new_rel) <= max(2, len(cur) // 2):
+                new_abs = [os.path.join(proot, f) for f in new_rel]
+                self._pack(index_dir, pack_avgdl, span, new_files=new_abs)
+                manifest["files"] = cur
+                with open(man_path, "w") as f:
+                    json.dump(manifest, f)
+                return pack_avgdl, "incremental", new_abs
+        self._pack(index_dir, cur_avgdl, span)
+        with open(man_path, "w") as f:
+            json.dump({"files": cur, "pack_avgdl": cur_avgdl, "group_span": span}, f)
+        return cur_avgdl, "full", None
+
+    def _pack(
+        self, index_dir: str, avgdl_by_field: dict, span: int, new_files: list | None = None
+    ) -> None:
         """Flat postings → VByte blocks with block-max impact (WAND path).
 
         Shape matters at scale: the per-(shard, field, term) posting lists
@@ -588,20 +705,21 @@ class IndexBuilder:
         docid-range intervals, so split points don't change results).
         """
         block_size = self.config.block_size
-        group_span = block_size * int(self.config.extra.get("pack_group_blocks", 256))
+        group_span = span
         caches = {
             f: lucene.norm_cache(np.float32(a)) for f, a in avgdl_by_field.items()
         }
 
         def pack_batches(batches):
             cols = ("shard", "field", "term", "block_id", "block_last", "n",
-                    "doc_gaps", "tfs", "norms", "max_impact", "tf_sum")
+                    "doc_gaps", "tfs", "norms", "max_impact", "tf_sum", "og")
             for pdf in batches:
                 out = {k: [] for k in cols}
                 for (shard, fld), g in pdf.groupby(["shard", "field"], sort=False):
                     lens = g["docids"].map(len).to_numpy(dtype=np.int64)
                     if lens.sum() == 0:
                         continue
+                    row_og = g["og"].to_numpy(dtype=np.int64)
                     docids = np.concatenate(g["docids"].to_list()).astype(np.int64)
                     tfs = np.concatenate(g["tfs"].to_list()).astype(np.int64)
                     norms = np.concatenate(g["norms"].to_list()).astype(np.int64)
@@ -643,54 +761,88 @@ class IndexBuilder:
                     out["norms"].extend(norm_bytes[a:b] for a, b in zip(bstart, bend))
                     out["max_impact"].extend(np.float32(bmax).tolist())
                     out["tf_sum"].extend(btf.tolist())
+                    out["og"].extend(row_og[term_id[bstart]].tolist())
                 yield pd.DataFrame(out)
 
         postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
+        if new_files is not None:
+            # incremental: only ordinal groups touched by the new files need
+            # re-encoding — appends land ABOVE each shard's committed ordinal
+            # base, so this is the per-shard tail, O(batch) groups total
+            changed = [
+                int(r[0])
+                for r in self.spark.read.parquet(*new_files)
+                .select(F.floor(F.col("ordinal") / F.lit(group_span)).cast("int"))
+                .distinct()
+                .collect()
+            ]
+            # the og test is a computed column (no pushdown); the ordinal
+            # range bound IS pushable, so parquet row-group min/max prunes
+            # everything below the lowest changed group before the exact
+            # og-membership filter runs
+            lo = min(changed) * group_span if changed else 0
+            postings = postings.where(
+                (F.col("ordinal") >= F.lit(lo))
+                & F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").isin(changed)
+            )
         grouped = (
             postings.groupBy(
                 "shard",
                 "field",
                 "term",
-                F.floor(F.col("ordinal") / F.lit(group_span)).alias("_g"),
+                F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").alias("og"),
             )
             .agg(F.array_sort(F.collect_list(F.struct("ordinal", "tf", "norm"))).alias("ps"))
             .select(
                 "shard",
                 "field",
                 "term",
+                "og",
                 F.transform("ps", lambda x: x["ordinal"]).alias("docids"),
                 F.transform("ps", lambda x: x["tf"]).alias("tfs"),
                 F.transform("ps", lambda x: x["norm"]).alias("norms"),
             )
         )
         packed = grouped.mapInPandas(pack_batches, schema=PACKED_SCHEMA)
-        (
+        writer = (
             packed.sortWithinPartitions("shard", "field", "term", "block_id")
             .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "packed"))
+            .partitionBy("og")
         )
+        if new_files is not None:
+            # overwrite ONLY the og partitions present in this write; every
+            # other og dir's files are untouched on disk
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(os.path.join(index_dir, "packed"))
 
     # ---------- merge / compaction ----------
 
     def merge(self, index_dir: str) -> None:
         """Compaction analog of the reference's forceMerge
-        (``index/Indexer.scala:148-164``): rewrite flat postings into one
-        sorted file per shard and re-pack. Run after incremental appends
-        accumulate small files."""
+        (``index/Indexer.scala:148-164``): rewrite flat postings AND docs
+        into shard-clustered sorted files and re-pack. Run after incremental
+        appends accumulate small files. The shard-pure file layout is what
+        lets a later IncrementalIndexer.compact() replace only touched
+        shards' files."""
         import shutil
 
         spark = self.spark
-        p = os.path.join(index_dir, "postings")
-        tmp = p + ".merging"
-        df = spark.read.parquet(p)
-        (
-            df.repartition(self.config.n_shards, "shard")
-            .sortWithinPartitions("shard", "field", "term", "docid")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        shutil.rmtree(p)
-        os.rename(tmp, p)
+        sorts = {
+            "postings": ("shard", "field", "term", "docid"),
+            "docs": ("shard", "docid"),
+        }
+        for tbl, keys in sorts.items():
+            p = os.path.join(index_dir, tbl)
+            tmp = p + ".merging"
+            df = spark.read.parquet(p)
+            (
+                df.repartition(self.config.n_shards, "shard")
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(p)
+            os.rename(tmp, p)
         self.finalize(index_dir)
 
 

@@ -96,6 +96,7 @@ def _shard_topk(
     n_required: int = 0,  # >0 → AND semantics: doc must match all n terms
     allow: np.ndarray | None = None,  # sorted allowed ordinals (filter mode)
     ban: np.ndarray | None = None,  # sorted banned ordinals (tombstones)
+    bound_scale: float = 1.0,  # ≥1: avgdl-drift correction (see wand_topk)
 ) -> pd.DataFrame:
     shard = int(pdf["shard"].iloc[0])
     terms = list(dict.fromkeys(pdf["term"]))
@@ -110,6 +111,7 @@ def _shard_topk(
             * np.float64(weights[t])
             * tdf["max_impact"].to_numpy(dtype=np.float64)
             * UB_SLACK
+            * np.float64(bound_scale)
         )
         blocks[t] = {
             "first": first,
@@ -272,7 +274,19 @@ def wand_topk(
     n_required = len(present) if operator == "and" else 0
     weights = {t: tstats[t][1] for t in present}
     mults = {t: int(mult[t]) for t in present}
-    cache = lucene.norm_cache(np.float32(reader.field_stats(field)["avgdl"]))
+    avgdl_now = float(reader.field_stats(field)["avgdl"])
+    cache = lucene.norm_cache(np.float32(avgdl_now))
+    # Incremental packs keep block max_impact bounds computed at the avgdl
+    # of the last FULL pack (stats.pack_avgdl). BM25 contrib = w·tf/(tf +
+    # 0.3 + 0.9·dl/avgdl) is increasing in avgdl, and for a ≤ a' the ratio
+    # contrib(a')/contrib(a) ≤ a'/a — so scaling stored bounds by
+    # max(1, avgdl_now/pack_avgdl) keeps them sound upper bounds under
+    # drift; exact scoring below always uses avgdl_now, so results stay
+    # bit-identical to the flat path (drift only costs pruning power).
+    pack_avgdl = (reader.stats.get("pack_avgdl") or {}).get(field)
+    bound_scale = (
+        max(1.0, avgdl_now / float(pack_avgdl)) if pack_avgdl else 1.0
+    )
 
     # resolve filters/tombstones to per-shard ordinal sets (docs rows carry
     # shard + ordinal — a column projection, no join); "allow" mode when a
@@ -318,7 +332,8 @@ def wand_topk(
                 if not len(g) or (mode == 1 and not len(allow)):
                     continue
             yield _shard_topk(
-                g, weights, mults, cache, k, n_stripes, n_required, allow, ban
+                g, weights, mults, cache, k, n_stripes, n_required, allow, ban,
+                bound_scale,
             )
 
     matched = reader.packed.where(

@@ -15,8 +15,9 @@ Spark-native shape:
 - each micro-batch appends delta docs + postings tagged with ``seqnum`` =
   batch_id (exactly-once per batch via the streaming checkpoint — stronger
   than the reference's commitAsync);
-- ``compact()`` is the flush/merge analog: global last-write-wins upsert by
-  (docid, seqnum) and full re-finalize, atomically swapping the index dir.
+- ``compact()`` is the flush/merge analog: shard-scoped last-write-wins
+  upsert + physical tombstone removal — only files holding touched shards'
+  rows are replaced, survivors keep their ordinals (no re-tokenize).
   Between compactions readers see appended deltas immediately (new Iceberg-
   snapshot-style visibility); a re-ingested _id surfaces twice until the
   next compaction — same at-least-once window the reference documents.
@@ -65,11 +66,12 @@ class IncrementalIndexer:
         merge_policy: MergePolicy | None = None,
         pack_each_batch: bool = True,
     ):
-        """``pack_each_batch=False`` is the heavy-streaming mode: packing
-        rewrites the whole packed table, so deferring it to the merge-policy
-        compaction keeps per-batch cost proportional to the batch. The flat
-        serving path stays fresh every batch; WAND refuses the stale packed
-        table until the next merge (builder.finalize docstring)."""
+        """``pack_each_batch=True`` (default) keeps the packed/WAND path
+        fresh every batch at O(batch) cost — finalize re-packs only the
+        ordinal-group partitions the batch touched (builder._pack_or_repack).
+        ``pack_each_batch=False`` defers even that to the merge-policy
+        compaction; the flat serving path stays fresh every batch and WAND
+        refuses the stale packed table until the next merge."""
         self.spark = spark
         self.config = config
         self.index_dir = index_dir
@@ -126,34 +128,150 @@ class IncrementalIndexer:
 
     # ---------- compaction / upsert ----------
 
+    def _swap_rows_in_place(self, table: str, touched: list[int], new_rows) -> None:
+        """Replace the rows of ``touched`` shards inside a flat parquet table
+        without rewriting untouched files.
+
+        Only the FILES that contain touched-shard rows (parquet row-group
+        stats answer that with a pruned scan) are dropped; rows of untouched
+        shards that happened to share those files are carried over verbatim.
+        After a merge() the tables are shard-clustered, so the carried-over
+        remainder is a few boundary rows and every untouched shard's file
+        stays byte-identical on disk. The delete-then-move window is the
+        single-writer visibility gap a real deployment closes with an
+        Iceberg/snapshot commit (builder.finalize docstring)."""
+        root = os.path.join(self.index_dir, table)
+        full = self.spark.read.parquet(root)
+        hit_files = [
+            r[0].removeprefix("file:")
+            for r in full.where(F.col("shard").isin(touched))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        out = new_rows
+        if hit_files:
+            preserved = self.spark.read.parquet(*hit_files).where(
+                ~F.col("shard").isin(touched)
+            )
+            out = out.unionByName(preserved)
+        tmp = root + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # shard-pure output files keep FUTURE compacts surgical too
+        (
+            out.repartition(self.config.n_shards, "shard")
+            .sortWithinPartitions("shard", "docid")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for f in hit_files:
+            os.remove(f)
+        for f in glob.glob(os.path.join(tmp, "*.parquet")):
+            shutil.move(f, os.path.join(root, "compact-" + os.path.basename(f)))
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def compact(self) -> None:
-        """Last-write-wins upsert by _id then full rebuild, atomic dir swap
-        (the merge/flush analog; reference Indexer.scala:97-99,148-164)."""
+        """Shard-scoped physical delete/upsert (the flush/merge analog;
+        reference ``index/Indexer.scala:97-99,148-164``).
+
+        Only shards holding tombstoned or re-ingested docids are rewritten —
+        and WITHOUT re-tokenizing: survivors keep their ordinals, so their
+        postings rows are carried as-is and only the loser rows are dropped.
+        Untouched shards' docs/postings files are not rewritten at all (byte
+        -identical after a prior merge; see _swap_rows_in_place). Stats stay
+        exact via negative lineage adjustment rows; their NULL ``rows_in``
+        flips the touched shards' ordinal base to the max(ordinal)+1
+        fallback (builder._shard_bases), so later appends never collide with
+        the now-sparse ordinal space. finalize() then re-packs: the postings
+        file set changed, so the manifest forces the full re-pack that also
+        refreshes pack_avgdl."""
+        import time
+
         from pyspark.sql import Window
 
-        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
-        tomb_path = os.path.join(self.index_dir, "tombstones")
-        if os.path.isdir(tomb_path):
-            tombs = self.spark.read.parquet(tomb_path)
-            docs = docs.join(tombs, "docid", "left_anti")
+        spark, idx = self.spark, self.index_dir
+        docs = spark.read.parquet(os.path.join(idx, "docs"))
+        tomb_path = os.path.join(idx, "tombstones")
+        tombs = spark.read.parquet(tomb_path) if os.path.isdir(tomb_path) else None
+        touched = set()
+        if tombs is not None:
+            touched |= {
+                int(r[0])
+                for r in tombs.select(
+                    F.pmod(F.col("docid"), F.lit(self.config.n_shards)).cast("int")
+                )
+                .distinct()
+                .collect()
+            }
+        # re-ingested _ids: >1 live row for a docid (docid determines shard)
+        touched |= {
+            int(r[0])
+            for r in docs.groupBy("docid")
+            .agg(F.max("shard").alias("shard"), F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .select("shard")
+            .distinct()
+            .collect()
+        }
+        touched = sorted(touched)
+        if not touched:
+            return
+        tdocs = docs.where(F.col("shard").isin(touched))
+        if tombs is not None:
+            tdocs = tdocs.join(tombs, "docid", "left_anti")
         seq = F.col("seqnum") if "seqnum" in docs.columns else F.lit(0)
-        w = Window.partitionBy("docid").orderBy(F.desc(seq))
-        stored = [
-            c
-            for c in docs.columns
-            if c not in ("docid", "shard", "sha256", "ordinal")
-            and not c.startswith(("doclen_", "norm_"))
-        ]
-        latest = (
-            docs.withColumn("_rn", F.row_number().over(w))
+        w = Window.partitionBy("docid").orderBy(F.desc(seq), F.desc("ordinal"))
+        survivors = (
+            tdocs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select(*stored)
+            .drop("_rn")
         )
-        tmp = self.index_dir + ".compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self.builder.build(latest, tmp, resume=False)
-        old = self.index_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.index_dir, old)
-        os.rename(tmp, self.index_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        keys = survivors.select("shard", "ordinal")
+        post = spark.read.parquet(os.path.join(idx, "postings"))
+        tpost = post.where(F.col("shard").isin(touched))
+        kept_post = tpost.join(keys, ["shard", "ordinal"], "left_semi")
+        removed = (
+            tpost.join(keys, ["shard", "ordinal"], "left_anti")
+            .groupBy("shard", "field")
+            .agg(
+                F.countDistinct("ordinal").alias("docs_rm"),
+                F.sum("tf").alias("dl_rm"),
+            )
+            .collect()
+        )
+        # postings surgery BEFORE docs: both reference the docs frame lazily,
+        # so materialize the semi-join before docs files start moving
+        self._swap_rows_in_place("postings", touched, kept_post)
+        self._swap_rows_in_place("docs", touched, survivors)
+        if removed:
+            from nixiesearch_spark.index.builder import TOKENIZER_VERSION
+
+            wall = int(time.time() * 1000) % 1_000_000
+            rows = [
+                {
+                    "shard": int(r["shard"]),
+                    "field": r["field"],
+                    "rows_in": None,  # forces the max(ordinal)+1 base fallback
+                    "docs_with_field": -int(r["docs_rm"]),
+                    "sum_dl": -int(r["dl_rm"]),
+                    "postings_out": None,
+                    "wall_ms": wall,
+                    "status": "committed",
+                    "tokenizer": TOKENIZER_VERSION,
+                }
+                for r in removed
+            ]
+            import pandas as pd
+
+            adj = spark.createDataFrame(
+                pd.DataFrame(rows),
+                schema=(
+                    "shard int, field string, rows_in long, docs_with_field long, "
+                    "sum_dl long, postings_out long, wall_ms long, status string, "
+                    "tokenizer string"
+                ),
+            )
+            adj.coalesce(1).write.mode("append").parquet(os.path.join(idx, "lineage"))
+        if tombs is not None:
+            shutil.rmtree(tomb_path, ignore_errors=True)
+        self.builder.finalize(idx)

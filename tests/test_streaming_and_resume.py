@@ -219,11 +219,9 @@ def test_delete_by_id(spark, tmp_path):
     s = Searcher(IndexReader(spark, idx))
     # immediate logical delete on the flat path
     assert {r["docid"] for r in s.search(MatchQuery("content", "red"), size=5).collect()} == {1}
-    # WAND refuses until compaction
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
-        wand_topk(s.reader, "content", "red", 5)
+    # tombstones ride INSIDE the pruned WAND search (banned-ordinal mask) —
+    # correct immediately, no compaction needed
+    assert [r["docid"] for r in wand_topk(s.reader, "content", "red", 5).collect()] == [1]
     inc.compact()
     s = Searcher(IndexReader(spark, idx))
     assert {r["docid"] for r in s.search(MatchQuery("content", "red"), size=5).collect()} == {1}

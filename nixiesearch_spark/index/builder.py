@@ -933,6 +933,45 @@ class IndexReader:
             self._ordmap = self.docs.select("shard", "ordinal", "docid")
         return self._ordmap
 
+    def ordinal_lookup(self, pairs: list[tuple[int, int]]) -> dict:
+        """Resolve (shard, ordinal) → docid driver-side, zero Spark jobs
+        after a one-time pull (search-head WAND path, query/wand.py).
+
+        The map is two sorted numpy arrays (composite key, docid) — ~16 B
+        per doc, lazily built once per reader. Above 50M docs the pull is
+        refused (returns None) and the caller falls back to the pushed
+        point-lookup SQL path; on a real deployment that threshold is the
+        search head's memory budget, the same trade Lucene makes keeping
+        its docid maps segment-local."""
+        if getattr(self, "_ordlut", None) is None:
+            doc_count = max(
+                (f.get("doc_count", 0) for f in self.stats.get("fields", {}).values()),
+                default=0,
+            )
+            if doc_count > 50_000_000:
+                self._ordlut = False
+            else:
+                import numpy as np
+
+                pdf = self.ordinal_map.toPandas()
+                keys = (
+                    pdf["shard"].to_numpy(np.int64) << np.int64(40)
+                ) | pdf["ordinal"].to_numpy(np.int64)
+                order = np.argsort(keys)
+                self._ordlut = (keys[order], pdf["docid"].to_numpy(np.int64)[order])
+        if self._ordlut is False:
+            return None
+        import numpy as np
+
+        keys, docids = self._ordlut
+        want = np.array([(s << 40) | o for s, o in pairs], dtype=np.int64)
+        pos = np.searchsorted(keys, want)
+        out = {}
+        for (s, o), p in zip(pairs, pos):
+            if p < len(keys) and keys[p] == (s << 40) | o:
+                out[(s, o)] = int(docids[p])
+        return out
+
     def persist_hot(self):
         """Pin serving tables in memory (warm-searcher mode for latency
         benchmarks — the analog of the reference's always-open reader)."""

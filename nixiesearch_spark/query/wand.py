@@ -128,6 +128,10 @@ def _shard_topk(
             {"shard": "int32", "ordinal": "int64", "score": "float32"}
         )
 
+    # few blocks → stripe bookkeeping costs more python than it saves in
+    # decode: collapse to one stripe (decode-all). Same math, same results.
+    if sum(len(b["first"]) for b in blocks.values()) <= 2 * n_stripes:
+        n_stripes = 1
     edges = np.linspace(np.float64(lo), np.float64(hi) + 1.0, n_stripes + 1)
     stripe_lo = edges[:-1].astype(np.int64)
     # float64 rounding near ±2^63 can push the first edge above the smallest
@@ -233,6 +237,77 @@ def _shard_topk(
     )
 
 
+def _wand_topk_driver(
+    reader: IndexReader,
+    field: str,
+    present: list[str],
+    weights: dict,
+    mults: dict,
+    cache: np.ndarray,
+    k: int,
+    n_stripes: int,
+    n_required: int,
+    bound_scale: float,
+) -> DataFrame:
+    """Search-head WAND: one job collects the query's matched blocks from
+    the cached packed scan, the per-shard numpy kernel runs in-process, and
+    a second tiny job resolves only the global top-k(+ties) ordinals. Same
+    kernel, same tie semantics → bit-identical to the distributed plan."""
+    spark = reader.spark
+    pdf = (
+        reader.packed.where((F.col("field") == field) & F.col("term").isin(present))
+        .select(
+            "shard", "term", "block_id", "block_last",
+            "doc_gaps", "tfs", "norms", "max_impact",
+        )
+        .toPandas()
+    )
+    if pdf.empty:
+        return spark.createDataFrame([], FINAL_SCHEMA)
+    parts = [
+        _shard_topk(g, weights, mults, cache, k, n_stripes, n_required, None, None, bound_scale)
+        for _, g in pdf.groupby("shard", sort=False)
+    ]
+    cand = pd.concat(parts, ignore_index=True)
+    if not len(cand):
+        return spark.createDataFrame([], FINAL_SCHEMA)
+    scores = cand["score"].to_numpy()
+    # only candidates at or above the global k-th score can reach the top-k
+    # (equal scores retained for the docid-asc tiebreak) — resolving just
+    # those keeps the ordinal_map filter to a handful of literals
+    theta = np.sort(scores)[::-1][min(k, len(scores)) - 1]
+    cand = cand[scores >= theta]
+    pairs = [(int(s), int(o)) for s, o in zip(cand["shard"], cand["ordinal"])]
+    omap = reader.ordinal_lookup(pairs)
+    if omap is None:  # corpus too big for the driver-side map — SQL lookup
+        pred = None
+        for s, g in cand.groupby("shard", sort=False):
+            p = (F.col("shard") == int(s)) & F.col("ordinal").isin(
+                [int(x) for x in g["ordinal"]]
+            )
+            pred = p if pred is None else (pred | p)
+        omap = {
+            (int(r["shard"]), int(r["ordinal"])): int(r["docid"])
+            for r in reader.ordinal_map.where(pred).collect()
+        }
+    rows = sorted(
+        (
+            (omap[(int(s), int(o))], float(v))
+            for s, o, v in zip(cand["shard"], cand["ordinal"], cand["score"])
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    # pandas → Arrow → LocalRelation: ~10x cheaper than the row-list path
+    # (which builds an RDD-backed frame whose collect is a full RDD job)
+    out = pd.DataFrame(
+        {
+            "docid": np.array([d for d, _ in rows], dtype=np.int64),
+            "score": np.array([v for _, v in rows], dtype=np.float32),
+        }
+    )
+    return spark.createDataFrame(out, FINAL_SCHEMA)
+
+
 def wand_topk(
     reader: IndexReader,
     field: str,
@@ -242,8 +317,10 @@ def wand_topk(
     operator: str = "or",
     resolve: str = "auto",
     filters: dict | None = None,
+    mode: str = "auto",
+    driver_max_blocks: int = 20_000,
 ) -> DataFrame:
-    """Distributed block-max WAND match top-k over the packed table.
+    """Block-max WAND match top-k over the packed table.
     ``operator="and"`` requires every query term per doc (conjunction is
     applied inside the stripe scorer; the OR upper bounds stay valid).
     ``resolve``: ordinal→docid strategy — "join" | "lookup" | "auto"
@@ -252,7 +329,21 @@ def wand_topk(
     the pruned search as an allowed-ordinal mask (module docstring); results
     are bit-identical to ``Searcher.search(..., filters=...)``. Tombstones
     are honored the same way (banned-ordinal set), so a WAND query between
-    deletes and the next compaction stays correct."""
+    deletes and the next compaction stays correct.
+
+    ``mode``: physical strategy — "distributed" | "driver" | "auto". The
+    driver path is the search-head pattern (the reference's coordinator
+    searching Lucene segments in-process): when the dictionary says the
+    query's matched blocks are small (Σ df/block_size ≤ driver_max_blocks,
+    known BEFORE any job), ONE job collects those blocks from the cached
+    packed scan, the same _shard_topk numpy kernel runs per shard on the
+    driver, and a second tiny job resolves just the global top-k ordinals.
+    That replaces the repartition exchange + python-worker round-trip +
+    broadcast-join job (~0.5 s of pure scheduling at any data size) with
+    ~2 small jobs. High-df queries — where block volume is real work —
+    keep the distributed plan; "auto" also falls back to it whenever a
+    filter or tombstones are in play (their ordinal sets belong on the
+    cluster). Results are bit-identical across modes (tests/test_wand.py)."""
     if not reader.quantize:
         raise ValueError("WAND serving path requires a quantized index")
     if "packed_seqnum" in reader.stats:  # absent = legacy stats (always packed)
@@ -293,7 +384,7 @@ def wand_topk(
     # filter is present (tombstones anti-joined in), "ban" mode for
     # tombstones alone (cheaper: ships only deleted ordinals)
     tombs = reader.tombstones
-    mode = 0  # 0 = none, 1 = allow, 2 = ban
+    fmode = 0  # 0 = none, 1 = allow, 2 = ban
     fframe = None
     if filters is not None:
         from nixiesearch_spark.query.filters import compile_predicate
@@ -301,11 +392,25 @@ def wand_topk(
         keep = reader.docs.where(compile_predicate(filters))
         if tombs is not None:
             keep = keep.join(tombs, "docid", "left_anti")
-        fframe, mode = keep.select("shard", "ordinal"), 1
+        fframe, fmode = keep.select("shard", "ordinal"), 1
     elif tombs is not None:
-        fframe, mode = (
+        fframe, fmode = (
             reader.docs.join(tombs, "docid", "left_semi").select("shard", "ordinal"),
             2,
+        )
+
+    bs = int(reader.stats.get("block_size", 128))
+    nsh_est = int(reader.stats.get("n_shards", 32))
+    # exact block count upper bound from dictionary df: ceil(df/bs) + one
+    # boundary block per (term, shard, ordinal sub-group) — known driver-side
+    # with zero jobs
+    est_blocks = sum(tstats[t][0] // bs + 1 + nsh_est for t in present)
+    if mode == "driver" or (
+        mode == "auto" and fframe is None and est_blocks <= driver_max_blocks
+    ):
+        return _wand_topk_driver(
+            reader, field, present, weights, mults, cache, k, n_stripes,
+            n_required, bound_scale,
         )
 
     def run(batches) -> "pd.DataFrame":
@@ -320,16 +425,16 @@ def wand_topk(
         pdf = pd.concat(chunks, ignore_index=True)
         for _, g in pdf.groupby("shard", sort=False):
             allow = ban = None
-            if mode:
+            if fmode:
                 ords = np.sort(
                     g.loc[g["_f"] != 0, "f_ord"].to_numpy(dtype=np.int64)
                 )
-                if mode == 1:
+                if fmode == 1:
                     allow = ords
                 elif len(ords):
                     ban = ords
                 g = g[g["_f"] == 0]
-                if not len(g) or (mode == 1 and not len(allow)):
+                if not len(g) or (fmode == 1 and not len(allow)):
                     continue
             yield _shard_topk(
                 g, weights, mults, cache, k, n_stripes, n_required, allow, ban,
@@ -341,7 +446,7 @@ def wand_topk(
     ).select(
         "shard", "term", "block_id", "block_last", "doc_gaps", "tfs", "norms", "max_impact"
     )
-    if mode:
+    if fmode:
         # union the ordinal set into the SAME exchange as the packed blocks
         # (one shuffle, co-located by shard; no cogroup — grouped applyInPandas
         # would hand AQE a coalescible shuffle again)
@@ -357,7 +462,7 @@ def wand_topk(
             F.lit(None).cast("binary").alias("tfs"),
             F.lit(None).cast("binary").alias("norms"),
             F.lit(None).cast("float").alias("max_impact"),
-            F.lit(mode).cast("int").alias("_f"),
+            F.lit(fmode).cast("int").alias("_f"),
             F.col("ordinal").alias("f_ord"),
         )
         matched = matched.unionByName(fpad)

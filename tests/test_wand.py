@@ -37,11 +37,12 @@ WQUERIES = [
 ]
 
 
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
 @pytest.mark.parametrize("text", WQUERIES)
 @pytest.mark.parametrize("k", [1, 10, 50])
-def test_wand_equals_oracle(built, text, k):
+def test_wand_equals_oracle(built, text, k, mode):
     reader, oracle = built
-    got = wand_topk(reader, "content", text, k=k, n_stripes=8).collect()
+    got = wand_topk(reader, "content", text, k=k, n_stripes=8, mode=mode).collect()
     expected = score_match(oracle, text.split(), "or", k)
     assert [(r["docid"]) for r in got] == [e[0] for e in expected], f"{text} k={k}"
     for r, e in zip(got, expected):

@@ -238,8 +238,11 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
         runs.sort()
         out[name] = round(runs[len(runs) // 2], 4)
         # honest per-query p95 over its own warm-run distribution (mixing
-        # different queries' runs into one pool conflates their medians)
-        p95s[name] = round(runs[max(int(len(runs) * 0.95) - 1, 0)], 4)
+        # different queries' runs into one pool conflates their medians);
+        # ceil-based index so small samples report the tail (5 runs → max)
+        import math
+
+        p95s[name] = round(runs[max(math.ceil(len(runs) * 0.95) - 1, 0)], 4)
         all_times.extend(runs)
     spark.stop()
     return out, p95s, all_times

@@ -531,15 +531,13 @@ class IndexBuilder:
             )
             fields[r["field"]] = {"doc_count": dc, "sum_ttf": ttf, "avgdl": avgdl}
         seqnum = int(time.time() * 1000)
-        prev_packed = None
         prev_stats_path = os.path.join(index_dir, "stats.json")
+        prev_stats: dict = {}
         if os.path.exists(prev_stats_path):
             with open(prev_stats_path) as f:
-                prev_packed = json.load(f).get("packed_seqnum")
-        prev_pack_avgdl = None
-        if os.path.exists(prev_stats_path):
-            with open(prev_stats_path) as f:
-                prev_pack_avgdl = json.load(f).get("pack_avgdl")
+                prev_stats = json.load(f)
+        prev_packed = prev_stats.get("packed_seqnum")
+        prev_pack_avgdl = prev_stats.get("pack_avgdl")
         do_pack = c.quantize and pack
         pack_avgdl, pack_mode, new_files = prev_pack_avgdl, "skip", None
         if do_pack:

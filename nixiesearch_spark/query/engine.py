@@ -57,11 +57,20 @@ class Searcher:
         # keeps full double precision (SQL-oracle parity)
         self._stype = "float" if reader.quantize else "double"
 
+    # distinct fused-RRF term sets each persist a shared-scan frame; bound
+    # the searcher-lifetime cache so a long-lived server can't grow it
+    # unboundedly (oldest unpersists FIFO — downstream plans built on an
+    # evicted frame just recompute instead of reading cache)
+    MAX_PERSISTED = 16
+
     def _track_persisted(self, df: DataFrame) -> DataFrame:
         """Persist ``df`` for the searcher's lifetime (shared-scan frames the
-        fused RRF path hangs plans off); release() drops them all."""
+        fused RRF path hangs plans off); release() drops them all; beyond
+        MAX_PERSISTED the oldest is evicted non-blocking."""
         df = df.persist()
         self._persisted.append(df)
+        if len(self._persisted) > self.MAX_PERSISTED:
+            self._persisted.pop(0).unpersist(blocking=False)
         return df
 
     def release(self) -> None:
@@ -174,6 +183,11 @@ class Searcher:
             and self.reader.tombstones is None
             and all(isinstance(s, ast.MatchQuery) for s in q.retrieve)
         ):
+            if self.mapping is not None:
+                # the fused fast path must enforce the same field contract
+                # as the per-branch score() route it replaces
+                for m in q.retrieve:
+                    self._validate_query(m)
             return rrf_fuse_matches(self, q.retrieve, size=size, window=window, k=q.k)
         branches = [self.score(s, filters) for s in q.retrieve]
         return rrf_fuse(branches, size=size, window=window, k=q.k)
@@ -215,10 +229,16 @@ class Searcher:
             sim = F.array_max(F.transform(vec, lambda x: cosine_sim(x, qv)))
         else:
             sim = cosine_sim(vec, qv)
+        # a zero stored vector makes cosine 0/0 = NaN, which Spark sorts
+        # ABOVE every real score — pin it to -1 (score 0) instead; Lucene
+        # rejects zero vectors at index time, we degrade them to last place.
+        # Nested docs with no children produce NULL sims — drop those rows.
+        sim = F.nanvl(sim, F.lit(-1.0))
         score = (F.lit(1.0) + sim) / F.lit(2.0)
         return (
             docs.where(vec.isNotNull())
             .select("docid", score.cast(self._stype).alias("score"))
+            .where(F.col("score").isNotNull())
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(q.final_k)
         )

@@ -405,8 +405,11 @@ def wand_topk(
     # boundary block per (term, shard, ordinal sub-group) — known driver-side
     # with zero jobs
     est_blocks = sum(tstats[t][0] // bs + 1 + nsh_est for t in present)
-    if mode == "driver" or (
-        mode == "auto" and fframe is None and est_blocks <= driver_max_blocks
+    # filters/tombstones always take the distributed plan (their ordinal
+    # sets belong on the cluster) — an explicit mode="driver" is a physical
+    # HINT, never a license to drop the masks
+    if fframe is None and (
+        mode == "driver" or (mode == "auto" and est_blocks <= driver_max_blocks)
     ):
         return _wand_topk_driver(
             reader, field, present, weights, mults, cache, k, n_stripes,

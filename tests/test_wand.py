@@ -139,17 +139,19 @@ def test_wand_filtered_and_mode(built):
     lang = sorted(
         r["lang"] for r in reader.docs.select("lang").distinct().collect()
     )[-1]
-    flt = {"range": {"commit": {"gte": "0"}}}  # matches all — loose filter
-    flt = {"term": {"lang": lang}}
-    flat = s.search(
-        MatchQuery("content", "def import", operator="and"), filters=flt, size=10
-    ).collect()
-    wand = wand_topk(
-        reader, "content", "def import", k=10, operator="and", filters=flt
-    ).collect()
-    assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
-        (r["docid"], np.float32(r["score"])) for r in wand
-    ]
+    for flt in (
+        {"range": {"commit": {"gte": "0"}}},  # matches all — loose filter
+        {"term": {"lang": lang}},  # selective
+    ):
+        flat = s.search(
+            MatchQuery("content", "def import", operator="and"), filters=flt, size=10
+        ).collect()
+        wand = wand_topk(
+            reader, "content", "def import", k=10, operator="and", filters=flt
+        ).collect()
+        assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
+            (r["docid"], np.float32(r["score"])) for r in wand
+        ], flt
 
 
 def test_wand_filter_matches_nothing(built):

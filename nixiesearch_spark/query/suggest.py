@@ -48,19 +48,34 @@ def shingles_col(text_col, max_n: int = MAX_SHINGLE):
     return F.flatten(F.array(*parts))
 
 
+# suggestion-length partition cap: dirs slen=1..LEN_CAP, longer shingles
+# pool in the LEN_CAP bucket (they are rare; exact length predicates still
+# apply inside it)
+LEN_CAP = 32
+
+
 def build_suggest(
     spark: SparkSession, docs: DataFrame, text_col: str, index_dir: str, field: str
 ) -> None:
-    """Build the suggest table for ``field`` from stored docs content."""
+    """Build the suggest table for ``field`` from stored docs content.
+
+    Layout: partitioned by capped suggestion length (slen), sorted by
+    suggestion within files. The reference's FST automatons bound fuzzy
+    candidates by edit-distance-reachable lengths; here the slen directory
+    prune is that bound (a fuzzy-1 query reads 3 of ~32 directories, never
+    the whole table), while the sort keeps prefix queries on parquet
+    min/max skipping inside each directory."""
     sugg = (
         docs.select(F.explode(shingles_col(F.col(text_col))).alias("suggestion"))
         .groupBy("suggestion")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("slen", F.least(F.length("suggestion"), F.lit(LEN_CAP)))
     )
     (
         sugg.repartitionByRange(8, "suggestion")
         .sortWithinPartitions("suggestion")
         .write.mode("overwrite")
+        .partitionBy("slen")
         .parquet(os.path.join(index_dir, "suggest", f"field={field}"))
     )
 
@@ -84,15 +99,28 @@ def suggest(
     """4-branch completion + RRF fusion → (suggestion, score) top ``count``."""
     q = text.lower().strip()
     s = F.col("suggestion")
-    prefix = sugg_table.where(s.startswith(q))
     lenq = len(q)
-    fuzzy1 = sugg_table.where(
+    has_slen = "slen" in sugg_table.columns
+
+    def _band(df, lo: int | None, hi: int | None):
+        """Redundant predicate on the slen PARTITION column (length(s) is a
+        computed expression and can never prune directories; slen can)."""
+        if not has_slen:
+            return df
+        if lo is not None:
+            df = df.where(F.col("slen") >= min(max(lo, 1), LEN_CAP))
+        if hi is not None and hi < LEN_CAP:
+            df = df.where(F.col("slen") <= hi)
+        return df
+
+    prefix = _band(sugg_table, lenq, None).where(s.startswith(q))
+    fuzzy1 = _band(sugg_table, lenq - 1, lenq + 1).where(
         (F.length(s).between(lenq - 1, lenq + 1)) & (F.levenshtein(s, F.lit(q)) <= 1)
     )
-    fuzzy2 = sugg_table.where(
+    fuzzy2 = _band(sugg_table, lenq - 2, lenq + 2).where(
         (F.length(s).between(lenq - 2, lenq + 2)) & (F.levenshtein(s, F.lit(q)) <= 2)
     )
-    infix = sugg_table.where(s.contains(q))
+    infix = _band(sugg_table, lenq, None).where(s.contains(q))
     branches = [_ranked(b, window) for b in (prefix, fuzzy1, fuzzy2, infix)]
     union = branches[0]
     for b in branches[1:]:

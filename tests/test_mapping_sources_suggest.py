@@ -136,6 +136,18 @@ def test_suggest_path(spark, tmp_path):
     # infix
     got3 = [r["suggestion"] for r in suggest(table, "world", count=5).collect()]
     assert any("world" in g for g in got3)
+    # slen partition layout prunes fuzzy candidate dirs: the fuzzy-1 branch
+    # scan must carry PartitionFilters on slen (directory prune, not a full
+    # table scan)
+    from pyspark.sql import functions as F
+
+    lenq = 4
+    fuzzy1 = (
+        table.where(F.col("slen").between(lenq - 1, lenq + 1))
+        .where(F.levenshtein(F.col("suggestion"), F.lit("helo")) <= 1)
+    )
+    plan = fuzzy1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "slen" in plan.split("PartitionFilters")[1][:120], plan
 
 
 def test_analyzer_registry(spark, tmp_path):

@@ -195,6 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "french"})
         return _as_docid(s.search(MatchQuery("text", "tables merges parts"), size=10))
 
+    def q_match_spanish(spark, sf):
+        # Snowball Spanish chain: tablas/partes/datos stem to tabl/part/dat,
+        # matching corpus docs containing table/part/data
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "spanish"})
+        return _as_docid(s.search(MatchQuery("text", "tablas partes datos"), size=10))
+
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
 
@@ -618,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_english": q_match_english,
         "bm25_match_german": q_match_german,
         "bm25_match_french": q_match_french,
+        "bm25_match_spanish": q_match_spanish,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
         "ce_rerank": q_ce_rerank,
@@ -855,6 +862,15 @@ LIMIT 10
     fr_terms = analyzer_py("french")("tables merges parts")
     sql["bm25_match_french"] = f"""
 WITH {_bm25_full_lang(fr_terms, "french")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    es_terms = analyzer_py("spanish")("tablas partes datos")
+    sql["bm25_match_spanish"] = f"""
+WITH {_bm25_full_lang(es_terms, "spanish")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -1332,9 +1348,17 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
     stemmer CTEs (nixiesearch_spark.snowball.*_sql_ctes — rule-identical to
     the python form the engine builds/queries with)."""
     from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_LATIN
-    from nixiesearch_spark.snowball import french_sql_ctes, german_sql_ctes
+    from nixiesearch_spark.snowball import (
+        french_sql_ctes,
+        german_sql_ctes,
+        spanish_sql_ctes,
+    )
 
-    ctes_fn = {"german": german_sql_ctes, "french": french_sql_ctes}[lang]
+    ctes_fn = {
+        "german": german_sql_ctes,
+        "french": french_sql_ctes,
+        "spanish": spanish_sql_ctes,
+    }[lang]
     stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
     p = prefix
     stem_ctes = ctes_fn(f"{p}tok_raw", f"{p}tok_f", p + "sb")

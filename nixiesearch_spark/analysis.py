@@ -155,11 +155,16 @@ LANG_STOPWORDS = {
     ],
     "spanish": [
         "el", "la", "los", "las", "y", "o", "pero", "es", "un", "una", "no",
-        "con", "de", "del", "al", "para", "en", "por", "que",
+        "con", "de", "del", "al", "para", "en", "por", "que", "él", "más",
+        "también", "está", "sí", "como", "se", "su", "sus", "le", "lo",
     ],
 }
 
 
+# Stopword-only chain constructors — the registry extension point for the
+# reference's remaining languages that have a stop list but no Snowball
+# stemmer implemented here yet (add `"lang": (_stop_col(words),
+# _stop_py(words))` to ANALYZERS).
 def _stop_col(stops: list[str]):
     sset = set(stops)
 
@@ -205,6 +210,12 @@ def _french_stem(t: str) -> str:
     from nixiesearch_spark.snowball import french_py
 
     return french_py(t)
+
+
+def _spanish_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import spanish_py
+
+    return spanish_py(t)
 
 
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
@@ -256,15 +267,15 @@ ANALYZERS = {
         _stem_py(LANG_STOPWORDS["french"], _french_stem, tokenize_latin_py),
     ),
     "spanish": (
-        _stop_col(LANG_STOPWORDS["spanish"]),
-        _stop_py(LANG_STOPWORDS["spanish"]),
+        _stem_col(LANG_STOPWORDS["spanish"], _spanish_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["spanish"], _spanish_stem, tokenize_latin_py),
     ),
 }
 
 
 # analyzers whose column form is an Arrow pandas_udf (cannot run inside
 # F.transform lambdas — text[] fields concat items first for these)
-UDF_ANALYZERS = {"english", "german", "french"}
+UDF_ANALYZERS = {"english", "german", "french", "spanish"}
 
 
 def analyzer_col(name: str):

@@ -758,3 +758,387 @@ def french_sql_ctes(src: str, out: str, p: str = "fr_") -> str:
 {p}s6 AS MATERIALIZED (SELECT doc_id, {step6} AS term FROM {p}s5),
 {out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s6)
 """
+
+
+# ------------------------------------------------------------------ spanish
+# Published Snowball Spanish algorithm. Vowels a e i o u á é í ó ú ü; no
+# consonant-marking prelude. RV: second letter consonant → after the next
+# vowel; first two letters vowels → after the next consonant; else
+# (consonant-vowel) → after the third letter.
+
+ES_VOWELS = "aeiouáéíóúü"
+
+_ES_S0_PRON = sorted(
+    ["me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo",
+     "las", "les", "los", "nos"],
+    key=len, reverse=True,
+)
+# (a) un-accent the preceding verb suffix; (b) plain; (c) yendo after u
+_ES_S0_A = {"iéndo": "iendo", "ándo": "ando", "ár": "ar", "ér": "er", "ír": "ir"}
+_ES_S0_B = ["ando", "iendo", "ar", "er", "ir"]
+
+_ES_S1_GROUPS = {
+    "A": ["anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+          "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+          "osos", "osas", "amiento", "amientos", "imiento", "imientos"],
+    "B": ["adora", "ador", "ación", "adoras", "adores", "aciones", "ante",
+          "antes", "ancia", "ancias"],
+    "C": ["logía", "logías"],
+    "D": ["ución", "uciones"],
+    "E": ["encia", "encias"],
+    "F": ["amente"],
+    "G": ["mente"],
+    "H": ["idad", "idades"],
+    "I": ["iva", "ivo", "ivas", "ivos"],
+}
+_ES_S1 = sorted(
+    ((s, g) for g, ss in _ES_S1_GROUPS.items() for s in ss), key=lambda t: -len(t[0])
+)
+
+_ES_S2A = sorted(
+    ["ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó", "yas", "yes",
+     "yais", "yamos"],
+    key=len, reverse=True,
+)
+
+_ES_S2B_GU = ["en", "es", "éis", "emos"]
+_ES_S2B_MAIN = [
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis", "aríamos",
+    "aremos", "ará", "aré", "erían", "erías", "erán", "erás", "eríais",
+    "ería", "eréis", "eríamos", "eremos", "erá", "eré", "irían", "irías",
+    "irán", "irás", "iríais", "iría", "iréis", "iríamos", "iremos", "irá",
+    "iré", "aba", "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id",
+    "ase", "iese", "aste", "iste", "an", "aban", "ían", "aran", "ieran",
+    "asen", "iesen", "aron", "ieron", "ado", "ido", "ando", "iendo", "ió",
+    "ar", "er", "ir", "as", "abas", "adas", "idas", "ías", "aras", "ieras",
+    "ases", "ieses", "ís", "áis", "abais", "íais", "arais", "ierais",
+    "aseis", "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+    "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos", "ásemos",
+]
+_ES_S2B = sorted(
+    [(s, "gu") for s in _ES_S2B_GU] + [(s, "m") for s in _ES_S2B_MAIN],
+    key=lambda t: -len(t[0]),
+)
+
+_ES_S3_PLAIN = ["os", "a", "o", "á", "í", "ó"]
+_ES_S3 = sorted(
+    [(s, "p") for s in _ES_S3_PLAIN] + [("e", "gu"), ("é", "gu")],
+    key=lambda t: -len(t[0]),
+)
+
+
+def _es_rv_py(w: str) -> int:
+    V = ES_VOWELS
+    if len(w) < 2:
+        return _BIG
+    if w[1] not in V:
+        m = re.match(f"^..[^{V}]*[{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    if w[0] in V:
+        m = re.match(f"^..[{V}]*[^{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    return 3 if len(w) > 3 else _BIG
+
+
+def spanish_py(word: str) -> str:
+    w = word
+    rv = _es_rv_py(w)
+    r1, r2 = _r1r2_py(w, ES_VOWELS)
+
+    # step 0: attached pronoun after a gerund/infinitive, all inside RV
+    for suf in _ES_S0_PRON:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if pos < rv:
+            break
+        stem = w[:pos]
+        done = False
+        for a, rep in _ES_S0_A.items():
+            if stem.endswith(a) and len(stem) - len(a) >= rv:
+                w = stem[: -len(a)] + rep
+                done = True
+                break
+        if not done:
+            for b in _ES_S0_B:
+                if stem.endswith(b) and len(stem) - len(b) >= rv:
+                    w = stem
+                    done = True
+                    break
+        if not done and stem.endswith("yendo") and len(stem) - 5 >= rv:
+            if len(stem) >= 6 and stem[-6] == "u" and len(stem) - 6 >= rv:
+                w = stem
+        break
+
+    # step 1: standard suffixes
+    pre1 = w
+    for suf, g in _ES_S1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if g == "A":
+            if pos >= r2:
+                w = w[:pos]
+        elif g == "B":
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif g == "C":
+            if pos >= r2:
+                w = w[:pos] + "log"
+        elif g == "D":
+            if pos >= r2:
+                w = w[:pos] + "u"
+        elif g == "E":
+            if pos >= r2:
+                w = w[:pos] + "ente"
+        elif g == "F":  # amente
+            if pos >= r1:
+                w = w[:pos]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif (
+                    (w.endswith("os") or w.endswith("ic") or w.endswith("ad"))
+                    and len(w) - 2 >= r2
+                ):
+                    w = w[:-2]
+        elif g == "G":  # mente
+            if pos >= r2:
+                w = w[:pos]
+                if (
+                    (w.endswith("ante") or w.endswith("able") or w.endswith("ible"))
+                    and len(w) - 4 >= r2
+                ):
+                    w = w[:-4]
+        elif g == "H":  # idad(es)
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif (w.endswith("ic") or w.endswith("iv")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        else:  # I: iva/ivo(s)
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        break
+    altered1 = w != pre1
+
+    did2a = not altered1
+    alt2a = False
+    if did2a:
+        pre2a = w
+        for suf in _ES_S2A:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos >= rv and pos >= 1 and w[pos - 1] == "u" and pos - 1 >= rv:
+                    w = w[:pos]
+                break
+        alt2a = w != pre2a
+
+    if did2a and not alt2a:
+        for suf, g in _ES_S2B:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos >= rv:
+                    w = w[:pos]
+                    if g == "gu" and w.endswith("gu") and len(w) - 1 >= rv:
+                        w = w[:-1]
+                break
+
+    # step 3: residual vowel suffixes (always runs)
+    for suf, g in _ES_S3:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if pos >= rv:
+                if g == "p":
+                    w = w[:pos]
+                else:  # e / é, with the gu→g extra
+                    w = w[:pos]
+                    if w.endswith("gu") and len(w) - 1 >= rv:
+                        w = w[:-1]
+            break
+
+    for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u")):
+        w = w.replace(a, b)
+    return w
+
+
+def _es_rv_sql(x: str) -> str:
+    V = ES_VOWELS
+    p1 = f"^..[^{V}]*[{V}]"
+    p2 = f"^..[{V}]*[^{V}]"
+    c1 = f"contains('{V}', substr({x}, 1, 1))"
+    c2 = f"contains('{V}', substr({x}, 2, 1))"
+    return (
+        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
+        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
+        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
+        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
+        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
+        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
+    )
+
+
+def _es_step0_sql(x: str) -> str:
+    cases = []
+    for suf in _ES_S0_PRON:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        inner = []
+        for a, rep in _ES_S0_A.items():
+            na = len(a)
+            inner.append(
+                f"WHEN ends_with({st}, '{a}') AND length({st}) - {na} >= rv "
+                f"THEN {_strip(st, na)} || '{rep}'"
+            )
+        for b in _ES_S0_B:
+            nb = len(b)
+            inner.append(
+                f"WHEN ends_with({st}, '{b}') AND length({st}) - {nb} >= rv THEN {st}"
+            )
+        inner.append(
+            f"WHEN ends_with({st}, 'uyendo') AND length({st}) - 5 >= rv "
+            f"AND length({st}) - 6 >= rv THEN {st}"
+        )
+        act = (
+            f"CASE WHEN {pos} >= rv THEN "
+            f"(CASE {' '.join(inner)} ELSE {x} END) ELSE {x} END"
+        )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _es_step1_sql(x: str) -> str:
+    cases = []
+    for suf, g in _ES_S1:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "A":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} ELSE {x} END"
+        elif g == "B":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'ic') AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "C":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'log' ELSE {x} END"
+        elif g == "D":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'u' ELSE {x} END"
+        elif g == "E":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'ente' ELSE {x} END"
+        elif g == "F":
+            iv, at = _strip(st, 2), _strip(_strip(st, 2), 2)
+            act = (
+                f"CASE WHEN {pos} >= r1 THEN (CASE "
+                f"WHEN ends_with({st}, 'iv') AND length({st}) - 2 >= r2 THEN "
+                f"(CASE WHEN ends_with({iv}, 'at') AND length({iv}) - 2 >= r2 "
+                f"THEN {at} ELSE {iv} END) "
+                f"WHEN (ends_with({st}, 'os') OR ends_with({st}, 'ic') "
+                f"OR ends_with({st}, 'ad')) AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "G":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN (ends_with({st}, 'ante') OR ends_with({st}, 'able') "
+                f"OR ends_with({st}, 'ible')) AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "H":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN (CASE "
+                f"WHEN ends_with({st}, 'abil') AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} "
+                f"WHEN (ends_with({st}, 'ic') OR ends_with({st}, 'iv')) "
+                f"AND length({st}) - 2 >= r2 THEN {_strip(st, 2)} "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        else:
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'at') AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _es_step2a_sql(x: str) -> str:
+    cases = []
+    for suf in _ES_S2A:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        act = (
+            f"CASE WHEN {pos} >= rv AND {pos} >= 1 AND {_prev_sql(x, n)} = 'u' "
+            f"AND {pos} - 1 >= rv THEN {_strip(x, n)} ELSE {x} END"
+        )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _es_step2b_sql(x: str) -> str:
+    cases = []
+    for suf, g in _ES_S2B:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "gu":
+            act = (
+                f"CASE WHEN {pos} >= rv THEN "
+                f"(CASE WHEN ends_with({st}, 'gu') AND length({st}) - 1 >= rv "
+                f"THEN {_strip(st, 1)} ELSE {st} END) ELSE {x} END"
+            )
+        else:
+            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _es_step3_sql(x: str) -> str:
+    cases = []
+    for suf, g in _ES_S3:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "p":
+            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+        else:
+            act = (
+                f"CASE WHEN {pos} >= rv THEN "
+                f"(CASE WHEN ends_with({st}, 'gu') AND length({st}) - 1 >= rv "
+                f"THEN {_strip(st, 1)} ELSE {st} END) ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def spanish_sql_ctes(src: str, out: str, p: str = "es_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out`` with the
+    Spanish flow (step-1-altered / 2a-failed ride as bool columns)."""
+    r1, r2 = _r1r2_sql("term", ES_VOWELS)
+    post = (
+        "replace(replace(replace(replace(replace("
+        "term, 'á', 'a'), 'é', 'e'), 'í', 'i'), 'ó', 'o'), 'ú', 'u')"
+    )
+    return f"""
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {_es_rv_sql("term")} AS rv, {r1} AS r1, {r2} AS r2 FROM {src}),
+{p}s0 AS MATERIALIZED (SELECT doc_id, {_es_step0_sql("term")} AS term, rv, r1, r2 FROM {p}sr),
+{p}s1 AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0, {_es_step1_sql("term")} AS term FROM {p}s0),
+{p}s1b AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term, (term <> t0) AS a1 FROM {p}s1),
+{p}s2a AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0,
+  CASE WHEN NOT a1 THEN {_es_step2a_sql("term")} ELSE term END AS term, a1 FROM {p}s1b),
+{p}s2ab AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term,
+  ((NOT a1) AND term = t0) AS f2b FROM {p}s2a),
+{p}s2b AS MATERIALIZED (SELECT doc_id, rv, r1, r2,
+  CASE WHEN f2b THEN {_es_step2b_sql("term")} ELSE term END AS term FROM {p}s2ab),
+{p}s3 AS MATERIALIZED (SELECT doc_id, {_es_step3_sql("term")} AS term FROM {p}s2b),
+{out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s3)
+"""

@@ -19,6 +19,8 @@ from nixiesearch_spark.snowball import (
     french_sql_ctes,
     german_py,
     german_sql_ctes,
+    spanish_py,
+    spanish_sql_ctes,
 )
 
 GERMAN_CASES = {
@@ -64,6 +66,34 @@ FRENCH_CASES = {
     # untouched short words
     "le": "le", "par": "par",
 }
+
+
+SPANISH_CASES = {
+    # step 1 standard suffixes in R2
+    "generalizaciones": "generaliz", "nacionalidad": "nacional",
+    "fácilmente": "facil",
+    # step 2b verb endings in RV
+    "trabajando": "trabaj", "comieron": "com", "hablaba": "habl",
+    # step 3 residual vowel + un-accent
+    "canciones": "cancion", "datos": "dat", "tablas": "tabl",
+    "partes": "part",
+    # "ido" is the participle ending and starts exactly at RV — classic
+    # stemmer overstemming on the adjective homograph
+    "rápido": "rap",
+    # attached pronoun (step 0): quitárselo → quitar → quit
+    "quitárselo": "quit",
+    # short / untouched
+    "sol": "sol", "de": "de",
+}
+
+
+def test_spanish_spec_cases():
+    bad = {
+        w: (spanish_py(w), want)
+        for w, want in SPANISH_CASES.items()
+        if spanish_py(w) != want
+    }
+    assert not bad, bad
 
 
 def test_german_spec_cases():
@@ -116,7 +146,15 @@ def test_french_sql_equals_python():
     assert not bad, bad
 
 
-LATIN = "abcdefghijklmnopqrstuvwxyzäöüßàâéèêëïîôûùç_0123456789"
+def test_spanish_sql_equals_python():
+    words = list(SPANISH_CASES) + list(GERMAN_CASES) + list(FRENCH_CASES) + EXTRA_WORDS
+    got = _sql_stem(words, spanish_sql_ctes)
+    want = [spanish_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+LATIN = "abcdefghijklmnopqrstuvwxyzäöüßàâéèêëïîôûùçáíóúñ_0123456789"
 
 
 @settings(max_examples=30, deadline=None)
@@ -132,6 +170,11 @@ def test_two_form_identity_random(words):
     assert got_fr == want_fr, [
         (w, g, p) for w, g, p in zip(words, got_fr, want_fr) if g != p
     ]
+    got_es = _sql_stem(words, spanish_sql_ctes)
+    want_es = [spanish_py(w) for w in words]
+    assert got_es == want_es, [
+        (w, g, p) for w, g, p in zip(words, got_es, want_es) if g != p
+    ]
 
 
 def test_analyzer_chain_german_french():
@@ -144,6 +187,9 @@ def test_analyzer_chain_german_french():
     assert analyzer_py("french")("les tables et la continuation") == [
         "tabl", "continu",
     ]
+    assert analyzer_py("spanish")("las canciones y los datos rápidos") == [
+        "cancion", "dat", "rap",
+    ]
 
 
 def test_spark_column_form_matches_python(spark):
@@ -153,7 +199,7 @@ def test_spark_column_form_matches_python(spark):
 
     rows = [(i, t) for i, t in enumerate(["Die Bücher laufen", "étonnement des tables", None])]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for lang in ("german", "french"):
+    for lang in ("german", "french", "spanish"):
         got = {
             r["doc_id"]: r["toks"]
             for r in df.select("doc_id", analyzer_col(lang)(F.col("text")).alias("toks")).collect()

@@ -357,6 +357,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, d, "vec_id", "embedding", qv, cents, k=10, n_probe=4
         )
 
+    def q_ann_hnsw(spark, sf):
+        # per-shard HNSW graphs (Lucene's vector index, Spark-shaped): one
+        # applyInPandas build per shard, mapInPandas beam search per query.
+        # Approximate → no SQL oracle (rows-only gate); tests pin recall
+        # >= 0.9 vs the exact scan and bit-determinism across rebuilds
+        from nixiesearch_spark.pipeline import hnsw
+
+        e = _emb(spark, sf)
+        key = (sf, "hnsw_index")
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="nsentry_hnsw_")
+            hnsw.build_hnsw(e, "vec_id", "embedding", d, n_shards=4)
+            _CACHE[key] = d
+        qv = _query_vec(spark, sf)
+        return hnsw.hnsw_topk(spark, qv, k=10, ef_search=64, graph_dir=_CACHE[key])
+
     def q_knn_parent_block(spark, sf):
         # parent/child block-join knn: children = embeddings grouped into
         # synthetic parents (vec_id % 100); parent score = max child cosine
@@ -644,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_hnsw_topk": q_ann_hnsw,
         "knn_parent_block": q_knn_parent_block,
         "knn_query_dsl": q_knn_dsl,
         "knn_nested_dsl": q_knn_nested_dsl,

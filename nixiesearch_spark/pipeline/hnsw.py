@@ -1,0 +1,268 @@
+"""Per-shard HNSW graphs: the reference's vector index, Spark-shaped.
+
+The reference serves knn from Lucene's per-segment HNSW graphs
+(``api/query/retrieve/KnnQuery.scala:20-88``; Lucene99HnswVectorsFormat).
+The Spark-native analog mirrors the document-partitioned lexical design
+(query/wand.py): every shard builds an INDEPENDENT graph over its own
+vectors, each shard answers an exact-local-approximate-global top-k from
+its graph, and the global answer is the union of shard top-ks — identical
+fan-out to a Lucene multi-segment knn search.
+
+Build — one ``applyInPandas`` per shard (the only place imperative graph
+construction is genuinely needed): a numpy HNSW with deterministic level
+assignment (multiplicative-hash uniform per id, so rebuilds are
+bit-reproducible — no RNG state), greedy descent + beam (efConstruction)
+insertion, and closest-M neighbor selection with per-layer degree caps
+(2M at layer 0). One output row per node: ``(shard, id, vec, level,
+links array<array<long>>)`` — parquet-partitioned by shard so serving
+prunes directories.
+
+Serve — ``mapInPandas`` over the (cached) graph table repartitioned by
+shard: rebuild the adjacency dict per batch (vectors ride in the same
+rows), greedy from the shard's max-level entry node, ef-beam at layer 0,
+shard top-k out; global ``orderBy(score).limit(k)`` merges k rows per
+shard. Approximate by construction, so the correctness gate records this
+operator rows-only; tests pin determinism and recall ≥ 0.9 against the
+exact cosine scan.
+
+Scale: graphs are per-shard, so build parallelism = n_shards and graph
+memory per task is shard-sized, exactly the segment-local deal Lucene
+makes. At 100 TB the embedding table shards the same way the lexical index
+does; no stage ever holds more than one shard's graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # ship by value for foreign-cwd executors (same pattern as wand.py)
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+GRAPH_SCHEMA = (
+    "shard int, id long, vec array<float>, level int, links array<array<long>>"
+)
+TOPK_SCHEMA = "id long, cosine double"
+
+
+def _level_for(node_id: int, m_l: float) -> int:
+    """Deterministic HNSW level: multiplicative-hash uniform → geometric.
+    Plain python ints (exact wraparound, negative ids fine, no RNG state)."""
+    h = ((int(node_id) & 0xFFFFFFFFFFFFFFFF) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    u = (h + 1.0) / (2.0**64 + 2.0)
+    return int(-np.log(u) * m_l)
+
+
+def _select_closest(cand_ids: list[int], dists: dict[int, float], m: int) -> list[int]:
+    return sorted(cand_ids, key=lambda i: (dists[i], i))[:m]
+
+
+def _build_shard_graph(
+    ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int
+) -> tuple[dict[int, list[list[int]]], dict[int, int]]:
+    """Insert-in-id-order HNSW build. vecs must be L2-normalized rows.
+    Returns (links[id][layer] adjacency, levels[id])."""
+    m_l = 1.0 / np.log(m)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    pos = {int(i): p for p, i in enumerate(ids)}
+    levels = {int(i): _level_for(int(i), m_l) for i in ids}
+    links: dict[int, list[list[int]]] = {}
+    entry, max_level = None, -1
+
+    def dist(a: int, b: int) -> float:
+        return 1.0 - float(vecs[pos[a]] @ vecs[pos[b]])
+
+    def dist_q(qv: np.ndarray, b: int) -> float:
+        return 1.0 - float(qv @ vecs[pos[b]])
+
+    def search_layer(qv, eps: list[int], ef: int, layer: int) -> list[int]:
+        """Beam search: returns up to ef closest ids (ascending distance)."""
+        visited = set(eps)
+        cand = sorted(((dist_q(qv, e), e) for e in eps))
+        best = list(cand)
+        while cand:
+            d, c = cand.pop(0)
+            worst = best[-1][0] if len(best) >= ef else np.inf
+            if d > worst:
+                break
+            for nb in links[c][layer] if layer < len(links[c]) else []:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = dist_q(qv, nb)
+                if len(best) < ef or dn < best[-1][0]:
+                    import bisect
+
+                    bisect.insort(cand, (dn, nb))
+                    bisect.insort(best, (dn, nb))
+                    if len(best) > ef:
+                        best.pop()
+        return [b for _, b in best]
+
+    for i in ids:
+        i = int(i)
+        lvl = levels[i]
+        links[i] = [[] for _ in range(lvl + 1)]
+        if entry is None:
+            entry, max_level = i, lvl
+            continue
+        qv = vecs[pos[i]]
+        eps = [entry]
+        for layer in range(max_level, lvl, -1):
+            eps = search_layer(qv, eps, 1, layer)
+        for layer in range(min(lvl, max_level), -1, -1):
+            cands = search_layer(qv, eps, ef_c, layer)
+            dd = {c: dist_q(qv, c) for c in cands}
+            m_cap = 2 * m if layer == 0 else m
+            sel = _select_closest(cands, dd, m)
+            links[i][layer] = list(sel)
+            for nb in sel:
+                nl = links[nb][layer]
+                nl.append(i)
+                if len(nl) > m_cap:
+                    dn = {x: dist(nb, x) for x in nl}
+                    links[nb][layer] = _select_closest(nl, dn, m_cap)
+            eps = cands
+        if lvl > max_level:
+            entry, max_level = i, lvl
+    return links, levels
+
+
+def build_hnsw(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    n_shards: int = 8,
+    m: int = 16,
+    ef_construction: int = 100,
+) -> None:
+    """Build per-shard HNSW graphs over ``df(id, vec)`` → parquet at
+    ``out_dir`` partitioned by shard."""
+    mm, efc = int(m), int(ef_construction)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(pdf["_vec"].to_list()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms[:, None]
+        links, levels = _build_shard_graph(ids, vecs, mm, efc)
+        shard = int(pdf["shard"].iloc[0])
+        order = np.argsort(ids)
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "id": ids[order],
+                "vec": [np.asarray(v, dtype=np.float32) for v in vecs[order]],
+                "level": [levels[int(i)] for i in ids[order]],
+                "links": [links[int(i)] for i in ids[order]],
+            }
+        )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    (
+        src.groupBy("shard")
+        .applyInPandas(build, schema=GRAPH_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def hnsw_topk(
+    spark_or_graph,
+    query_vec: list[float],
+    k: int = 10,
+    ef_search: int = 64,
+    graph_dir: str | None = None,
+) -> DataFrame:
+    """ANN top-k over the per-shard graphs: (id, cosine) DataFrame.
+
+    Pass either a SparkSession + ``graph_dir`` or an already-loaded (ideally
+    persisted) graph DataFrame. Each shard's beam search runs where its
+    graph rows are; only k rows per shard cross the wire."""
+    if graph_dir is not None:
+        graph = spark_or_graph.read.parquet(graph_dir)
+    else:
+        graph = spark_or_graph
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    ef = max(int(ef_search), k)
+
+    def run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            ids = g["id"].to_numpy(dtype=np.int64)
+            vecs = np.stack(g["vec"].to_list()).astype(np.float64)
+            pos = {int(i): p for p, i in enumerate(ids)}
+            links = {int(i): lk for i, lk in zip(ids, g["links"].to_list())}
+            levels = g["level"].to_numpy()
+            # entry = max level, min id tiebreak (same rule as build order)
+            top = levels.max()
+            entry = int(ids[levels == top].min())
+
+            def dq(b: int) -> float:
+                return 1.0 - float(q @ vecs[pos[b]])
+
+            import bisect
+
+            eps = [entry]
+            for layer in range(int(top), 0, -1):
+                changed = True
+                while changed:
+                    changed = False
+                    for nb in links[eps[0]][layer] if layer < len(links[eps[0]]) else []:
+                        if dq(int(nb)) < dq(eps[0]):
+                            eps = [int(nb)]
+                            changed = True
+            visited = set(eps)
+            cand = [(dq(e), e) for e in eps]
+            best = list(cand)
+            while cand:
+                d, c = cand.pop(0)
+                if len(best) >= ef and d > best[-1][0]:
+                    break
+                for nb in links[c][0] if len(links[c]) else []:
+                    nb = int(nb)
+                    if nb in visited:
+                        continue
+                    visited.add(nb)
+                    dn = dq(nb)
+                    if len(best) < ef or dn < best[-1][0]:
+                        bisect.insort(cand, (dn, nb))
+                        bisect.insort(best, (dn, nb))
+                        if len(best) > ef:
+                            best.pop()
+            out = sorted(best)[:k]
+            yield pd.DataFrame(
+                {
+                    "id": np.array([b for _, b in out], dtype=np.int64),
+                    "cosine": np.array([1.0 - d for d, _ in out], dtype=np.float64),
+                }
+            )
+
+    nsh = graph.select(F.max("shard")).first()[0]
+    nsh = int(nsh) + 1 if nsh is not None else 1
+    local = graph.repartition(nsh, "shard").mapInPandas(run, schema=TOPK_SCHEMA)
+    return (
+        local.select("id", F.round(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

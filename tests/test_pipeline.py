@@ -266,3 +266,30 @@ def test_near_dup_resplit_separates_clusters(spark):
     assert any(a_ < 100 and b_ < 100 for a_, b_ in pairs)
     assert any(a_ >= 100 and b_ >= 100 for a_, b_ in pairs)
     assert not any(a_ < 100 <= b_ for a_, b_ in pairs)
+
+
+def test_hnsw_recall_and_determinism(spark, tmp_path):
+    """Per-shard HNSW: recall@10 >= 0.9 vs the exact scan, and two builds
+    over the same data return identical top-k (deterministic levels +
+    insert order — no RNG state anywhere)."""
+    from nixiesearch_spark.pipeline import hnsw, similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = e.where(F.col("vec_id") == 7).first()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(e, "vec_id", "embedding", qv, 10).collect()
+    ]
+    hits = []
+    for run in range(2):
+        d = str(tmp_path / f"g{run}")
+        hnsw.build_hnsw(e, "vec_id", "embedding", d, n_shards=4)
+        got = [
+            (r["id"], r["cosine"])
+            for r in hnsw.hnsw_topk(spark, qv, k=10, graph_dir=d).collect()
+        ]
+        hits.append(got)
+    assert hits[0] == hits[1], (hits[0], hits[1])
+    ids = [i for i, _ in hits[0]]
+    recall = len(set(ids) & set(exact)) / len(exact)
+    assert recall >= 0.9, (recall, ids, exact)

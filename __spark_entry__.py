@@ -201,6 +201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "spanish"})
         return _as_docid(s.search(MatchQuery("text", "tablas partes datos"), size=10))
 
+    def q_match_italian(spark, sf):
+        # Snowball Italian chain: parti/dati/merge stem to part/dat/merg,
+        # matching corpus docs containing part/data/merge
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "italian"})
+        return _as_docid(s.search(MatchQuery("text", "parti dati merge"), size=10))
+
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
 
@@ -641,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_german": q_match_german,
         "bm25_match_french": q_match_french,
         "bm25_match_spanish": q_match_spanish,
+        "bm25_match_italian": q_match_italian,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
         "ce_rerank": q_ce_rerank,
@@ -888,6 +895,15 @@ LIMIT 10
     es_terms = analyzer_py("spanish")("tablas partes datos")
     sql["bm25_match_spanish"] = f"""
 WITH {_bm25_full_lang(es_terms, "spanish")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    it_terms = analyzer_py("italian")("parti dati merge")
+    sql["bm25_match_italian"] = f"""
+WITH {_bm25_full_lang(it_terms, "italian")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -1368,6 +1384,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
     from nixiesearch_spark.snowball import (
         french_sql_ctes,
         german_sql_ctes,
+        italian_sql_ctes,
         spanish_sql_ctes,
     )
 
@@ -1375,6 +1392,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         "german": german_sql_ctes,
         "french": french_sql_ctes,
         "spanish": spanish_sql_ctes,
+        "italian": italian_sql_ctes,
     }[lang]
     stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
     p = prefix

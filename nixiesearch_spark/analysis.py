@@ -158,6 +158,12 @@ LANG_STOPWORDS = {
         "con", "de", "del", "al", "para", "en", "por", "que", "él", "más",
         "también", "está", "sí", "como", "se", "su", "sus", "le", "lo",
     ],
+    "italian": [
+        "di", "a", "da", "in", "con", "su", "per", "tra", "fra", "il",
+        "lo", "la", "i", "gli", "le", "un", "uno", "una", "e", "o", "ma",
+        "se", "che", "chi", "cui", "non", "come", "dove", "più", "anche",
+        "è", "sono", "del", "della", "dei", "delle", "al", "nel", "questo",
+    ],
 }
 
 
@@ -218,6 +224,12 @@ def _spanish_stem(t: str) -> str:
     return spanish_py(t)
 
 
+def _italian_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import italian_py
+
+    return italian_py(t)
+
+
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
@@ -270,12 +282,16 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["spanish"], _spanish_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["spanish"], _spanish_stem, tokenize_latin_py),
     ),
+    "italian": (
+        _stem_col(LANG_STOPWORDS["italian"], _italian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["italian"], _italian_stem, tokenize_latin_py),
+    ),
 }
 
 
 # analyzers whose column form is an Arrow pandas_udf (cannot run inside
 # F.transform lambdas — text[] fields concat items first for these)
-UDF_ANALYZERS = {"english", "german", "french", "spanish"}
+UDF_ANALYZERS = {"english", "german", "french", "spanish", "italian"}
 
 
 def analyzer_col(name: str):

@@ -1142,3 +1142,329 @@ def spanish_sql_ctes(src: str, out: str, p: str = "es_") -> str:
 {p}s3 AS MATERIALIZED (SELECT doc_id, {_es_step3_sql("term")} AS term FROM {p}s2b),
 {out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s3)
 """
+
+
+# ------------------------------------------------------------------ italian
+# Published Snowball Italian algorithm. Vowels a e i o u à è ì ò ù;
+# prelude: acute → grave accents, u/i between vowels → U/I, u after q → U.
+# R1/R2 standard; RV as in the Spanish stemmer.
+
+IT_VOWELS = "aeiouàèìòù"
+
+_IT_MARK = [
+    (re.compile("á"), "à"), (re.compile("é"), "è"), (re.compile("í"), "ì"),
+    (re.compile("ó"), "ò"), (re.compile("ú"), "ù"),
+] + [
+    (re.compile(f"([{IT_VOWELS}])u([{IT_VOWELS}])"), r"\1U\2"),
+    (re.compile(f"([{IT_VOWELS}])i([{IT_VOWELS}])"), r"\1I\2"),
+    (re.compile("qu"), "qU"),
+] * 2
+
+_IT_S0_PRON = sorted(
+    ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+     "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+     "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+     "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+     "veli", "velo", "vene"],
+    key=len, reverse=True,
+)
+
+_IT_S1_GROUPS = {
+    "A": ["anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+          "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+          "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+          "ose", "mente", "atrice", "atrici", "ante", "anti"],
+    "B": ["azione", "azioni", "atore", "atori"],
+    "C": ["logia", "logie"],
+    "D": ["uzione", "uzioni", "usione", "usioni"],
+    "E": ["enza", "enze"],
+    "F": ["amento", "amenti", "imento", "imenti"],
+    "G": ["amente"],
+    "H": ["ità"],
+    "I": ["ivo", "ivi", "iva", "ive"],
+}
+_IT_S1 = sorted(
+    ((s, g) for g, ss in _IT_S1_GROUPS.items() for s in ss), key=lambda t: -len(t[0])
+)
+
+_IT_S2 = sorted(
+    ["ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+     "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+     "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+     "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+     "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+     "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+     "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+     "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+     "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+     "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+     "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir"],
+    key=len, reverse=True,
+)
+
+
+def _it_prelude_py(w: str) -> str:
+    for rx, rep in _IT_MARK:
+        w = rx.sub(rep, w)
+    return w
+
+
+def _it_rv_py(w: str) -> int:
+    V = IT_VOWELS
+    if len(w) < 2:
+        return _BIG
+    if w[1] not in V:
+        m = re.match(f"^..[^{V}]*[{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    if w[0] in V:
+        m = re.match(f"^..[{V}]*[^{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    return 3 if len(w) > 3 else _BIG
+
+
+def italian_py(word: str) -> str:
+    w = _it_prelude_py(word)
+    rv = _it_rv_py(w)
+    r1, r2 = _r1r2_py(w, IT_VOWELS)
+
+    # step 0: attached pronoun after gerund/infinitive, inside RV
+    for suf in _IT_S0_PRON:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if pos < rv:
+            break
+        stem = w[:pos]
+        if (stem.endswith("ando") or stem.endswith("endo")) and len(stem) - 4 >= rv:
+            w = stem
+        elif (
+            (stem.endswith("ar") or stem.endswith("er") or stem.endswith("ir"))
+            and len(stem) - 2 >= rv
+        ):
+            w = stem + "e"
+        break
+
+    # step 1
+    pre1 = w
+    for suf, g in _IT_S1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if g == "A":
+            if pos >= r2:
+                w = w[:pos]
+        elif g == "B":
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif g == "C":
+            if pos >= r2:
+                w = w[:pos] + "log"
+        elif g == "D":
+            if pos >= r2:
+                w = w[:pos] + "u"
+        elif g == "E":
+            if pos >= r2:
+                w = w[:pos] + "ente"
+        elif g == "F":
+            if pos >= rv:
+                w = w[:pos]
+        elif g == "G":  # amente
+            if pos >= r1:
+                w = w[:pos]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif (w.endswith("os") or w.endswith("ic")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif g == "H":  # ità
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif (w.endswith("ic") or w.endswith("iv")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        else:  # I: ivo/ivi/iva/ive
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        break
+    altered1 = w != pre1
+
+    if not altered1:  # step 2: verb suffixes
+        for suf in _IT_S2:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos >= rv:
+                    w = w[:pos]
+                break
+
+    # step 3a: final vowel (and a preceding i), in RV
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: ch/gh → c/g in RV
+    if (w.endswith("ch") or w.endswith("gh")) and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+def _it_prelude_sql(x: str) -> str:
+    v = IT_VOWELS
+    e = (
+        "replace(replace(replace(replace(replace("
+        f"{x}, 'á', 'à'), 'é', 'è'), 'í', 'ì'), 'ó', 'ò'), 'ú', 'ù')"
+    )
+    for _ in range(2):
+        e = f"regexp_replace({e}, '([{v}])u([{v}])', '\\1U\\2', 'g')"
+        e = f"regexp_replace({e}, '([{v}])i([{v}])', '\\1I\\2', 'g')"
+        e = f"regexp_replace({e}, 'qu', 'qU', 'g')"
+    return e
+
+
+def _it_rv_sql(x: str) -> str:
+    V = IT_VOWELS
+    p1 = f"^..[^{V}]*[{V}]"
+    p2 = f"^..[{V}]*[^{V}]"
+    c1 = f"contains('{V}', substr({x}, 1, 1))"
+    c2 = f"contains('{V}', substr({x}, 2, 1))"
+    return (
+        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
+        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
+        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
+        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
+        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
+        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
+    )
+
+
+def _it_step0_sql(x: str) -> str:
+    cases = []
+    for suf in _IT_S0_PRON:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        act = (
+            f"CASE WHEN {pos} >= rv THEN (CASE "
+            f"WHEN (ends_with({st}, 'ando') OR ends_with({st}, 'endo')) "
+            f"AND length({st}) - 4 >= rv THEN {st} "
+            f"WHEN (ends_with({st}, 'ar') OR ends_with({st}, 'er') "
+            f"OR ends_with({st}, 'ir')) AND length({st}) - 2 >= rv "
+            f"THEN {st} || 'e' ELSE {x} END) ELSE {x} END"
+        )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _it_step1_sql(x: str) -> str:
+    cases = []
+    for suf, g in _IT_S1:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "A":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} ELSE {x} END"
+        elif g == "B":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'ic') AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "C":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'log' ELSE {x} END"
+        elif g == "D":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'u' ELSE {x} END"
+        elif g == "E":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'ente' ELSE {x} END"
+        elif g == "F":
+            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+        elif g == "G":
+            iv, at = _strip(st, 2), _strip(_strip(st, 2), 2)
+            act = (
+                f"CASE WHEN {pos} >= r1 THEN (CASE "
+                f"WHEN ends_with({st}, 'iv') AND length({st}) - 2 >= r2 THEN "
+                f"(CASE WHEN ends_with({iv}, 'at') AND length({iv}) - 2 >= r2 "
+                f"THEN {at} ELSE {iv} END) "
+                f"WHEN ends_with({st}, 'abil') AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} "
+                f"WHEN (ends_with({st}, 'os') OR ends_with({st}, 'ic')) "
+                f"AND length({st}) - 2 >= r2 THEN {_strip(st, 2)} "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "H":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN (CASE "
+                f"WHEN ends_with({st}, 'abil') AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} "
+                f"WHEN (ends_with({st}, 'ic') OR ends_with({st}, 'iv')) "
+                f"AND length({st}) - 2 >= r2 THEN {_strip(st, 2)} "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        else:
+            at = _strip(st, 2)
+            ic = _strip(at, 2)
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'at') AND length({st}) - 2 >= r2 THEN "
+                f"(CASE WHEN ends_with({at}, 'ic') AND length({at}) - 2 >= r2 "
+                f"THEN {ic} ELSE {at} END) ELSE {st} END) ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _it_step2_sql(x: str) -> str:
+    cases = []
+    for suf in _IT_S2:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        act = f"CASE WHEN {pos} >= rv THEN {_strip(x, n)} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _it_step3_sql(x: str) -> str:
+    st = _strip(x, 1)
+    st2 = _strip(st, 1)
+    inner = (
+        f"CASE WHEN ends_with({st}, 'i') AND length({st}) - 1 >= rv "
+        f"THEN {st2} ELSE {st} END"
+    )
+    vowel_del = (
+        f"CASE WHEN length({x}) >= 1 "
+        f"AND contains('aeioàèìò', substr({x}, length({x}), 1)) "
+        f"AND length({x}) - 1 >= rv THEN ({inner}) ELSE {x} END"
+    )
+    return vowel_del
+
+
+def _it_step3b_sql(x: str) -> str:
+    return (
+        f"CASE WHEN (ends_with({x}, 'ch') OR ends_with({x}, 'gh')) "
+        f"AND length({x}) - 1 >= rv THEN {_strip(x, 1)} ELSE {x} END"
+    )
+
+
+def italian_sql_ctes(src: str, out: str, p: str = "it_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out``."""
+    r1, r2 = _r1r2_sql("term", IT_VOWELS)
+    post = "replace(replace(term, 'I', 'i'), 'U', 'u')"
+    return f"""
+{p}s0 AS MATERIALIZED (SELECT doc_id, {_it_prelude_sql("term")} AS term FROM {src}),
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {_it_rv_sql("term")} AS rv, {r1} AS r1, {r2} AS r2 FROM {p}s0),
+{p}sp AS MATERIALIZED (SELECT doc_id, {_it_step0_sql("term")} AS term, rv, r1, r2 FROM {p}sr),
+{p}s1 AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0, {_it_step1_sql("term")} AS term FROM {p}sp),
+{p}s2 AS MATERIALIZED (SELECT doc_id, rv, r1, r2,
+  CASE WHEN term = t0 THEN {_it_step2_sql("term")} ELSE term END AS term FROM {p}s1),
+{p}s3 AS MATERIALIZED (SELECT doc_id, rv, {_it_step3_sql("term")} AS term FROM {p}s2),
+{p}s3b AS MATERIALIZED (SELECT doc_id, {_it_step3b_sql("term")} AS term FROM {p}s3),
+{out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s3b)
+"""

@@ -247,7 +247,10 @@ def test_stopword_entries_survive_tokenizer():
     # accented entries are legal there.
     from nixiesearch_spark.analysis import LANG_STOPWORDS, tokenize_latin_py, tokenize_py
 
-    toks = {"german": tokenize_latin_py, "french": tokenize_latin_py}
+    toks = {
+        lang: tokenize_latin_py
+        for lang in ("german", "french", "spanish", "italian")
+    }
     for lang, words in LANG_STOPWORDS.items():
         tok = toks.get(lang, tokenize_py)
         for w in words:

@@ -19,6 +19,8 @@ from nixiesearch_spark.snowball import (
     french_sql_ctes,
     german_py,
     german_sql_ctes,
+    italian_py,
+    italian_sql_ctes,
     spanish_py,
     spanish_sql_ctes,
 )
@@ -85,6 +87,32 @@ SPANISH_CASES = {
     # short / untouched
     "sol": "sol", "de": "de",
 }
+
+
+ITALIAN_CASES = {
+    # step 1 standard suffixes
+    "abbandonata": "abbandon", "nazionalità": "nazional",
+    "bellissimo": "bellissim",
+    # step 2 verb suffixes
+    "lavorando": "lavor", "pronunciare": "pronunc",
+    # step 0 pronoun: mangiarla → mangiare → mang (ar+e then step2+3a)
+    "mangiarla": "mang",
+    # step 3a final vowel (+ preceding i)
+    "tavoli": "tavol", "ragazzi": "ragazz", "dati": "dat", "parti": "part",
+    # step 3b ch → c
+    "giochi": "gioc",
+    # untouched short words
+    "re": "re", "blu": "blu",
+}
+
+
+def test_italian_spec_cases():
+    bad = {
+        w: (italian_py(w), want)
+        for w, want in ITALIAN_CASES.items()
+        if italian_py(w) != want
+    }
+    assert not bad, bad
 
 
 def test_spanish_spec_cases():
@@ -154,6 +182,14 @@ def test_spanish_sql_equals_python():
     assert not bad, bad
 
 
+def test_italian_sql_equals_python():
+    words = list(ITALIAN_CASES) + list(SPANISH_CASES) + list(FRENCH_CASES) + EXTRA_WORDS
+    got = _sql_stem(words, italian_sql_ctes)
+    want = [italian_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
 LATIN = "abcdefghijklmnopqrstuvwxyzäöüßàâéèêëïîôûùçáíóúñ_0123456789"
 
 
@@ -174,6 +210,11 @@ def test_two_form_identity_random(words):
     want_es = [spanish_py(w) for w in words]
     assert got_es == want_es, [
         (w, g, p) for w, g, p in zip(words, got_es, want_es) if g != p
+    ]
+    got_it = _sql_stem(words, italian_sql_ctes)
+    want_it = [italian_py(w) for w in words]
+    assert got_it == want_it, [
+        (w, g, p) for w, g, p in zip(words, got_it, want_it) if g != p
     ]
 
 

@@ -37,11 +37,15 @@ def _index(
     quantize: bool,
     analyzers: dict | None = None,
     derive_ts: bool = False,
+    derive_emb: bool = False,
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
-    key = (sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())), derive_ts)
+    key = (
+        sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
+        derive_ts, derive_emb,
+    )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
         df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -59,6 +63,13 @@ def _index(
                     "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, doc_id % 720, 0, 0)"
                 ),
             )
+        if derive_emb:
+            # document embeddings from the deterministic feature-hash
+            # embedder (nixiesearch_spark.embed — the ONNX plug point);
+            # stored column drives the semantic query path
+            from nixiesearch_spark.embed import hash_embed_col
+
+            df = df.withColumn("text_emb", hash_embed_col(F.col("text")))
         cfg = IndexConfig(
             text_fields=fields, id_col="doc_id", n_shards=8, quantize=quantize,
             analyzers=analyzers or {},
@@ -523,6 +534,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _query_vec(spark, sf):
         return _emb(spark, sf).where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
 
+    def q_semantic_knn(spark, sf):
+        # semantic query: embed the query TEXT (deterministic feature-hash
+        # embedder — the ONNX plug point, reference SemanticQuery.scala:
+        # 16-38) → knn over a hash-embedded stored column
+        s = _index(spark, sf, ("text",), False, derive_emb=True)
+        out = s.search(
+            {"semantic": {"field": "text_emb", "query": "spark join window", "k": 10}}
+        )
+        return _as_docid(out, 6)
+
     def q_knn_dsl(spark, sf):
         # knn through the query DSL with a PRE-filter (reference
         # KnnQuery.scala:20-88: filters apply inside the vector search, so
@@ -668,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "ann_hnsw_topk": q_ann_hnsw,
+        "semantic_knn": q_semantic_knn,
         "knn_parent_block": q_knn_parent_block,
         "knn_query_dsl": q_knn_dsl,
         "knn_nested_dsl": q_knn_nested_dsl,
@@ -1254,6 +1276,45 @@ LIMIT 10
     # knn DSL entries: Lucene VectorSimilarityFunction.COSINE score
     # (1 + cosine) / 2 over double-cast embeddings — fp chain identical on
     # both sides (documents ⋈ embeddings on doc_id = vec_id)
+    # semantic: rebuild the feature-hash doc embeddings IN SQL (same md5
+    # bucket/sign family dedup already proves bit-equal) and fold the
+    # deterministic query embedding in as raw integer bucket counts
+    # (cosine is scale-invariant, so normalization cancels)
+    from nixiesearch_spark.embed import DEFAULT_DIM, _md5_long, _md5_sign, hash_embed_sql
+
+    _q_raw: dict[int, float] = {}
+    for _t in analyzer_py("standard")("spark join window"):
+        _b = _md5_long(_t) % DEFAULT_DIM
+        _q_raw[_b] = _q_raw.get(_b, 0.0) + float(_md5_sign(_t))
+    _qvals = ", ".join(f"({b}, {v!r})" for b, v in sorted(_q_raw.items()))
+    _qnorm = sum(v * v for v in _q_raw.values()) ** 0.5
+    _hes = hash_embed_sql()
+    _bkt, _sgn = _hes["bucket"].format(t="term"), _hes["sign"].format(t="term")
+    sql["semantic_knn"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}')) AS t(term)
+  WHERE t.term <> '' AND length(t.term) <= 255
+), vb AS (
+  SELECT doc_id, {_bkt} AS b, sum({_sgn}) AS v
+  FROM tok GROUP BY doc_id, {_bkt}
+), qv(b, q) AS (VALUES {_qvals}),
+den AS (SELECT doc_id, sqrt(sum(v * v)) AS dv FROM vb GROUP BY doc_id),
+num AS (
+  SELECT vb.doc_id, sum(vb.v * qv.q) AS nu
+  FROM vb JOIN qv ON vb.b = qv.b GROUP BY vb.doc_id
+), sc AS (
+  SELECT den.doc_id,
+         CASE WHEN den.dv = 0 THEN 0.0
+              ELSE (1 + COALESCE(num.nu, 0) / (den.dv * {_qnorm!r})) / 2 END AS s
+  FROM den LEFT JOIN num ON num.doc_id = den.doc_id
+)
+SELECT doc_id, round(s, 6) AS score
+FROM sc
+ORDER BY s DESC, doc_id ASC
+LIMIT 10
+"""
+
     sql["knn_query_dsl"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
 v AS (

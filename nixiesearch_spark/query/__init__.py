@@ -6,6 +6,7 @@ from nixiesearch_spark.query.ast import (  # noqa: F401
     MatchQuery,
     MultiMatchQuery,
     RRFQuery,
+    SemanticQuery,
     parse_query,
 )
 from nixiesearch_spark.query.engine import Searcher  # noqa: F401

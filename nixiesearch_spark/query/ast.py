@@ -1,10 +1,11 @@
 """Query AST — the retrieve-query DSL of the reference
 (``api/query/Query.scala:36-50``: one-key JSON object dispatch;
-retrieve set {match_all, bool, dis_max, match, multi_match, knn} plus the
-rerank query {rrf}; ``semantic`` (model-embedded query text) stays out of
-scope — it needs ONNX inference — but ``knn`` with a pre-embedded query
-vector needs no model and is fully supported, including hybrid
-lexical ∥ vector fusion under ``rrf``).
+retrieve set {match_all, bool, dis_max, match, multi_match, knn, semantic}
+plus the rerank query {rrf}; ``semantic`` embeds the query text with the
+Searcher's pluggable embedder (deterministic feature-hash by default, ONNX
+on a real deployment) and then runs knn; ``knn`` takes a pre-embedded
+query vector directly. Both fuse under ``rrf`` for hybrid
+lexical ∥ vector search.
 """
 
 from __future__ import annotations
@@ -96,6 +97,32 @@ class KnnQuery(Query):
 
 
 @dataclass
+class SemanticQuery(Query):
+    """Reference ``api/query/retrieve/SemanticQuery.scala:16-38``: embed the
+    query TEXT with the field's model, then run knn. The embedding call is
+    the Searcher's pluggable ``embedder`` (default: the deterministic
+    feature-hash embedder in ``nixiesearch_spark.embed`` — an ONNX session
+    plugs in there on a real deployment). Same k/num_candidates semantics
+    as knn; ``model`` is accepted and passed to the embedder."""
+
+    field: str
+    query: str = ""
+    k: int | None = None
+    num_candidates: int | None = None
+    model: str | None = None
+
+    @property
+    def final_k(self) -> int:
+        real_k = self.k if self.k is not None else 10
+        num_cand = (
+            self.num_candidates
+            if self.num_candidates is not None
+            else int(round(real_k * 1.5))
+        )
+        return max(real_k, num_cand)
+
+
+@dataclass
 class RRFQuery(Query):
     """Reference ``api/query/rerank/RRFQuery.scala:23-79``: retrieve each
     branch's top ``rank_window_size`` (default = request size), fuse with
@@ -154,6 +181,19 @@ def parse_query(obj: dict | None) -> Query:
             query_vector=[float(x) for x in body["query_vector"]],
             k=int(body["k"]) if body.get("k") is not None else None,
             num_candidates=int(nc) if nc is not None else None,
+        )
+    if kind == "semantic":
+        nc = body.get("num_candidates")
+        if nc is not None and int(nc) > MAX_NUM_CANDIDATES:
+            raise ValueError(
+                f"num_candidates should be less than {MAX_NUM_CANDIDATES}"
+            )
+        return SemanticQuery(
+            field=body["field"],
+            query=str(body["query"]),
+            k=int(body["k"]) if body.get("k") is not None else None,
+            num_candidates=int(nc) if nc is not None else None,
+            model=body.get("model"),
         )
     if kind == "rrf":
         return RRFQuery(

@@ -43,13 +43,17 @@ SCORE_SCHEMA = "docid long, score float"
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader, mapping=None):
+    def __init__(self, reader: IndexReader, mapping=None, embedder=None):
         """``mapping``: optional IndexMapping enforcing per-field capability
         flags — filter/sort/facet/search violations become user errors at
         query time, matching the reference (RetrieveQuery.scala:117-119,
-        Predicate.scala:132-133)."""
+        Predicate.scala:132-133). ``embedder``: callable
+        ``(text, model) -> list[float]`` used by ``semantic`` queries;
+        defaults to the deterministic feature-hash embedder
+        (nixiesearch_spark.embed) — the ONNX plug point."""
         self.reader = reader
         self.mapping = mapping
+        self.embedder = embedder
         self.spark: SparkSession = reader.spark
         self._cache_df = {}  # field -> broadcastable norm-cache DataFrame
         self._persisted: list[DataFrame] = []  # searcher-lifetime cached frames
@@ -136,6 +140,11 @@ class Searcher:
         the top-k collector (RetrieveQuery.scala:88-90)."""
         if isinstance(query, ast.RRFQuery):
             raise ValueError("rrf is a top-level rerank query — use search()")
+        if isinstance(query, ast.SemanticQuery):
+            # embed the query text (pluggable; deterministic hash embedder by
+            # default — reference SemanticQuery.scala:16-38 embeds with the
+            # field's configured model), then it IS a knn query
+            query = self._embed_semantic(query)
         if isinstance(query, ast.KnnQuery):
             # filters + tombstones apply INSIDE knn (pre-filter semantics:
             # Lucene KnnFloatVectorQuery takes the filter as an argument, so
@@ -191,6 +200,18 @@ class Searcher:
             return rrf_fuse_matches(self, q.retrieve, size=size, window=window, k=q.k)
         branches = [self.score(s, filters) for s in q.retrieve]
         return rrf_fuse(branches, size=size, window=window, k=q.k)
+
+    def _embed_semantic(self, q: ast.SemanticQuery) -> ast.KnnQuery:
+        if self.embedder is not None:
+            vec = self.embedder(q.query, q.model)
+        else:
+            from nixiesearch_spark.embed import hash_embed_py
+
+            vec = hash_embed_py(q.query)
+        return ast.KnnQuery(
+            field=q.field, query_vector=[float(x) for x in vec],
+            k=q.k, num_candidates=q.num_candidates,
+        )
 
     def _score_knn(self, q: ast.KnnQuery, filters: dict | None) -> DataFrame:
         """Vector top-final_k as a score frame (reference KnnQuery.compile):

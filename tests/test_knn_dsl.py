@@ -164,3 +164,59 @@ def test_rrf_fetch_fields(s):
 def test_knn_requires_stored_vector_field(s):
     with pytest.raises(ValueError, match="not stored"):
         s.search({"knn": {"field": "nope", "query_vector": QV, "k": 3}})
+
+
+def test_semantic_query_dsl(spark, tmp_path):
+    """{"semantic": {field, query}} embeds the text with the pluggable
+    embedder (deterministic hash default) and runs knn; a custom embedder
+    plugs in via Searcher(embedder=...). Fusable under rrf."""
+    from pyspark.sql import functions as F
+
+    from nixiesearch_spark.embed import hash_embed_col, hash_embed_py
+    from nixiesearch_spark.index.builder import IndexBuilder, IndexConfig, IndexReader
+    from nixiesearch_spark.query import Searcher
+
+    df = spark.createDataFrame(
+        [(1, "red dress party"), (2, "white dress"), (3, "red pajama nights")],
+        "doc_id long, content string",
+    )
+    df = df.withColumn("content_emb", hash_embed_col(F.col("content")))
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=2)
+    IndexBuilder(spark, cfg).build(df, idx)
+    s = Searcher(IndexReader(spark, idx))
+    got = s.search(
+        {"semantic": {"field": "content_emb", "query": "red dress", "k": 3}}
+    ).collect()
+    assert [r["docid"] for r in got][:1] == [1]  # shares both tokens
+    # equivalent explicit knn with the same embedded vector → same result
+    qv = hash_embed_py("red dress")
+    knn = s.search(
+        {"knn": {"field": "content_emb", "query_vector": qv, "k": 3}}
+    ).collect()
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in knn
+    ]
+    # custom embedder hook
+    calls = []
+
+    def my_embedder(text, model):
+        calls.append((text, model))
+        return hash_embed_py(text)
+
+    s2 = Searcher(IndexReader(spark, idx), embedder=my_embedder)
+    out2 = s2.search(
+        {"semantic": {"field": "content_emb", "query": "red dress", "k": 3,
+                      "model": "e5-small"}}
+    ).collect()
+    assert calls == [("red dress", "e5-small")]
+    assert [r["docid"] for r in out2] == [r["docid"] for r in got]
+    # hybrid: semantic ∥ lexical under rrf
+    fused = s.search(
+        {"rrf": {"retrieve": [
+            {"match": {"content": "red"}},
+            {"semantic": {"field": "content_emb", "query": "red dress"}},
+        ]}},
+        size=3,
+    ).collect()
+    assert fused and fused[0]["docid"] == 1

@@ -898,7 +898,7 @@ LIMIT 10
 
     de_terms = analyzer_py("german")("filtern joins streamen")
     sql["bm25_match_german"] = f"""
-WITH {_bm25_full_lang(de_terms, "german")}
+WITH RECURSIVE {_bm25_full_lang(de_terms, "german")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -907,7 +907,7 @@ LIMIT 10
 
     fr_terms = analyzer_py("french")("tables merges parts")
     sql["bm25_match_french"] = f"""
-WITH {_bm25_full_lang(fr_terms, "french")}
+WITH RECURSIVE {_bm25_full_lang(fr_terms, "french")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -916,7 +916,7 @@ LIMIT 10
 
     es_terms = analyzer_py("spanish")("tablas partes datos")
     sql["bm25_match_spanish"] = f"""
-WITH {_bm25_full_lang(es_terms, "spanish")}
+WITH RECURSIVE {_bm25_full_lang(es_terms, "spanish")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -925,7 +925,7 @@ LIMIT 10
 
     it_terms = analyzer_py("italian")("parti dati merge")
     sql["bm25_match_italian"] = f"""
-WITH {_bm25_full_lang(it_terms, "italian")}
+WITH RECURSIVE {_bm25_full_lang(it_terms, "italian")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -1473,8 +1473,10 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
 
 
 def _md5_long_sql(expr: str) -> str:
-    """DuckDB side of dedup._md5_long: first 15 md5 hex chars as int64."""
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+    """DuckDB side of dedup._md5_long — one spelling, owned by embed.py."""
+    from nixiesearch_spark.embed import md5_long_sql
+
+    return md5_long_sql(expr)
 
 
 def _minhash_sql(num_hashes: int, bands: int, threshold: float, n: int = 3) -> str:

@@ -34,13 +34,21 @@ def _md5_sign(s: str) -> int:
     return 1 if int(hashlib.md5(s.encode()).hexdigest()[15], 16) >= 8 else -1
 
 
+def md5_long_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`_md5_long` — the single source of truth
+    for the 60-bit md5 family's SQL form (dedup + embedding oracles)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def hash_embed_py(text: str | None, dim: int = DEFAULT_DIM, analyzer: str = "standard") -> list[float]:
     """Deterministic feature-hash embedding of analyzed tokens (float64)."""
     from nixiesearch_spark.analysis import analyzer_py
 
+    tok = analyzer_py(analyzer)
     vec = [0.0] * dim
-    for t in analyzer_py(analyzer)(text):
-        vec[_md5_long(t) % dim] += float(_md5_sign(t))
+    for t in tok(text):
+        h = hashlib.md5(t.encode()).hexdigest()  # one digest per token
+        vec[int(h[:15], 16) % dim] += 1.0 if int(h[15], 16) >= 8 else -1.0
     norm = sum(v * v for v in vec) ** 0.5
     if norm == 0.0:
         return vec
@@ -56,7 +64,19 @@ def hash_embed_col(col: Column, dim: int = DEFAULT_DIM, analyzer: str = "standar
 
     @pandas_udf(ArrayType(DoubleType()))
     def _udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: hash_embed_py(x, dim, analyzer))
+        from nixiesearch_spark.analysis import analyzer_py
+
+        tok = analyzer_py(analyzer)  # resolve once per batch, not per row
+
+        def emb(x):
+            vec = [0.0] * dim
+            for t in tok(x):
+                h = hashlib.md5(t.encode()).hexdigest()
+                vec[int(h[:15], 16) % dim] += 1.0 if int(h[15], 16) >= 8 else -1.0
+            norm = sum(v * v for v in vec) ** 0.5
+            return vec if norm == 0.0 else [v / norm for v in vec]
+
+        return s.map(emb)
 
     return _udf(col)
 
@@ -65,6 +85,6 @@ def hash_embed_sql(dim: int = DEFAULT_DIM) -> dict[str, str]:
     """DuckDB spellings of the bucket/sign family for the oracle:
     expressions over a token column expression ``{t}`` (format in)."""
     return {
-        "bucket": "(CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT) % " + str(dim) + ")",
+        "bucket": "(" + md5_long_sql("{t}") + " % " + str(dim) + ")",
         "sign": "(CASE WHEN strpos('89abcdef', substr(md5({t}), 16, 1)) > 0 THEN 1.0 ELSE -1.0 END)",
     }

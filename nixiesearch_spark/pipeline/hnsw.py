@@ -188,6 +188,7 @@ def hnsw_topk(
     k: int = 10,
     ef_search: int = 64,
     graph_dir: str | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """ANN top-k over the per-shard graphs: (id, cosine) DataFrame.
 
@@ -258,8 +259,18 @@ def hnsw_topk(
                 }
             )
 
-    nsh = graph.select(F.max("shard")).first()[0]
-    nsh = int(nsh) + 1 if nsh is not None else 1
+    if n_shards is not None:
+        nsh = int(n_shards)
+    elif graph_dir is not None:
+        # shard= partition dirs name the count — no Spark job needed
+        import glob as _glob
+        import os as _os
+
+        dirs = _glob.glob(_os.path.join(graph_dir, "shard=*"))
+        nsh = max(len(dirs), 1)
+    else:
+        nsh = graph.select(F.max("shard")).first()[0]
+        nsh = int(nsh) + 1 if nsh is not None else 1
     local = graph.repartition(nsh, "shard").mapInPandas(run, schema=TOPK_SCHEMA)
     return (
         local.select("id", F.round(F.col("cosine"), 6).alias("cosine"))

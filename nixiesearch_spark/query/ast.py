@@ -102,24 +102,15 @@ class SemanticQuery(Query):
     query TEXT with the field's model, then run knn. The embedding call is
     the Searcher's pluggable ``embedder`` (default: the deterministic
     feature-hash embedder in ``nixiesearch_spark.embed`` — an ONNX session
-    plugs in there on a real deployment). Same k/num_candidates semantics
-    as knn; ``model`` is accepted and passed to the embedder."""
+    plugs in there on a real deployment). k/num_candidates policy lives on
+    the KnnQuery this converts into (engine._embed_semantic); ``model`` is
+    passed to the embedder."""
 
     field: str
     query: str = ""
     k: int | None = None
     num_candidates: int | None = None
     model: str | None = None
-
-    @property
-    def final_k(self) -> int:
-        real_k = self.k if self.k is not None else 10
-        num_cand = (
-            self.num_candidates
-            if self.num_candidates is not None
-            else int(round(real_k * 1.5))
-        )
-        return max(real_k, num_cand)
 
 
 @dataclass
@@ -170,28 +161,24 @@ def parse_query(obj: dict | None) -> Query:
             queries=[parse_query(q) for q in body["queries"]],
             tie_breaker=float(body.get("tie_breaker", 0.0)),
         )
-    if kind == "knn":
+    if kind in ("knn", "semantic"):
         nc = body.get("num_candidates")
         if nc is not None and int(nc) > MAX_NUM_CANDIDATES:
             raise ValueError(
                 f"num_candidates should be less than {MAX_NUM_CANDIDATES}"
             )
-        return KnnQuery(
-            field=body["field"],
-            query_vector=[float(x) for x in body["query_vector"]],
-            k=int(body["k"]) if body.get("k") is not None else None,
-            num_candidates=int(nc) if nc is not None else None,
-        )
-    if kind == "semantic":
-        nc = body.get("num_candidates")
-        if nc is not None and int(nc) > MAX_NUM_CANDIDATES:
-            raise ValueError(
-                f"num_candidates should be less than {MAX_NUM_CANDIDATES}"
+        kk = int(body["k"]) if body.get("k") is not None else None
+        if kind == "knn":
+            return KnnQuery(
+                field=body["field"],
+                query_vector=[float(x) for x in body["query_vector"]],
+                k=kk,
+                num_candidates=int(nc) if nc is not None else None,
             )
         return SemanticQuery(
             field=body["field"],
             query=str(body["query"]),
-            k=int(body["k"]) if body.get("k") is not None else None,
+            k=kk,
             num_candidates=int(nc) if nc is not None else None,
             model=body.get("model"),
         )

@@ -20,16 +20,18 @@ re-implements both from the published rule tables, the same way
 Both forms are generated to be rule-for-rule identical (tests/test_snowball.py
 checks them over real vocab + hypothesis-random Latin strings).
 
-Two documented spec deviations (mirroring stem.py's precedent):
+Fidelity notes:
 
-1. The prelude's consonant-marking (u/i/y between/next to vowels → U/I/Y)
-   runs as a fixed sequence of global regex passes applied twice, instead of
-   Snowball's single left-to-right cursor scan. The two can differ only on
-   adjacent marked-candidate runs sharing vowels (e.g. ``ayua``) — no real
-   German/French word has one.
-2. Regions are computed with regexes on the post-prelude string; suffix
-   removal only ever shortens the tail, so the prefix-determined region
-   starts are identical to Snowball's compute-once positions.
+- The prelude's consonant-marking (u/i/y between/next to vowels → U/I/Y,
+  u after q) is Snowball's exact single left-to-right cursor scan — a
+  per-char loop in Python and a recursive CTE in SQL (callers compose the
+  fragments under ``WITH RECURSIVE``).
+- RV-limited amongs (``setlimit tomark pV``) select the longest suffix
+  WITHIN RV: a longer surface suffix that pokes out of RV does not shadow
+  a shorter one inside it (estaban → estab, not estaban).
+- Regions are computed with regexes on the post-prelude string; suffix
+  removal only ever shortens the tail, so the prefix-determined region
+  starts are identical to Snowball's compute-once positions.
 """
 
 from __future__ import annotations
@@ -79,6 +81,41 @@ def _prev_sql(x: str, n: int) -> str:
     return f"substr({x}, length({x}) - {n}, 1)"
 
 
+# ---- prelude consonant-marking: Snowball's single left-to-right scan.
+# Each language supplies mark(prev, c, nxt) — prev is the EVOLVING previous
+# char (a mark disables its vowel-hood for the next test), nxt the original
+# next char, exactly the cursor semantics of `repeat goto (...)`.
+
+
+def _scan_py(w: str, mark_fn) -> str:
+    out: list[str] = []
+    for i, c in enumerate(w):
+        prev = out[i - 1] if i else ""
+        nxt = w[i + 1] if i + 1 < len(w) else ""
+        out.append(mark_fn(prev, c, nxt))
+    return "".join(out)
+
+
+def _scan_sql(src: str, out: str, p: str, newc_fn, base_term: str = "term") -> str:
+    """Recursive-CTE form of the same scan: per row, peel one char per
+    iteration, appending the (possibly marked) char to ``acc``. newc_fn
+    receives (prev_expr, c_expr, nxt_expr) SQL snippets and returns the
+    marked-char expression. Callers' WITH list must be WITH RECURSIVE."""
+    prev = "CASE WHEN length(acc) >= 1 THEN substr(acc, length(acc), 1) ELSE '' END"
+    c = "substr(rest, 1, 1)"
+    nxt = "CASE WHEN length(rest) >= 2 THEN substr(rest, 2, 1) ELSE '' END"
+    newc = newc_fn(prev, c, nxt)
+    return f"""
+{p}mk(doc_id, acc, rest) AS (
+    SELECT doc_id, '', {base_term} FROM {src}
+  UNION ALL
+    SELECT doc_id, acc || ({newc}), substr(rest, 2)
+    FROM {p}mk WHERE rest <> ''
+),
+{out} AS MATERIALIZED (SELECT doc_id, acc AS term FROM {p}mk WHERE rest = '')
+"""
+
+
 # ------------------------------------------------------------------ german
 # Published Snowball German algorithm. Vowels a e i o u y ä ö ü; ß → ss and
 # u/y between vowels marked U/Y (consonants) in the prelude; R1 start is
@@ -93,17 +130,16 @@ DE_STEP1 = ["ern", "em", "er", "en", "es", "e", "s"]
 DE_STEP2 = ["est", "er", "en", "st"]
 DE_STEP3 = ["isch", "lich", "heit", "keit", "end", "ung", "ik", "ig"]
 
-_DE_MARK = [
-    (re.compile(f"([{DE_VOWELS}])u([{DE_VOWELS}])"), r"\1U\2"),
-    (re.compile(f"([{DE_VOWELS}])y([{DE_VOWELS}])"), r"\1Y\2"),
-] * 2
+def _de_mark(prev: str, c: str, nxt: str) -> str:
+    # NB: '' is a substring of any vowel string — the truthiness guards are
+    # load-bearing at word boundaries
+    if c in "uy" and prev and prev in DE_VOWELS and nxt and nxt in DE_VOWELS:
+        return c.upper()
+    return c
 
 
 def _de_prelude_py(w: str) -> str:
-    w = w.replace("ß", "ss")
-    for rx, rep in _DE_MARK:
-        w = rx.sub(rep, w)
-    return w
+    return _scan_py(w.replace("ß", "ss"), _de_mark)
 
 
 def german_py(word: str) -> str:
@@ -168,13 +204,13 @@ def german_py(word: str) -> str:
     return w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
 
 
-def _de_prelude_sql(x: str) -> str:
+def _de_mark_sql(prev: str, c: str, nxt: str) -> str:
     v = DE_VOWELS
-    e = f"replace({x}, 'ß', 'ss')"
-    for _ in range(2):
-        e = f"regexp_replace({e}, '([{v}])u([{v}])', '\\1U\\2', 'g')"
-        e = f"regexp_replace({e}, '([{v}])y([{v}])', '\\1Y\\2', 'g')"
-    return e
+    return (
+        f"CASE WHEN {c} IN ('u', 'y') AND contains('{v}', {prev}) AND {prev} <> '' "
+        f"AND contains('{v}', {nxt}) AND {nxt} <> '' "
+        f"THEN upper({c}) ELSE {c} END"
+    )
 
 
 def _in(chars: str) -> str:
@@ -261,14 +297,16 @@ def _de_step3_sql(x: str) -> str:
 
 def german_sql_ctes(src: str, out: str, p: str = "de_") -> str:
     """CTE-chain fragment stemming column ``term`` of ``src(doc_id, term)``
-    into ``out(doc_id, term)``. Compose inside a WITH list."""
+    into ``out(doc_id, term)``. Compose inside a WITH RECURSIVE list (the
+    prelude consonant-marking scan is a recursive CTE)."""
     r1, r2 = _r1r2_sql("term", DE_VOWELS, r1_min=3)
     post = (
         "replace(replace(replace(replace(replace("
         "term, 'U', 'u'), 'Y', 'y'), 'ä', 'a'), 'ö', 'o'), 'ü', 'u')"
     )
+    scan = _scan_sql(src, f"{p}s0", p, _de_mark_sql, "replace(term, 'ß', 'ss')")
     return f"""
-{p}s0 AS MATERIALIZED (SELECT doc_id, {_de_prelude_sql("term")} AS term FROM {src}),
+{scan.strip()},
 {p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1, {r2} AS r2 FROM {p}s0),
 {p}s1 AS MATERIALIZED (SELECT doc_id, {_de_step1_sql("term")} AS term, r1, r2 FROM {p}sr),
 {p}s2 AS MATERIALIZED (SELECT doc_id, {_de_step2_sql("term")} AS term, r1, r2 FROM {p}s1),
@@ -285,13 +323,37 @@ def german_sql_ctes(src: str, out: str, p: str = "de_") -> str:
 
 FR_VOWELS = "aeiouyâàëéêèïîôûù"
 
-_FR_MARK = [
-    (re.compile(f"([{FR_VOWELS}])u([{FR_VOWELS}])"), r"\1U\2"),
-    (re.compile(f"([{FR_VOWELS}])i([{FR_VOWELS}])"), r"\1I\2"),
-    (re.compile(f"([{FR_VOWELS}])y"), r"\1Y"),
-    (re.compile(f"y([{FR_VOWELS}])"), r"Y\1"),
-    (re.compile("qu"), "qU"),
-] * 2
+def _fr_mark(prev: str, c: str, nxt: str) -> str:
+    """Scan priority mirrors the goto alternatives: vowel-anchored u/i/y
+    first (tried at the preceding cursor position), then qu (also
+    prev-anchored), then y-before-vowel."""
+    V = FR_VOWELS
+    if prev and prev in V:
+        if c == "u" and nxt and nxt in V:
+            return "U"
+        if c == "i" and nxt and nxt in V:
+            return "I"
+        if c == "y":
+            return "Y"
+    if c == "u" and prev == "q":
+        return "U"
+    if c == "y" and nxt and nxt in V:
+        return "Y"
+    return c
+
+
+def _fr_mark_sql(prev: str, c: str, nxt: str) -> str:
+    V = FR_VOWELS
+    pv = f"({prev} <> '' AND contains('{V}', {prev}))"
+    nv = f"({nxt} <> '' AND contains('{V}', {nxt}))"
+    return (
+        f"CASE WHEN {pv} AND {c} = 'u' AND {nv} THEN 'U' "
+        f"WHEN {pv} AND {c} = 'i' AND {nv} THEN 'I' "
+        f"WHEN {pv} AND {c} = 'y' THEN 'Y' "
+        f"WHEN {c} = 'u' AND {prev} = 'q' THEN 'U' "
+        f"WHEN {c} = 'y' AND {nv} THEN 'Y' "
+        f"ELSE {c} END"
+    )
 
 _FR_S1_GROUPS = {
     "A": ["ance", "ances", "iqUe", "iqUes", "isme", "ismes", "able", "ables",
@@ -344,9 +406,7 @@ _FR_S4 = sorted(
 
 
 def _fr_prelude_py(w: str) -> str:
-    for rx, rep in _FR_MARK:
-        w = rx.sub(rep, w)
-    return w
+    return _scan_py(w, _fr_mark)
 
 
 def _fr_rv_py(w: str) -> int:
@@ -464,13 +524,17 @@ def french_py(word: str) -> str:
     w, ment_found = _fr_step1_py(w, rv, r1, r2)
     altered = w != pre1
 
+    # steps 2a/2b/4 are RV-limited amongs: the longest-suffix search runs on
+    # the RV region, so a longer global suffix poking out of RV must NOT
+    # shadow a shorter one inside it (estaban-style words in es/it; same
+    # Snowball setlimit semantics here)
     did2a = (not altered) or ment_found
     altered2a = False
     if did2a:
         pre2a = w
         for suf in _FR_S2A:
-            if w.endswith(suf):
-                pos = len(w) - len(suf)
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
                 if pos >= 1 and pos - 1 >= rv and w[pos - 1] not in FR_VOWELS:
                     w = w[:pos]
                 break
@@ -480,19 +544,17 @@ def french_py(word: str) -> str:
     if did2a and not altered2a:
         pre2b = w
         for suf, g in _FR_S2B:
-            if w.endswith(suf):
-                pos = len(w) - len(suf)
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
                 if g == "ions":
-                    if pos >= rv and pos >= r2:
+                    if pos >= r2:
                         w = w[:pos]
                 elif g == "er":
-                    if pos >= rv:
-                        w = w[:pos]
+                    w = w[:pos]
                 else:  # a-group; a preceding e in RV goes too
-                    if pos >= rv:
-                        w = w[:pos]
-                        if w.endswith("e") and len(w) - 1 >= rv:
-                            w = w[:-1]
+                    w = w[:pos]
+                    if w.endswith("e") and len(w) - 1 >= rv:
+                        w = w[:-1]
                 break
         altered = altered or (w != pre2b)
 
@@ -504,20 +566,18 @@ def french_py(word: str) -> str:
     else:  # step 4
         if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
             w = w[:-1]
-        for suf, g in _FR_S4:
-            if w.endswith(suf):
-                pos = len(w) - len(suf)
+        for suf, g in _FR_S4:  # RV-limited among
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
                 if g == "ion":
                     if pos >= r2 and pos >= 1 and pos - 1 >= rv and w[pos - 1] in "st":
                         w = w[:pos]
                 elif g == "ier":
-                    if pos >= rv:
-                        w = w[:pos] + "i"
+                    w = w[:pos] + "i"
                 elif g == "e":
-                    if pos >= rv:
-                        w = w[:pos]
+                    w = w[:pos]
                 else:  # ë after gu
-                    if pos >= rv and w[:pos].endswith("gu") and pos - 2 >= rv:
+                    if w[:pos].endswith("gu") and pos - 2 >= rv:
                         w = w[:pos]
                 break
     # step 5: un-double
@@ -534,16 +594,6 @@ def french_py(word: str) -> str:
 # ---- french SQL form
 
 
-def _fr_prelude_sql(x: str) -> str:
-    v = FR_VOWELS
-    e = x
-    for _ in range(2):
-        e = f"regexp_replace({e}, '([{v}])u([{v}])', '\\1U\\2', 'g')"
-        e = f"regexp_replace({e}, '([{v}])i([{v}])', '\\1I\\2', 'g')"
-        e = f"regexp_replace({e}, '([{v}])y', '\\1Y', 'g')"
-        e = f"regexp_replace({e}, 'y([{v}])', 'Y\\1', 'g')"
-        e = f"regexp_replace({e}, 'qu', 'qU', 'g')"
-    return e
 
 
 def _fr_rv_sql(x: str) -> str:
@@ -657,6 +707,8 @@ def _fr_step1_sql(x: str) -> tuple[str, str]:
 
 
 def _fr_step2a_sql(x: str) -> str:
+    # RV-limited among: the suffix must lie in RV to MATCH (WHEN clause),
+    # matching python's selection filter
     cases = []
     for suf in _FR_S2A:
         n = len(suf)
@@ -665,7 +717,7 @@ def _fr_step2a_sql(x: str) -> str:
             f"CASE WHEN {pos} >= 1 AND {pos} - 1 >= rv "
             f"AND NOT {_vsql(_prev_sql(x, n))} THEN {_strip(x, n)} ELSE {x} END"
         )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -676,16 +728,15 @@ def _fr_step2b_sql(x: str) -> str:
         pos = f"(length({x}) - {n})"
         st = _strip(x, n)
         if g == "ions":
-            act = f"CASE WHEN {pos} >= rv AND {pos} >= r2 THEN {st} ELSE {x} END"
+            act = f"CASE WHEN {pos} >= r2 THEN {st} ELSE {x} END"
         elif g == "er":
-            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+            act = st
         else:
             act = (
-                f"CASE WHEN {pos} >= rv THEN "
-                f"(CASE WHEN ends_with({st}, 'e') AND length({st}) - 1 >= rv "
-                f"THEN {_strip(st, 1)} ELSE {st} END) ELSE {x} END"
+                f"CASE WHEN ends_with({st}, 'e') AND length({st}) - 1 >= rv "
+                f"THEN {_strip(st, 1)} ELSE {st} END"
             )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -702,15 +753,15 @@ def _fr_step4_sql(x: str) -> str:
                 f"AND {_prev_sql(x, n)} IN ('s', 't') THEN {st} ELSE {x} END"
             )
         elif g == "ier":
-            act = f"CASE WHEN {pos} >= rv THEN {st} || 'i' ELSE {x} END"
+            act = f"{st} || 'i'"
         elif g == "e":
-            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+            act = st
         else:  # ë after gu
             act = (
-                f"CASE WHEN {pos} >= rv AND ends_with({st}, 'gu') "
+                f"CASE WHEN ends_with({st}, 'gu') "
                 f"AND {pos} - 2 >= rv THEN {st} ELSE {x} END"
             )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -737,8 +788,9 @@ def french_sql_ctes(src: str, out: str, p: str = "fr_") -> str:
     )
     step6 = f"regexp_replace(term, '[éè]([^{FR_VOWELS}]+)$', 'e\\1')"
     post = "replace(replace(replace(term, 'I', 'i'), 'U', 'u'), 'Y', 'y')"
+    scan = _scan_sql(src, f"{p}s0", p, _fr_mark_sql)
     return f"""
-{p}s0 AS MATERIALIZED (SELECT doc_id, {_fr_prelude_sql("term")} AS term FROM {src}),
+{scan.strip()},
 {p}sr AS MATERIALIZED (SELECT doc_id, term, {_fr_rv_sql("term")} AS rv, {r1} AS r1, {r2} AS r2 FROM {p}s0),
 {p}s1 AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0, {s1_term} AS term, {s1_mf} AS mf FROM {p}sr),
 {p}s1b AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term, (term <> t0) AS a1, mf FROM {p}s1),
@@ -845,13 +897,14 @@ def spanish_py(word: str) -> str:
     rv = _es_rv_py(w)
     r1, r2 = _r1r2_py(w, ES_VOWELS)
 
-    # step 0: attached pronoun after a gerund/infinitive, all inside RV
+    # step 0: attached pronoun after a gerund/infinitive. RV-limited among:
+    # the pronoun must lie in RV to match at all (selection filter, not a
+    # post-test), the verb suffix must be in RV too, but the u of uyendo
+    # may sit OUTSIDE RV (published note)
     for suf in _ES_S0_PRON:
-        if not w.endswith(suf):
-            continue
         pos = len(w) - len(suf)
-        if pos < rv:
-            break
+        if not (w.endswith(suf) and pos >= rv):
+            continue
         stem = w[:pos]
         done = False
         for a, rep in _ES_S0_A.items():
@@ -866,7 +919,7 @@ def spanish_py(word: str) -> str:
                     done = True
                     break
         if not done and stem.endswith("yendo") and len(stem) - 5 >= rv:
-            if len(stem) >= 6 and stem[-6] == "u" and len(stem) - 6 >= rv:
+            if len(stem) >= 6 and stem[-6] == "u":
                 w = stem
         break
 
@@ -928,39 +981,40 @@ def spanish_py(word: str) -> str:
         break
     altered1 = w != pre1
 
+    # 2a/2b/3 are RV-limited amongs (longest match WITHIN RV); the
+    # preceding u (2a) and the u of gu (2b) need NOT be in RV — published
+    # notes — while step 3's gu-u MUST be
     did2a = not altered1
     alt2a = False
     if did2a:
         pre2a = w
         for suf in _ES_S2A:
-            if w.endswith(suf):
-                pos = len(w) - len(suf)
-                if pos >= rv and pos >= 1 and w[pos - 1] == "u" and pos - 1 >= rv:
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
+                if pos >= 1 and w[pos - 1] == "u":
                     w = w[:pos]
                 break
         alt2a = w != pre2a
 
     if did2a and not alt2a:
         for suf, g in _ES_S2B:
-            if w.endswith(suf):
-                pos = len(w) - len(suf)
-                if pos >= rv:
-                    w = w[:pos]
-                    if g == "gu" and w.endswith("gu") and len(w) - 1 >= rv:
-                        w = w[:-1]
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
+                w = w[:pos]
+                if g == "gu" and w.endswith("gu"):
+                    w = w[:-1]
                 break
 
     # step 3: residual vowel suffixes (always runs)
     for suf, g in _ES_S3:
-        if w.endswith(suf):
-            pos = len(w) - len(suf)
-            if pos >= rv:
-                if g == "p":
-                    w = w[:pos]
-                else:  # e / é, with the gu→g extra
-                    w = w[:pos]
-                    if w.endswith("gu") and len(w) - 1 >= rv:
-                        w = w[:-1]
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and pos >= rv:
+            if g == "p":
+                w = w[:pos]
+            else:  # e / é, with the gu→g extra (this u must be in RV)
+                w = w[:pos]
+                if w.endswith("gu") and len(w) - 1 >= rv:
+                    w = w[:-1]
             break
 
     for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u")):
@@ -1003,14 +1057,10 @@ def _es_step0_sql(x: str) -> str:
                 f"WHEN ends_with({st}, '{b}') AND length({st}) - {nb} >= rv THEN {st}"
             )
         inner.append(
-            f"WHEN ends_with({st}, 'uyendo') AND length({st}) - 5 >= rv "
-            f"AND length({st}) - 6 >= rv THEN {st}"
+            f"WHEN ends_with({st}, 'uyendo') AND length({st}) - 5 >= rv THEN {st}"
         )
-        act = (
-            f"CASE WHEN {pos} >= rv THEN "
-            f"(CASE {' '.join(inner)} ELSE {x} END) ELSE {x} END"
-        )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        act = f"CASE {' '.join(inner)} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -1077,10 +1127,10 @@ def _es_step2a_sql(x: str) -> str:
         n = len(suf)
         pos = f"(length({x}) - {n})"
         act = (
-            f"CASE WHEN {pos} >= rv AND {pos} >= 1 AND {_prev_sql(x, n)} = 'u' "
-            f"AND {pos} - 1 >= rv THEN {_strip(x, n)} ELSE {x} END"
+            f"CASE WHEN {pos} >= 1 AND {_prev_sql(x, n)} = 'u' "
+            f"THEN {_strip(x, n)} ELSE {x} END"
         )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -1092,13 +1142,12 @@ def _es_step2b_sql(x: str) -> str:
         st = _strip(x, n)
         if g == "gu":
             act = (
-                f"CASE WHEN {pos} >= rv THEN "
-                f"(CASE WHEN ends_with({st}, 'gu') AND length({st}) - 1 >= rv "
-                f"THEN {_strip(st, 1)} ELSE {st} END) ELSE {x} END"
+                f"CASE WHEN ends_with({st}, 'gu') "
+                f"THEN {_strip(st, 1)} ELSE {st} END"
             )
         else:
-            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+            act = st
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -1109,14 +1158,13 @@ def _es_step3_sql(x: str) -> str:
         pos = f"(length({x}) - {n})"
         st = _strip(x, n)
         if g == "p":
-            act = f"CASE WHEN {pos} >= rv THEN {st} ELSE {x} END"
+            act = st
         else:
             act = (
-                f"CASE WHEN {pos} >= rv THEN "
-                f"(CASE WHEN ends_with({st}, 'gu') AND length({st}) - 1 >= rv "
-                f"THEN {_strip(st, 1)} ELSE {st} END) ELSE {x} END"
+                f"CASE WHEN ends_with({st}, 'gu') AND length({st}) - 1 >= rv "
+                f"THEN {_strip(st, 1)} ELSE {st} END"
             )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -1151,14 +1199,27 @@ def spanish_sql_ctes(src: str, out: str, p: str = "es_") -> str:
 
 IT_VOWELS = "aeiouàèìòù"
 
-_IT_MARK = [
-    (re.compile("á"), "à"), (re.compile("é"), "è"), (re.compile("í"), "ì"),
-    (re.compile("ó"), "ò"), (re.compile("ú"), "ù"),
-] + [
-    (re.compile(f"([{IT_VOWELS}])u([{IT_VOWELS}])"), r"\1U\2"),
-    (re.compile(f"([{IT_VOWELS}])i([{IT_VOWELS}])"), r"\1I\2"),
-    (re.compile("qu"), "qU"),
-] * 2
+def _it_mark(prev: str, c: str, nxt: str) -> str:
+    V = IT_VOWELS
+    if c in ("u", "i") and prev and prev in V and nxt and nxt in V:
+        return c.upper()
+    if c == "u" and prev == "q":
+        return "U"
+    return c
+
+
+def _it_mark_sql(prev: str, c: str, nxt: str) -> str:
+    V = IT_VOWELS
+    pv = f"({prev} <> '' AND contains('{V}', {prev}))"
+    nv = f"({nxt} <> '' AND contains('{V}', {nxt}))"
+    return (
+        f"CASE WHEN {c} IN ('u', 'i') AND {pv} AND {nv} THEN upper({c}) "
+        f"WHEN {c} = 'u' AND {prev} = 'q' THEN 'U' "
+        f"ELSE {c} END"
+    )
+
+
+_IT_ACCENTS = (("á", "à"), ("é", "è"), ("í", "ì"), ("ó", "ò"), ("ú", "ù"))
 
 _IT_S0_PRON = sorted(
     ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
@@ -1204,9 +1265,9 @@ _IT_S2 = sorted(
 
 
 def _it_prelude_py(w: str) -> str:
-    for rx, rep in _IT_MARK:
-        w = rx.sub(rep, w)
-    return w
+    for a, b in _IT_ACCENTS:
+        w = w.replace(a, b)
+    return _scan_py(w, _it_mark)
 
 
 def _it_rv_py(w: str) -> int:
@@ -1227,13 +1288,13 @@ def italian_py(word: str) -> str:
     rv = _it_rv_py(w)
     r1, r2 = _r1r2_py(w, IT_VOWELS)
 
-    # step 0: attached pronoun after gerund/infinitive, inside RV
+    # step 0: attached pronoun after gerund/infinitive — RV-limited among
+    # (pronoun must lie in RV to MATCH; a longer pronoun poking out of RV
+    # must not shadow a shorter one inside it)
     for suf in _IT_S0_PRON:
-        if not w.endswith(suf):
-            continue
         pos = len(w) - len(suf)
-        if pos < rv:
-            break
+        if not (w.endswith(suf) and pos >= rv):
+            continue
         stem = w[:pos]
         if (stem.endswith("ando") or stem.endswith("endo")) and len(stem) - 4 >= rv:
             w = stem
@@ -1298,12 +1359,11 @@ def italian_py(word: str) -> str:
         break
     altered1 = w != pre1
 
-    if not altered1:  # step 2: verb suffixes
+    if not altered1:  # step 2: verb suffixes — RV-limited among
         for suf in _IT_S2:
-            if w.endswith(suf):
-                pos = len(w) - len(suf)
-                if pos >= rv:
-                    w = w[:pos]
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
+                w = w[:pos]
                 break
 
     # step 3a: final vowel (and a preceding i), in RV
@@ -1317,17 +1377,6 @@ def italian_py(word: str) -> str:
     return w.replace("I", "i").replace("U", "u")
 
 
-def _it_prelude_sql(x: str) -> str:
-    v = IT_VOWELS
-    e = (
-        "replace(replace(replace(replace(replace("
-        f"{x}, 'á', 'à'), 'é', 'è'), 'í', 'ì'), 'ó', 'ò'), 'ú', 'ù')"
-    )
-    for _ in range(2):
-        e = f"regexp_replace({e}, '([{v}])u([{v}])', '\\1U\\2', 'g')"
-        e = f"regexp_replace({e}, '([{v}])i([{v}])', '\\1I\\2', 'g')"
-        e = f"regexp_replace({e}, 'qu', 'qU', 'g')"
-    return e
 
 
 def _it_rv_sql(x: str) -> str:
@@ -1353,14 +1402,14 @@ def _it_step0_sql(x: str) -> str:
         pos = f"(length({x}) - {n})"
         st = _strip(x, n)
         act = (
-            f"CASE WHEN {pos} >= rv THEN (CASE "
+            f"CASE "
             f"WHEN (ends_with({st}, 'ando') OR ends_with({st}, 'endo')) "
             f"AND length({st}) - 4 >= rv THEN {st} "
             f"WHEN (ends_with({st}, 'ar') OR ends_with({st}, 'er') "
             f"OR ends_with({st}, 'ir')) AND length({st}) - 2 >= rv "
-            f"THEN {st} || 'e' ELSE {x} END) ELSE {x} END"
+            f"THEN {st} || 'e' ELSE {x} END"
         )
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -1426,8 +1475,9 @@ def _it_step2_sql(x: str) -> str:
     for suf in _IT_S2:
         n = len(suf)
         pos = f"(length({x}) - {n})"
-        act = f"CASE WHEN {pos} >= rv THEN {_strip(x, n)} ELSE {x} END"
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN {_strip(x, n)}"
+        )
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -1457,8 +1507,13 @@ def italian_sql_ctes(src: str, out: str, p: str = "it_") -> str:
     """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out``."""
     r1, r2 = _r1r2_sql("term", IT_VOWELS)
     post = "replace(replace(term, 'I', 'i'), 'U', 'u')"
+    acc_norm = (
+        "replace(replace(replace(replace(replace("
+        "term, 'á', 'à'), 'é', 'è'), 'í', 'ì'), 'ó', 'ò'), 'ú', 'ù')"
+    )
+    scan = _scan_sql(src, f"{p}s0", p, _it_mark_sql, acc_norm)
     return f"""
-{p}s0 AS MATERIALIZED (SELECT doc_id, {_it_prelude_sql("term")} AS term FROM {src}),
+{scan.strip()},
 {p}sr AS MATERIALIZED (SELECT doc_id, term, {_it_rv_sql("term")} AS rv, {r1} AS r1, {r2} AS r2 FROM {p}s0),
 {p}sp AS MATERIALIZED (SELECT doc_id, {_it_step0_sql("term")} AS term, rv, r1, r2 FROM {p}sr),
 {p}s1 AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0, {_it_step1_sql("term")} AS term FROM {p}sp),

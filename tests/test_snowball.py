@@ -143,7 +143,7 @@ def _sql_stem(words: list[str], ctes_fn) -> list[str]:
     )
     frag = ctes_fn("src", "out_cte", "x_")
     rows = con.execute(
-        f"WITH {frag.strip()} SELECT term FROM out_cte ORDER BY doc_id"
+        f"WITH RECURSIVE {frag.strip()} SELECT term FROM out_cte ORDER BY doc_id"
     ).fetchall()
     return [r[0] for r in rows]
 

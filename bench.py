@@ -190,17 +190,35 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
     reader.postings.count()
     reader.dictionary.count()
     reader.ordinal_map.count()  # warm (reference keeps readers open)
-    s = Searcher(reader)
+    # *_flat cases keep round-over-round comparability of the pure-Catalyst
+    # plans: plan cache OFF + mode="flat" (the Searcher's defaults would
+    # memoize compiled plans and auto-route matches through WAND).
+    s = Searcher(reader, plan_cache=False)
+    # served cases measure what a user gets from the default Searcher:
+    # auto routing (search-head WAND / driver RRF) + compiled-plan cache
+    s_auto = Searcher(reader)
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     qv = emb.limit(1).collect()[0]["embedding"]
 
     def flat(q, **kw):
-        return lambda: s.search(q, **kw).collect()
+        return lambda: s.search(q, mode="flat", **kw).collect()
 
+    rrf_dsl = {
+        "rrf": {
+            "retrieve": [
+                {"match": {"text": "spark join"}},
+                {"match": {"text": "window agg"}},
+            ],
+            "rank_window_size": 100,
+        }
+    }
     cases = {
         "match_or_flat": flat(MatchQuery("text", "spark join window group")),
         "match_and_flat": flat(MatchQuery("text", "spark join window", "and")),
         "match_highdf_flat": flat(MatchQuery("text", "the data stream table")),
+        "match_served": lambda: s_auto.search(
+            MatchQuery("text", "spark join window group"), size=10
+        ).collect(),
         "wand_topk": lambda: wand_topk(reader, "text", "spark join window group", 10).collect(),
         "wand_highdf": lambda: wand_topk(reader, "text", "the data stream table", 10).collect(),
         "bool_query": flat(
@@ -216,7 +234,12 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
         "facet_term": lambda: term_agg(
             s.score(MatchQuery("text", "spark")), reader.docs, "lang", 5
         ).collect(),
-        "rrf_fusion": lambda: rrf_fuse(
+        # the engine's rrf serving path (search-head fused kernel since r4;
+        # BENCH.md r4 §1 records the path change)
+        "rrf_fusion": lambda: s_auto.search(rrf_dsl, size=10).collect(),
+        # r2/r3-comparable on-cluster fusion of two separately-compiled
+        # score frames
+        "rrf_fusion_flat": lambda: rrf_fuse(
             [s.score(MatchQuery("text", "spark join")), s.score(MatchQuery("text", "window agg"))],
             size=10,
             window=100,

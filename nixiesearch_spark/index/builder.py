@@ -931,6 +931,56 @@ class IndexReader:
             self._ordmap = self.docs.select("shard", "ordinal", "docid")
         return self._ordmap
 
+    # ---------- search-head local reads (zero Spark jobs) ----------
+    #
+    # The serving floor on a warm index is Catalyst plan compile, not
+    # execution (BENCH.md r3: ~85% of a fresh query). Point lookups into the
+    # packed/dictionary tables don't need a distributed plan at all — the
+    # search head reads the parquet files directly with pyarrow, exactly the
+    # way the reference's searcher reads its own Lucene segment files
+    # (index/Searcher.scala:115-274 operates on an open IndexReader, not a
+    # cluster job). Files are sorted by term, so parquet row-group min/max
+    # stats prune the read to a handful of pages. Falls back to the Spark
+    # path automatically when the index is not on a local filesystem (a real
+    # deployment can mount object storage or keep head-local replicas — the
+    # same deal Lucene makes with its directory abstraction).
+
+    def _local_dataset(self, table: str):
+        if not hasattr(self, "_pa_ds"):
+            self._pa_ds: dict = {}
+        if table not in self._pa_ds:
+            path = os.path.join(self.index_dir, table)
+            ds = None
+            if os.path.isdir(path):
+                try:
+                    import pyarrow.dataset as pads
+
+                    ds = pads.dataset(path, format="parquet", partitioning="hive")
+                except Exception:  # non-local fs / arrow quirk → Spark path
+                    ds = None
+            self._pa_ds[table] = ds
+        return self._pa_ds[table]
+
+    PACKED_FETCH_COLS = (
+        "shard", "term", "block_id", "block_last",
+        "doc_gaps", "tfs", "norms", "max_impact",
+    )
+
+    def fetch_packed(self, field: str, terms: list[str]) -> pd.DataFrame:
+        """The query's matched packed blocks as a pandas frame — pyarrow
+        local read (no Spark job) when possible, else one Spark toPandas."""
+        ds = self._local_dataset("packed")
+        if ds is not None:
+            import pyarrow.dataset as pads
+
+            flt = (pads.field("field") == field) & pads.field("term").isin(list(terms))
+            return ds.to_table(columns=list(self.PACKED_FETCH_COLS), filter=flt).to_pandas()
+        return (
+            self.packed.where((F.col("field") == field) & F.col("term").isin(list(terms)))
+            .select(*self.PACKED_FETCH_COLS)
+            .toPandas()
+        )
+
     def ordinal_lookup(self, pairs: list[tuple[int, int]]) -> dict:
         """Resolve (shard, ordinal) → docid driver-side, zero Spark jobs
         after a one-time pull (search-head WAND path, query/wand.py).
@@ -989,13 +1039,28 @@ class IndexReader:
             self._term_memo = {}
         need = [t for t in set(terms) if (field, t) not in self._term_memo]
         if need:
-            rows = self.dictionary.where(
-                (F.col("field") == field) & F.col("term").isin(need)
-            ).collect()
+            ds = self._local_dataset("dictionary")
+            if ds is not None:
+                # search-head read: row-group stats on the term-sorted files
+                # prune to a few pages; zero Spark jobs, zero plan compiles
+                import pyarrow.dataset as pads
+
+                pdf = ds.to_table(
+                    columns=["term", "df"],
+                    filter=(pads.field("field") == field)
+                    & pads.field("term").isin(need),
+                ).to_pandas()
+                pairs = list(zip(pdf["term"], pdf["df"]))
+            else:
+                pairs = [
+                    (r["term"], r["df"])
+                    for r in self.dictionary.where(
+                        (F.col("field") == field) & F.col("term").isin(need)
+                    ).collect()
+                ]
             dc = self.field_stats(field)["doc_count"]
             found = {
-                r["term"]: (int(r["df"]), float(lucene.term_weight(r["df"], dc)))
-                for r in rows
+                t: (int(df), float(lucene.term_weight(df, dc))) for t, df in pairs
             }
             for t in need:
                 self._term_memo[(field, t)] = found.get(t)

@@ -43,20 +43,35 @@ SCORE_SCHEMA = "docid long, score float"
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader, mapping=None, embedder=None):
+    def __init__(
+        self, reader: IndexReader, mapping=None, embedder=None, plan_cache: bool = True
+    ):
         """``mapping``: optional IndexMapping enforcing per-field capability
         flags — filter/sort/facet/search violations become user errors at
         query time, matching the reference (RetrieveQuery.scala:117-119,
         Predicate.scala:132-133). ``embedder``: callable
         ``(text, model) -> list[float]`` used by ``semantic`` queries;
         defaults to the deterministic feature-hash embedder
-        (nixiesearch_spark.embed) — the ONNX plug point."""
+        (nixiesearch_spark.embed) — the ONNX plug point.
+
+        ``plan_cache``: memoize the lazy result DataFrame per structurally
+        identical request (query + filters + size + fields + sort + index
+        version). A PySpark DataFrame's QueryExecution compiles its
+        analyzed/optimized/physical plans ONCE, so a repeated query skips
+        Catalyst entirely and pays only execution — the prepared-statement
+        analog (BENCH.md r3: ~85% of a warm-index query was plan compile).
+        Plans are lazy, so this caches COMPILATION, never results; keys
+        include the index seqnum + tombstone mtime, so any index mutation
+        invalidates. Search-head (driver-mode) responses are materialized
+        local relations and are deliberately NOT cached."""
         self.reader = reader
         self.mapping = mapping
         self.embedder = embedder
         self.spark: SparkSession = reader.spark
         self._cache_df = {}  # field -> broadcastable norm-cache DataFrame
         self._persisted: list[DataFrame] = []  # searcher-lifetime cached frames
+        self._plan_cache_on = plan_cache
+        self._plan_cache: dict = {}
         # quantized mode scores are float32 (Lucene parity); unquantized mode
         # keeps full double precision (SQL-oracle parity)
         self._stype = "float" if reader.quantize else "double"
@@ -83,6 +98,37 @@ class Searcher:
             df.unpersist(blocking=False)
         self._persisted.clear()
 
+    # ---------- plan cache ----------
+
+    PLAN_CACHE_MAX = 256
+
+    def _index_version(self) -> tuple:
+        """Cache-invalidation token: stats seqnum + tombstone-dir mtime (a
+        delete between queries must evict every cached plan)."""
+        import os as _os
+
+        try:
+            tmt = _os.path.getmtime(_os.path.join(self.reader.index_dir, "tombstones"))
+        except OSError:
+            tmt = 0.0
+        return (self.reader.stats.get("seqnum"), tmt)
+
+    def _plan_key(self, *parts) -> tuple:
+        import json as _json
+
+        def canon(x):
+            if isinstance(x, dict):
+                return _json.dumps(x, sort_keys=True, default=repr)
+            return repr(x)
+
+        return tuple(canon(p) for p in parts) + (self._index_version(),)
+
+    def _cache_plan(self, key: tuple, df: DataFrame) -> DataFrame:
+        if key not in self._plan_cache and len(self._plan_cache) >= self.PLAN_CACHE_MAX:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = df
+        return df
+
     # ---------- public API ----------
 
     def search(
@@ -92,35 +138,91 @@ class Searcher:
         size: int = 10,
         fields: list[str] | None = None,
         sort: list | None = None,
+        mode: str = "auto",
     ) -> DataFrame:
         """Top-``size`` hits. ``sort``: list of (field, asc|desc, first|last)
         replacing score order (reference RetrieveQuery.scala:82-87);
-        ``fields``: stored columns to fetch (default [docid, score])."""
+        ``fields``: stored columns to fetch (default [docid, score]).
+
+        ``mode``: physical strategy. "auto" (default) routes score-ordered
+        match queries on a fresh quantized packed index through the WAND
+        serving path (query/wand.py — search-head driver mode for small
+        block volumes, distributed block-max pruning otherwise; results are
+        bit-identical to the flat plan, tests/test_wand.py), and all-match
+        RRF queries through the search-head fused kernel. "flat" forces the
+        pure-Catalyst plan everywhere."""
         if isinstance(query, dict) or query is None:
             query = ast.parse_query(query)
+        key = None
+        if self._plan_cache_on:
+            key = self._plan_key("search", query, filters, size, fields, sort, mode)
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                return hit
+        df, cacheable = self._search_impl(query, filters, size, fields, sort, mode)
+        if key is not None and cacheable:
+            self._cache_plan(key, df)
+        return df
+
+    def _search_impl(
+        self,
+        query: ast.Query,
+        filters: dict | None,
+        size: int,
+        fields: list[str] | None,
+        sort: list | None,
+        mode: str,
+    ) -> tuple[DataFrame, bool]:
         if isinstance(query, ast.RRFQuery):
             # rerank query: fuse per-branch top-windows; sorting is rejected
             # (reference Searcher.scala:119)
             if sort:
                 raise ValueError("sorting is not supported for rrf queries")
-            fused = self._rrf(query, filters, size)
+            fused, cacheable = self._rrf(query, filters, size, mode)
             if fields:
-                return self.fetch(fused, fields)
-            return fused
+                return self.fetch(fused, fields), cacheable
+            return fused, cacheable
         if self.mapping is not None and sort:
             for item in sort:
                 if item[0] not in ("_score", "_doc"):
                     self.mapping.require(item[0], "sort")
+        if mode == "auto" and sort is None and self._wand_routable(query):
+            topk = self._wand_search(query, filters, size)
+            if fields:
+                return self.fetch(topk, fields), False
+            return topk, False  # may be a materialized search-head relation
         scored = self.score(query, filters)
         if sort:
             topk = self._sorted_topk(scored, sort, size)
             if fields:
-                return self.fetch(topk, fields)
-            return topk.drop("_rank")
+                return self.fetch(topk, fields), True
+            return topk.drop("_rank"), True
         topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(size)
         if fields:
-            return self.fetch(topk, fields)
-        return topk
+            return self.fetch(topk, fields), True
+        return topk, True
+
+    def _wand_routable(self, query: ast.Query) -> bool:
+        from nixiesearch_spark.query.wand import packed_ready
+
+        return isinstance(query, ast.MatchQuery) and packed_ready(self.reader)
+
+    def _wand_search(self, q: ast.MatchQuery, filters: dict | None, size: int) -> DataFrame:
+        """Score-ordered match top-k via the packed/WAND serving path —
+        bit-identical to the flat plan (same float32 chain, same tie rules;
+        filters and tombstones ride inside the pruned search)."""
+        from nixiesearch_spark.query.wand import wand_topk
+
+        if self.mapping is not None:
+            self.mapping.require(q.field, "search")
+            if filters is not None:
+                from nixiesearch_spark.query.filters import collect_filter_fields
+
+                for f in collect_filter_fields(filters):
+                    self.mapping.require(f, "filter")
+        return wand_topk(
+            self.reader, q.field, q.query, k=size, operator=q.operator, filters=filters
+        )
 
     def fetch(self, topk: DataFrame, fields: list[str]) -> DataFrame:
         """Doc-fetch join: tiny top-k frame broadcast against the docs table
@@ -137,7 +239,21 @@ class Searcher:
     def score(self, query: ast.Query, filters: dict | None = None) -> DataFrame:
         """Full match-set scores (docid, float score) — facets and sorts run
         over this, mirroring the reference's FacetsCollector running beside
-        the top-k collector (RetrieveQuery.scala:88-90)."""
+        the top-k collector (RetrieveQuery.scala:88-90). Plans memoize per
+        (query, filters, index version) like search() — score frames are
+        always lazy, so this is pure compile caching."""
+        key = None
+        if self._plan_cache_on:
+            key = self._plan_key("score", query, filters)
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                return hit
+        df = self._score_impl(query, filters)
+        if key is not None:
+            self._cache_plan(key, df)
+        return df
+
+    def _score_impl(self, query: ast.Query, filters: dict | None = None) -> DataFrame:
         if isinstance(query, ast.RRFQuery):
             raise ValueError("rrf is a top-level rerank query — use search()")
         if isinstance(query, ast.SemanticQuery):
@@ -169,13 +285,19 @@ class Searcher:
             scored = scored.join(keep, "docid", "left_semi")
         return scored
 
-    def _rrf(self, q: ast.RRFQuery, filters: dict | None, size: int) -> DataFrame:
+    def _rrf(
+        self, q: ast.RRFQuery, filters: dict | None, size: int, mode: str = "auto"
+    ) -> tuple[DataFrame, bool]:
         """RRF fusion over retrieve branches (reference RRFQuery.topDocs):
         each branch retrieves its top ``rank_window_size`` (default = size)
         WITH the request filters, then ranks fuse as Σ 1/(k + rank). One
         branch passes through with raw scores (combine's head::Nil case).
-        All-match branches with no filters take the single-scan fused path
-        (rrf_fuse_matches: one postings scan feeds every branch)."""
+        All-match branches with no filters take the search-head driver
+        kernel on a fresh quantized packed index (rrf_topk_driver — zero
+        Catalyst compiles), else the single-scan fused path
+        (rrf_fuse_matches: one postings scan feeds every branch). Returns
+        (frame, plan-cacheable) — driver results are materialized and not
+        plan-cached."""
         from nixiesearch_spark.query.rrf import rrf_fuse, rrf_fuse_matches
 
         if not q.retrieve:
@@ -186,20 +308,32 @@ class Searcher:
                 self.score(q.retrieve[0], filters)
                 .orderBy(F.desc("score"), F.asc("docid"))
                 .limit(size)
-            )
+            ), True
         if (
             filters is None
             and self.reader.tombstones is None
             and all(isinstance(s, ast.MatchQuery) for s in q.retrieve)
         ):
             if self.mapping is not None:
-                # the fused fast path must enforce the same field contract
-                # as the per-branch score() route it replaces
+                # the fast paths must enforce the same field contract as the
+                # per-branch score() route they replace
                 for m in q.retrieve:
                     self._validate_query(m)
-            return rrf_fuse_matches(self, q.retrieve, size=size, window=window, k=q.k)
+            from nixiesearch_spark.query.wand import packed_ready, rrf_topk_driver
+
+            if mode == "auto" and packed_ready(self.reader):
+                return (
+                    rrf_topk_driver(
+                        self.reader, q.retrieve, size=size, window=window, rrf_k=q.k
+                    ),
+                    False,
+                )
+            return (
+                rrf_fuse_matches(self, q.retrieve, size=size, window=window, k=q.k),
+                True,
+            )
         branches = [self.score(s, filters) for s in q.retrieve]
-        return rrf_fuse(branches, size=size, window=window, k=q.k)
+        return rrf_fuse(branches, size=size, window=window, k=q.k), True
 
     def _embed_semantic(self, q: ast.SemanticQuery) -> ast.KnnQuery:
         if self.embedder is not None:

@@ -237,6 +237,43 @@ def _shard_topk(
     )
 
 
+def packed_ready(reader: IndexReader) -> bool:
+    """True when the packed/WAND serving path is usable: quantized index,
+    packed table present and not stale vs the flat postings (appends since
+    the last pack make WAND silently miss docs — the staleness guard)."""
+    if not reader.quantize:
+        return False
+    import os
+
+    if not os.path.isdir(os.path.join(reader.index_dir, "packed")):
+        return False
+    if "packed_seqnum" in reader.stats:  # absent = legacy stats (always packed)
+        ps = reader.stats["packed_seqnum"]
+        if ps is None or ps != reader.stats.get("seqnum"):
+            return False
+    return True
+
+
+def _resolve_pairs(reader: IndexReader, cand: pd.DataFrame) -> dict:
+    """(shard, ordinal) → docid for a candidate frame. Driver LUT when the
+    corpus fits (zero jobs after warmup); above that, pushed point-lookup
+    predicates against the ordinal map (parquet row-group pruned)."""
+    pairs = [(int(s), int(o)) for s, o in zip(cand["shard"], cand["ordinal"])]
+    omap = reader.ordinal_lookup(pairs)
+    if omap is None:  # corpus too big for the driver-side map — SQL lookup
+        pred = None
+        for s, g in cand.groupby("shard", sort=False):
+            p = (F.col("shard") == int(s)) & F.col("ordinal").isin(
+                [int(x) for x in g["ordinal"]]
+            )
+            pred = p if pred is None else (pred | p)
+        omap = {
+            (int(r["shard"]), int(r["ordinal"])): int(r["docid"])
+            for r in reader.ordinal_map.where(pred).collect()
+        }
+    return omap
+
+
 def _wand_topk_driver(
     reader: IndexReader,
     field: str,
@@ -249,19 +286,15 @@ def _wand_topk_driver(
     n_required: int,
     bound_scale: float,
 ) -> DataFrame:
-    """Search-head WAND: one job collects the query's matched blocks from
-    the cached packed scan, the per-shard numpy kernel runs in-process, and
-    a second tiny job resolves only the global top-k(+ties) ordinals. Same
-    kernel, same tie semantics → bit-identical to the distributed plan."""
+    """Search-head WAND: the query's matched blocks come from a direct
+    pyarrow read of the packed parquet (row-group pruned on the sorted term
+    column — zero Spark jobs, zero plan compiles; IndexReader.fetch_packed
+    falls back to one Spark toPandas on non-local storage), the per-shard
+    numpy kernel runs in-process, and the ordinal→docid resolve hits the
+    driver LUT. Same kernel, same tie semantics → bit-identical to the
+    distributed plan."""
     spark = reader.spark
-    pdf = (
-        reader.packed.where((F.col("field") == field) & F.col("term").isin(present))
-        .select(
-            "shard", "term", "block_id", "block_last",
-            "doc_gaps", "tfs", "norms", "max_impact",
-        )
-        .toPandas()
-    )
+    pdf = reader.fetch_packed(field, present)
     if pdf.empty:
         return spark.createDataFrame([], FINAL_SCHEMA)
     parts = [
@@ -277,19 +310,7 @@ def _wand_topk_driver(
     # those keeps the ordinal_map filter to a handful of literals
     theta = np.sort(scores)[::-1][min(k, len(scores)) - 1]
     cand = cand[scores >= theta]
-    pairs = [(int(s), int(o)) for s, o in zip(cand["shard"], cand["ordinal"])]
-    omap = reader.ordinal_lookup(pairs)
-    if omap is None:  # corpus too big for the driver-side map — SQL lookup
-        pred = None
-        for s, g in cand.groupby("shard", sort=False):
-            p = (F.col("shard") == int(s)) & F.col("ordinal").isin(
-                [int(x) for x in g["ordinal"]]
-            )
-            pred = p if pred is None else (pred | p)
-        omap = {
-            (int(r["shard"]), int(r["ordinal"])): int(r["docid"])
-            for r in reader.ordinal_map.where(pred).collect()
-        }
+    omap = _resolve_pairs(reader, cand)
     rows = sorted(
         (
             (omap[(int(s), int(o))], float(v))
@@ -306,6 +327,114 @@ def _wand_topk_driver(
         }
     )
     return spark.createDataFrame(out, FINAL_SCHEMA)
+
+
+def _match_plan(reader: IndexReader, field: str, text: str, operator: str = "or"):
+    """Resolve a match query's terms/weights/bounds against the dictionary
+    (driver-side, zero jobs on a local index). None = provably-empty query
+    (no known terms, or an AND with a missing term)."""
+    terms = analyzer_py(reader.field_analyzer(field))(text)
+    mult = Counter(terms)
+    tstats = reader.term_stats(field, list(mult))
+    present = [t for t in mult if t in tstats]
+    if not present or (operator == "and" and len(present) < len(mult)):
+        return None
+    avgdl_now = float(reader.field_stats(field)["avgdl"])
+    pack_avgdl = (reader.stats.get("pack_avgdl") or {}).get(field)
+    return {
+        "field": field,
+        "present": present,
+        "dfs": {t: int(tstats[t][0]) for t in present},
+        "weights": {t: tstats[t][1] for t in present},
+        "mults": {t: int(mult[t]) for t in present},
+        "n_required": len(present) if operator == "and" else 0,
+        # see wand_topk: exact scoring uses avgdl_now; stored block bounds
+        # were computed at pack_avgdl and stay sound scaled by the ratio
+        "cache": lucene.norm_cache(np.float32(avgdl_now)),
+        "bound_scale": max(1.0, avgdl_now / float(pack_avgdl)) if pack_avgdl else 1.0,
+    }
+
+
+def rrf_topk_driver(
+    reader: IndexReader,
+    branches: list,
+    size: int = 10,
+    window: int = 100,
+    rrf_k: float = 60.0,
+    n_stripes: int = 32,
+) -> DataFrame:
+    """Search-head RRF over match branches (the rrf_fuse semantics of
+    query/rrf.py executed entirely on the driver): each branch's top-window
+    comes from the same WAND numpy kernel (bit-identical branch scores),
+    ranks fuse as Σ 1/(rrf_k + rank) in float64 with the docid-asc tiebreak
+    at every cut, and the fused top-``size`` returns as an Arrow
+    LocalRelation. Zero Catalyst compiles — this is the serving answer to
+    the two-branch plan-compile floor (BENCH.md r3 §1).
+
+    ``branches``: ast.MatchQuery objects or (field, text, operator) tuples.
+    Dead branches drop out exactly like rrf_fuse_matches' ``live`` filter;
+    results match the on-cluster fused path (tests/test_wand.py parity).
+    Requires ``packed_ready(reader)`` — callers route elsewhere when stale.
+    """
+    spark = reader.spark
+    plans = []
+    for m in branches:
+        field, text, op = (
+            (m.field, m.query, m.operator) if hasattr(m, "field") else m
+        )
+        plans.append(_match_plan(reader, field, text, op))
+    live = [p for p in plans if p is not None]
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not live:
+        return empty
+    by_field: dict[str, set] = {}
+    for p in live:
+        by_field.setdefault(p["field"], set()).update(p["present"])
+    fetched = {f: reader.fetch_packed(f, sorted(ts)) for f, ts in by_field.items()}
+    branch_cands = []
+    for p in live:
+        pdf = fetched[p["field"]]
+        pdf = pdf[pdf["term"].isin(p["present"])]
+        if pdf.empty:
+            branch_cands.append(None)
+            continue
+        parts = [
+            _shard_topk(
+                g, p["weights"], p["mults"], p["cache"], window, n_stripes,
+                p["n_required"], None, None, p["bound_scale"],
+            )
+            for _, g in pdf.groupby("shard", sort=False)
+        ]
+        cand = pd.concat(parts, ignore_index=True)
+        branch_cands.append(cand if len(cand) else None)
+    present_cands = [c for c in branch_cands if c is not None]
+    if not present_cands:
+        return empty
+    cat = pd.concat(present_cands, ignore_index=True)
+    omap = _resolve_pairs(reader, cat.drop_duplicates(["shard", "ordinal"]))
+    fused: dict[int, float] = {}
+    for c in branch_cands:
+        if c is None:
+            continue
+        docids = np.array(
+            [omap[(int(s), int(o))] for s, o in zip(c["shard"], c["ordinal"])],
+            dtype=np.int64,
+        )
+        scores = c["score"].to_numpy()
+        # branch rank = position under (score desc, docid asc) — the same
+        # total order rrf_fuse's orderBy().limit(window) applies
+        order = np.lexsort((docids, -scores.astype(np.float64)))[:window]
+        for rank, idx in enumerate(order):
+            d = int(docids[idx])
+            fused[d] = fused.get(d, 0.0) + 1.0 / (float(rrf_k) + rank)
+    rows = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:size]
+    out = pd.DataFrame(
+        {
+            "docid": np.array([d for d, _ in rows], dtype=np.int64),
+            "score": np.array([v for _, v in rows], dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(out, "docid long, score double")
 
 
 def wand_topk(
@@ -353,31 +482,21 @@ def wand_topk(
                 "packed table is stale (appends since last pack) — run merge()/"
                 "compact() or finalize(pack=True); the flat Searcher path is fresh"
             )
-    terms = analyzer_py(reader.field_analyzer(field))(text)
     spark = reader.spark
-    if not terms:
+    # _match_plan resolves terms/weights and the avgdl-drift bound_scale
+    # (incremental packs keep block max_impact bounds computed at the avgdl
+    # of the last FULL pack; BM25 contrib is increasing in avgdl and for
+    # a ≤ a' the ratio contrib(a')/contrib(a) ≤ a'/a, so scaling stored
+    # bounds by max(1, avgdl_now/pack_avgdl) keeps them sound upper bounds
+    # under drift; exact scoring always uses avgdl_now, so results stay
+    # bit-identical to the flat path — drift only costs pruning power).
+    plan = _match_plan(reader, field, text, operator)
+    if plan is None:
         return spark.createDataFrame([], FINAL_SCHEMA)
-    mult = Counter(terms)
-    tstats = reader.term_stats(field, list(mult))
-    present = [t for t in mult if t in tstats]
-    if not present or (operator == "and" and len(present) < len(mult)):
-        return spark.createDataFrame([], FINAL_SCHEMA)
-    n_required = len(present) if operator == "and" else 0
-    weights = {t: tstats[t][1] for t in present}
-    mults = {t: int(mult[t]) for t in present}
-    avgdl_now = float(reader.field_stats(field)["avgdl"])
-    cache = lucene.norm_cache(np.float32(avgdl_now))
-    # Incremental packs keep block max_impact bounds computed at the avgdl
-    # of the last FULL pack (stats.pack_avgdl). BM25 contrib = w·tf/(tf +
-    # 0.3 + 0.9·dl/avgdl) is increasing in avgdl, and for a ≤ a' the ratio
-    # contrib(a')/contrib(a) ≤ a'/a — so scaling stored bounds by
-    # max(1, avgdl_now/pack_avgdl) keeps them sound upper bounds under
-    # drift; exact scoring below always uses avgdl_now, so results stay
-    # bit-identical to the flat path (drift only costs pruning power).
-    pack_avgdl = (reader.stats.get("pack_avgdl") or {}).get(field)
-    bound_scale = (
-        max(1.0, avgdl_now / float(pack_avgdl)) if pack_avgdl else 1.0
-    )
+    present = plan["present"]
+    n_required = plan["n_required"]
+    weights, mults = plan["weights"], plan["mults"]
+    cache, bound_scale = plan["cache"], plan["bound_scale"]
 
     # resolve filters/tombstones to per-shard ordinal sets (docs rows carry
     # shard + ordinal — a column projection, no join); "allow" mode when a
@@ -404,7 +523,7 @@ def wand_topk(
     # exact block count upper bound from dictionary df: ceil(df/bs) + one
     # boundary block per (term, shard, ordinal sub-group) — known driver-side
     # with zero jobs
-    est_blocks = sum(tstats[t][0] // bs + 1 + nsh_est for t in present)
+    est_blocks = sum(plan["dfs"][t] // bs + 1 + nsh_est for t in present)
     # filters/tombstones always take the distributed plan (their ordinal
     # sets belong on the cluster) — an explicit mode="driver" is a physical
     # HINT, never a license to drop the masks

@@ -50,9 +50,12 @@ def test_wand_equals_oracle(built, text, k, mode):
 
 
 def test_wand_equals_flat_path(built):
+    # mode="flat" pins the pure-Catalyst plan — Searcher auto-routes match
+    # queries on packed indexes through WAND, which would make this parity
+    # check compare WAND with itself
     reader, _ = built
     s = Searcher(reader)
-    flat = s.search(MatchQuery("content", "def import return"), size=20).collect()
+    flat = s.search(MatchQuery("content", "def import return"), size=20, mode="flat").collect()
     wand = wand_topk(reader, "content", "def import return", k=20).collect()
     assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
         (r["docid"], np.float32(r["score"])) for r in wand
@@ -99,7 +102,7 @@ def test_pack_subsplit_ubiquitous_term(spark, tmp_path):
         assert r["blocks"] > r["postings"] // 32  # sub-groups actually split
         assert r["maxn"] <= 8  # block size still respected
     s = Searcher(reader)
-    flat = s.search(MatchQuery("content", "common rare_zz word3"), size=30).collect()
+    flat = s.search(MatchQuery("content", "common rare_zz word3"), size=30, mode="flat").collect()
     wand = wand_topk(reader, "content", "common rare_zz word3", k=30).collect()
     assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
         (r["docid"], np.float32(r["score"])) for r in wand
@@ -126,7 +129,7 @@ def test_wand_filtered_equals_flat(built):
     )[0]
     flt = {"term": {"lang": lang}}
     for text in ("def import return", "def the a for while int string"):
-        flat = s.search(MatchQuery("content", text), filters=flt, size=15).collect()
+        flat = s.search(MatchQuery("content", text), filters=flt, size=15, mode="flat").collect()
         wand = wand_topk(reader, "content", text, k=15, filters=flt).collect()
         assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
             (r["docid"], np.float32(r["score"])) for r in wand
@@ -144,7 +147,8 @@ def test_wand_filtered_and_mode(built):
         {"term": {"lang": lang}},  # selective
     ):
         flat = s.search(
-            MatchQuery("content", "def import", operator="and"), filters=flt, size=10
+            MatchQuery("content", "def import", operator="and"), filters=flt, size=10,
+            mode="flat",
         ).collect()
         wand = wand_topk(
             reader, "content", "def import", k=10, operator="and", filters=flt
@@ -178,7 +182,7 @@ def test_wand_tombstones_ban_and_allow(built, spark, tmp_path):
     ).write.mode("append").parquet(d + "/tombstones")
     r2 = IndexReader(spark, d)
     s2 = Searcher(r2)
-    flat = s2.search(MatchQuery("content", text), size=10).collect()
+    flat = s2.search(MatchQuery("content", text), size=10, mode="flat").collect()
     wand = wand_topk(r2, "content", text, k=10).collect()
     assert [(r["docid"], np.float32(r["score"])) for r in flat] == [
         (r["docid"], np.float32(r["score"])) for r in wand
@@ -186,7 +190,7 @@ def test_wand_tombstones_ban_and_allow(built, spark, tmp_path):
     assert not (set(dead) & {r["docid"] for r in wand})
     lang = sorted(r["lang"] for r in r2.docs.select("lang").distinct().collect())[0]
     flt = {"term": {"lang": lang}}
-    flatf = s2.search(MatchQuery("content", text), filters=flt, size=10).collect()
+    flatf = s2.search(MatchQuery("content", text), filters=flt, size=10, mode="flat").collect()
     wandf = wand_topk(r2, "content", text, k=10, filters=flt).collect()
     assert [(r["docid"], np.float32(r["score"])) for r in flatf] == [
         (r["docid"], np.float32(r["score"])) for r in wandf

@@ -579,6 +579,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score").cast("double"), 6).alias("score"),
         )
 
+    def _ivf_dsl_searcher(spark, sf):
+        # a SEPARATE Searcher over the knn reader with an attached IVF index
+        # (attaching on the shared _knn_searcher would reroute the exact-path
+        # entries): deterministic centroids → ivf_build table partitioned by
+        # bucket → Searcher.attach_ann, so DSL knn probes only n_probe bucket
+        # partitions (PartitionFilters) instead of scanning the corpus
+        import numpy as np
+
+        base = _knn_searcher(spark, sf)
+        key = (sf, "ivf_dsl_searcher")
+        if key not in _CACHE:
+            rows = sorted(
+                _emb(spark, sf).where(F.col("vec_id") != 0).select("vec_id", "embedding").collect(),
+                key=lambda r: r["vec_id"],
+            )
+            mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+            cents = similarity.kmeans_centroids(mat, k=16, iters=8, seed=42)
+            d = tempfile.mkdtemp(prefix="nsentry_ivfdsl_")
+            similarity.ivf_build(
+                base.reader.docs.select("docid", "embedding"), "docid", "embedding", cents, d
+            )
+            s2 = Searcher(base.reader)
+            s2.attach_ann("embedding", d, cents, n_probe=4)
+            _CACHE[key] = s2
+        return _CACHE[key]
+
+    def q_knn_ivf_dsl(spark, sf):
+        # DSL knn served from the attached IVF index (VERDICT r3 #2): probed
+        # bucket partitions only + exact rerank; the lang filter applies as
+        # a PRE-filter within the probed candidate set. Oracle = exact scan
+        # restricted to the same probed buckets.
+        s = _ivf_dsl_searcher(spark, sf)
+        qv = _query_vec(spark, sf)
+        out = s.search(
+            {"knn": {"field": "embedding", "query_vector": qv, "k": 10, "num_candidates": 10}},
+            filters={"term": {"lang": "en"}},
+            size=10,
+        )
+        return _as_docid(out, 6)
+
+    def q_hybrid_rrf_ivf(spark, sf):
+        # hybrid rrf with the VECTOR branch on the indexed (IVF-probed) path
+        # — the scale form of hybrid_rrf: lexical match ∥ ANN knn
+        s = _ivf_dsl_searcher(spark, sf)
+        qv = _query_vec(spark, sf)
+        out = s.search(
+            {
+                "rrf": {
+                    "retrieve": [
+                        {"match": {"text": "spark join window"}},
+                        {
+                            "knn": {
+                                "field": "embedding",
+                                "query_vector": qv,
+                                "k": 50,
+                                "num_candidates": 50,
+                            }
+                        },
+                    ],
+                    "rank_window_size": 50,
+                }
+            },
+            size=10,
+        )
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+
     def q_knn_nested_dsl(spark, sf):
         # nested knn via DSL: array<array<double>> stored field scores
         # max-over-children per parent (DiversifyingChildren analog,
@@ -692,8 +761,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_knn": q_semantic_knn,
         "knn_parent_block": q_knn_parent_block,
         "knn_query_dsl": q_knn_dsl,
+        "knn_ivf_dsl": q_knn_ivf_dsl,
         "knn_nested_dsl": q_knn_nested_dsl,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1386,6 +1457,57 @@ ORDER BY f.score DESC, doc_id ASC
 LIMIT 10
 """
 
+    # DSL-route IVF oracles: exact cosine scan RESTRICTED to the engine's
+    # probed buckets (centroids/probes are deterministic → SQL literals)
+    _dsl_parts = _ivf_dsl_parts(k_centroids=16, n_probe=4)
+    if _dsl_parts is not None:
+        _crows, _probes = _dsl_parts
+        sql["knn_ivf_dsl"] = f"""
+WITH ct(cid, cvec, half) AS (VALUES
+    {_crows}
+),{_IVF_ASG_CTES},
+sc AS (
+  SELECT v.doc_id,
+         (1 + list_dot_product(v.emb, q.qemb)
+              / (sqrt(list_dot_product(v.emb, v.emb))
+                 * sqrt(list_dot_product(q.qemb, q.qemb)))) / 2 AS s
+  FROM v JOIN asg USING(doc_id), q
+  WHERE asg.bucket IN ({_probes}) AND v.lang = 'en'
+)
+SELECT doc_id, round(s, 6) AS score
+FROM sc ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+        sql["hybrid_rrf_ivf"] = f"""
+WITH {_bm25_full(["spark", "join", "window"])},
+ct(cid, cvec, half) AS (VALUES
+    {_crows}
+),{_IVF_ASG_CTES},
+ks0 AS (
+  SELECT v.doc_id,
+         (1 + list_dot_product(v.emb, q.qemb)
+              / (sqrt(list_dot_product(v.emb, v.emb))
+                 * sqrt(list_dot_product(q.qemb, q.qemb)))) / 2 AS s
+  FROM v JOIN asg USING(doc_id), q
+  WHERE asg.bucket IN ({_probes})
+),
+-- the engine's _score_knn_ann truncates to final_k=50 before the rrf window
+ks AS (SELECT doc_id, s FROM ks0 ORDER BY s DESC, doc_id ASC LIMIT 50),
+b1 AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sc.score DESC, doc_id ASC) - 1 AS rnk FROM sc
+  ) WHERE rnk < 50
+),
+b2 AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) - 1 AS rnk FROM ks
+  ) WHERE rnk < 50
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+f AS (SELECT doc_id, sum(1.0 / (60.0 + rnk)) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM f ORDER BY f.score DESC, doc_id ASC LIMIT 10
+"""
+
     # multimodal stub features: f_i = float32(sha256_byte_i / 255) — the
     # FLOAT-typed division reproduces numpy's float32 rounding bit-for-bit
     feats = ",\n  ".join(
@@ -1628,6 +1750,64 @@ WHERE round(list_dot_product(va.emb, vb.emb)
       / (sqrt(list_dot_product(va.emb, va.emb)) * sqrt(list_dot_product(vb.emb, vb.emb))), 6)
       >= {threshold}  -- Spark side thresholds the ROUNDED cosine; mirror it
 """
+
+
+def _ivf_dsl_parts(k_centroids: int = 16, n_probe: int = 4):
+    """(centroid VALUES rows, probe id list) for the DSL-route IVF oracles —
+    the same deterministic numpy k-means the Spark entries train (seed 42,
+    training set = sf0.01 embeddings vec_id<>0 sorted by vec_id), probes by
+    the same argmax metric (similarity.ivf_probes). None when the testdata
+    isn't present."""
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from nixiesearch_spark.pipeline.similarity import ivf_probes, kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}') "
+        "WHERE vec_id <> 0 ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = kmeans_centroids(mat, k_centroids, iters=8, seed=42)
+    q = np.array(
+        con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchall()[0][0],
+        dtype=np.float64,
+    )
+    probes = ",".join(str(p) for p in ivf_probes([float(x) for x in q], cents, n_probe))
+    crows = ",\n    ".join(
+        "({i}, [{v}]::DOUBLE[], {h!r})".format(
+            i=i,
+            v=",".join(repr(float(x)) for x in cents[i]),
+            h=float(cents[i] @ cents[i] / 2.0),
+        )
+        for i in range(k_centroids)
+    )
+    return crows, probes
+
+
+# assignment + probe-restricted candidate CTEs shared by the DSL-route IVF
+# oracles; mirrors Searcher._score_knn_ann: bucket = argmax_j(v·c_j −
+# |c_j|²/2) with lowest-cid tie-break, candidates = probed buckets only
+_IVF_ASG_CTES = """
+q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
+v AS (
+  SELECT d.doc_id, d.lang, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+sc0 AS (SELECT doc_id, cid, list_dot_product(emb, cvec) - half AS s FROM v, ct),
+asg AS (
+  SELECT doc_id, cid AS bucket FROM (
+    SELECT doc_id, cid,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc0) t
+  WHERE rn = 1
+)"""
 
 
 def _ivf_sql(k_centroids: int, n_probe: int, k: int) -> str | None:

@@ -72,6 +72,7 @@ class Searcher:
         self._persisted: list[DataFrame] = []  # searcher-lifetime cached frames
         self._plan_cache_on = plan_cache
         self._plan_cache: dict = {}
+        self._ann: dict = {}  # field -> attached ANN index (attach_ann)
         # quantized mode scores are float32 (Lucene parity); unquantized mode
         # keeps full double precision (SQL-oracle parity)
         self._stype = "float" if reader.quantize else "double"
@@ -347,6 +348,84 @@ class Searcher:
             k=q.k, num_candidates=q.num_candidates,
         )
 
+    def attach_ann(self, field: str, path: str, centroids, n_probe: int = 4) -> None:
+        """Register a serving ANN index for a stored vector ``field`` — an
+        :func:`nixiesearch_spark.pipeline.similarity.ivf_build` table
+        (hive-partitioned by ``bucket``). DSL knn/semantic queries on the
+        field then scan ONLY the probed bucket partitions (directory-level
+        pruning, ``PartitionFilters`` in the scan) and exact-rerank the
+        candidates, instead of brute-force scanning the corpus — the 100×
+        scale path. The reference serves knn from Lucene's per-segment HNSW
+        graphs (KnnQuery.scala:20-88); IVF partition pruning is the
+        Spark-native equivalent trade (probe more buckets ⇔ raise
+        num_candidates ⇔ Lucene efSearch).
+
+        ``n_probe`` is the floor; a query's ``num_candidates`` raises the
+        probe count so the expected candidate pool covers it
+        (num_candidates / avg_bucket_size, capped at nlist)."""
+        import numpy as np
+
+        self._ann[field] = {
+            "path": path,
+            "centroids": np.asarray(centroids, dtype=np.float64),
+            "n_probe": int(n_probe),
+        }
+        self._plan_cache.clear()  # knn plans for this field change shape
+
+    def _score_knn_ann(self, q: ast.KnnQuery, filters: dict | None, ann: dict) -> DataFrame:
+        """IVF-indexed knn scoring: probe partitions → pre-filter semantics
+        (tombstones + request filters applied to the candidate set, so all k
+        survivors satisfy them — KnnQuery.scala:20-88 takes the filter as an
+        argument) → exact cosine rerank with the SAME float chain as the
+        brute-force path. Approximation is exactly "candidates limited to
+        probed buckets"; the oracle restricts its scan the same way."""
+        from nixiesearch_spark.pipeline.similarity import cosine_sim, ivf_probes
+
+        if not q.query_vector:
+            raise ValueError("knn query_vector must be non-empty")
+        cents = ann["centroids"]
+        nlist = len(cents)
+        doc_count = max(
+            (f.get("doc_count", 0) for f in self.reader.stats.get("fields", {}).values()),
+            default=0,
+        )
+        n_probe = ann["n_probe"]
+        if doc_count:
+            import math
+
+            # expected candidates per probe ≈ doc_count/nlist; probe enough
+            # buckets that the pool covers the query's candidate budget
+            n_probe = max(
+                n_probe, math.ceil(q.final_k * nlist / max(doc_count, 1))
+            )
+        n_probe = min(n_probe, nlist)
+        probes = ivf_probes(q.query_vector, cents, n_probe)
+        cand = self.spark.read.parquet(ann["path"]).where(
+            F.col("bucket").isin([int(p) for p in probes])
+        )
+        tombs = self.reader.tombstones
+        if tombs is not None:
+            cand = cand.join(tombs, "docid", "left_anti")
+        if filters is not None:
+            if self.mapping is not None:
+                from nixiesearch_spark.query.filters import collect_filter_fields
+
+                for f in collect_filter_fields(filters):
+                    self.mapping.require(f, "filter")
+            keep = self.reader.docs.where(compile_predicate(filters)).select("docid")
+            cand = cand.join(keep, "docid", "left_semi")
+        vec = F.col(q.field)
+        qv = F.array(*[F.lit(float(x)) for x in q.query_vector])
+        sim = F.nanvl(cosine_sim(vec, qv), F.lit(-1.0))
+        score = (F.lit(1.0) + sim) / F.lit(2.0)
+        return (
+            cand.where(vec.isNotNull())
+            .select("docid", score.cast(self._stype).alias("score"))
+            .where(F.col("score").isNotNull())
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(q.final_k)
+        )
+
     def _score_knn(self, q: ast.KnnQuery, filters: dict | None) -> DataFrame:
         """Vector top-final_k as a score frame (reference KnnQuery.compile):
         brute-force exact cosine over the stored embedding column — one scan,
@@ -359,6 +438,8 @@ class Searcher:
         pure Catalyst (array_max ∘ transform), no explode, no shuffle."""
         from nixiesearch_spark.pipeline.similarity import cosine_sim
 
+        if q.field in self._ann:
+            return self._score_knn_ann(q, filters, self._ann[q.field])
         docs = self.reader.docs
         if q.field not in docs.columns:
             raise ValueError(

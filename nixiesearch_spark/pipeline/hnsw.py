@@ -64,18 +64,31 @@ def _select_closest(cand_ids: list[int], dists: dict[int, float], m: int) -> lis
     return sorted(cand_ids, key=lambda i: (dists[i], i))[:m]
 
 
-def _build_shard_graph(
-    ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int
-) -> tuple[dict[int, list[list[int]]], dict[int, int]]:
-    """Insert-in-id-order HNSW build. vecs must be L2-normalized rows.
-    Returns (links[id][layer] adjacency, levels[id])."""
+def _graph_insert(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    links: dict[int, list[list[int]]],
+    levels: dict[int, int],
+    insert_ids,
+    m: int,
+    ef_c: int,
+) -> None:
+    """Insert ``insert_ids`` (ascending) into an existing graph state in
+    place. ``ids``/``vecs`` cover ALL nodes (existing + new, vecs
+    L2-normalized rows); ``links``/``levels`` hold the existing nodes.
+    This is the one shared insertion kernel: a full build is an insert of
+    everything into an empty state, an incremental batch continues from the
+    loaded state — the same segment-append deal Lucene's HNSW writer makes
+    (reference indexes vectors per segment incrementally,
+    index/Indexer.scala:41-101)."""
     m_l = 1.0 / np.log(m)
-    order = np.argsort(ids)
-    ids, vecs = ids[order], vecs[order]
     pos = {int(i): p for p, i in enumerate(ids)}
-    levels = {int(i): _level_for(int(i), m_l) for i in ids}
-    links: dict[int, list[list[int]]] = {}
+    # entry = lowest id at the top layer — equals the build-order entry
+    # because insertion is ascending by id (first to reach a new max level)
     entry, max_level = None, -1
+    for i, lv in levels.items():
+        if lv > max_level or (lv == max_level and (entry is None or i < entry)):
+            entry, max_level = int(i), int(lv)
 
     def dist(a: int, b: int) -> float:
         return 1.0 - float(vecs[pos[a]] @ vecs[pos[b]])
@@ -107,9 +120,11 @@ def _build_shard_graph(
                         best.pop()
         return [b for _, b in best]
 
-    for i in ids:
+    for i in insert_ids:
         i = int(i)
-        lvl = levels[i]
+        lvl = levels.get(i)
+        if lvl is None:
+            lvl = levels[i] = _level_for(i, m_l)
         links[i] = [[] for _ in range(lvl + 1)]
         if entry is None:
             entry, max_level = i, lvl
@@ -133,6 +148,18 @@ def _build_shard_graph(
             eps = cands
         if lvl > max_level:
             entry, max_level = i, lvl
+
+
+def _build_shard_graph(
+    ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int
+) -> tuple[dict[int, list[list[int]]], dict[int, int]]:
+    """Insert-in-id-order HNSW build. vecs must be L2-normalized rows.
+    Returns (links[id][layer] adjacency, levels[id])."""
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    links: dict[int, list[list[int]]] = {}
+    levels: dict[int, int] = {}
+    _graph_insert(ids, vecs, links, levels, [int(i) for i in ids], m, ef_c)
     return links, levels
 
 
@@ -180,6 +207,113 @@ def build_hnsw(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "_hnsw_meta.json"), "w") as f:
+        _json.dump(
+            {"n_shards": int(n_shards), "m": mm, "ef_construction": efc}, f
+        )
+
+
+def insert_hnsw(
+    spark, new_df: DataFrame, id_col: str, vec_col: str, graph_dir: str
+) -> list[int]:
+    """Append a batch into the existing per-shard graphs WITHOUT a full
+    rebuild (the reference appends vectors into per-segment Lucene graphs
+    incrementally, index/Indexer.scala:41-101). Only shards that receive new
+    vectors are rewritten — untouched shards' partition files stay
+    byte-identical on disk. New nodes insert in ascending-id order through
+    the same kernel the full build uses (_graph_insert), continuing from the
+    loaded graph state; ids that already exist in a graph are skipped.
+    Returns the list of rewritten shard ids."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(graph_dir, "_hnsw_meta.json")) as f:
+        meta = json.load(f)
+    nsh, mm, efc = int(meta["n_shards"]), int(meta["m"]), int(meta["ef_construction"])
+    src = new_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(nsh)).cast("int").alias("shard"),
+    )
+    touched = sorted(r[0] for r in src.select("shard").distinct().collect())
+    if not touched:
+        return []
+    graph = spark.read.parquet(graph_dir).where(F.col("shard").isin(touched))
+    old = graph.select(
+        "shard", "id", "vec", "level", "links", F.lit(0).alias("_new")
+    )
+    new = src.select(
+        "shard",
+        "id",
+        F.col("vec").cast("array<float>").alias("vec"),
+        F.lit(-1).alias("level"),
+        F.lit(None).cast("array<array<long>>").alias("links"),
+        F.lit(1).alias("_new"),
+    )
+    u = old.unionByName(new)
+
+    def upsert(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        oldp = pdf[pdf["_new"] == 0]
+        newp = pdf[pdf["_new"] == 1].drop_duplicates("id").sort_values("id")
+        old_ids = oldp["id"].to_numpy(dtype=np.int64)
+        links = {
+            int(i): [list(map(int, lk)) for lk in lks]
+            for i, lks in zip(old_ids, oldp["links"].to_list())
+        }
+        levels = {int(i): int(lv) for i, lv in zip(old_ids, oldp["level"])}
+        newp = newp[~newp["id"].isin(list(links))]
+        ins_ids = newp["id"].to_numpy(dtype=np.int64)
+        if len(newp):
+            nv = np.stack(newp["vec"].to_list()).astype(np.float64)
+            norms = np.linalg.norm(nv, axis=1)
+            norms[norms == 0] = 1.0
+            nv = nv / norms[:, None]
+        else:
+            nv = np.empty((0, 0))
+        if len(old_ids):
+            ov = np.stack(oldp["vec"].to_list()).astype(np.float64)  # stored normalized
+            all_ids = np.concatenate([old_ids, ins_ids])
+            all_vecs = np.vstack([ov, nv]) if len(newp) else ov
+        else:
+            all_ids, all_vecs = ins_ids, nv
+        _graph_insert(all_ids, all_vecs, links, levels, [int(i) for i in ins_ids], mm, efc)
+        order = np.argsort(all_ids)
+        pos = {int(i): p for p, i in enumerate(all_ids)}
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "id": all_ids[order],
+                "vec": [
+                    np.asarray(all_vecs[pos[int(i)]], dtype=np.float32)
+                    for i in all_ids[order]
+                ],
+                "level": [levels[int(i)] for i in all_ids[order]],
+                "links": [links[int(i)] for i in all_ids[order]],
+            }
+        )
+
+    tmp = graph_dir + ".inserting"
+    (
+        u.groupBy("shard")
+        .applyInPandas(upsert, schema=GRAPH_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    # swap ONLY the touched shard partition dirs; every other shard's files
+    # are untouched bytes on disk
+    for sd in os.listdir(tmp):
+        if sd.startswith("shard="):
+            dst = os.path.join(graph_dir, sd)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(os.path.join(tmp, sd), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return touched
 
 
 def hnsw_topk(

@@ -293,3 +293,48 @@ def test_hnsw_recall_and_determinism(spark, tmp_path):
     ids = [i for i, _ in hits[0]]
     recall = len(set(ids) & set(exact)) / len(exact)
     assert recall >= 0.9, (recall, ids, exact)
+
+
+def test_hnsw_incremental_insert(spark, tmp_path):
+    """insert_hnsw appends a batch into existing shard graphs: recall holds
+    vs the exact scan over the grown corpus, untouched shards' partition
+    files stay byte-identical, and inserting an already-present id is a
+    no-op for that node."""
+    import glob
+    import hashlib
+
+    from nixiesearch_spark.pipeline import hnsw, similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = e.where(F.col("vec_id") < 400)
+    d = str(tmp_path / "g")
+    hnsw.build_hnsw(base, "vec_id", "embedding", d, n_shards=4)
+
+    def shard_digest(sd):
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(f"{d}/shard={sd}/*.parquet")):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    # batch targets ONLY shard 1 (ids ≡ 1 mod 4)
+    batch = e.where((F.col("vec_id") >= 400) & (F.col("vec_id") % 4 == 1))
+    n_batch = batch.count()
+    assert n_batch > 0
+    before = {sd: shard_digest(sd) for sd in (0, 2, 3)}
+    touched = hnsw.insert_hnsw(spark, batch, "vec_id", "embedding", d)
+    assert touched == [1]
+    after = {sd: shard_digest(sd) for sd in (0, 2, 3)}
+    assert before == after  # untouched shards byte-identical
+    graph = spark.read.parquet(d)
+    grown = base.unionByName(batch)
+    assert graph.count() == grown.count()
+    qv = e.where(F.col("vec_id") == 401).first()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(grown, "vec_id", "embedding", qv, 10).collect()
+    ]
+    got = [r["id"] for r in hnsw.hnsw_topk(spark, qv, k=10, graph_dir=d).collect()]
+    assert len(set(got) & set(exact)) / len(exact) >= 0.9, (got, exact)
+    # re-inserting existing ids: node count unchanged
+    hnsw.insert_hnsw(spark, batch, "vec_id", "embedding", d)
+    assert spark.read.parquet(d).count() == grown.count()

@@ -143,3 +143,30 @@ def test_compact_rewrites_only_touched_shards(spark, tmp_path):
     )
     assert dup == 0
     _flat_vs_wand(spark, idx, "def import return")
+
+
+def test_full_build_lineage_metrics_match_posthoc_count(spark, tmp_path):
+    """Full builds derive postings_out by counting the cached aggregation
+    after the write (no exploded-stream observe); the recorded metric must
+    equal the actual per-(shard, field) postings row count."""
+    from pyspark.sql import functions as F
+
+    from nixiesearch_spark.index import IndexBuilder, IndexConfig
+
+    rows = [(i, f"alpha beta{i % 5} gamma{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(text_fields=("content",), id_col="doc_id", n_shards=4, quantize=True)
+    IndexBuilder(spark, cfg).build(df, d, resume=False)
+    lin = {
+        (r["shard"], r["field"]): r["postings_out"]
+        for r in spark.read.parquet(d + "/lineage").collect()
+    }
+    actual = {
+        (r["shard"], "content"): r["cnt"]
+        for r in spark.read.parquet(d + "/postings")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert lin == actual, (lin, actual)

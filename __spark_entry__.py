@@ -218,6 +218,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "italian"})
         return _as_docid(s.search(MatchQuery("text", "parti dati merge"), size=10))
 
+    def q_match_portuguese(spark, sf):
+        # Snowball Portuguese chain: tablas/partes/datas stem to
+        # tabl/part/dat, matching corpus docs containing table/part/data
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "portuguese"})
+        return _as_docid(s.search(MatchQuery("text", "tablas partes datas"), size=10))
+
+    def q_match_dutch(spark, sf):
+        # Snowball Dutch chain: filteren/joinen/streamen stem to
+        # filter/join/stream, matching corpus docs with those surface forms
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "dutch"})
+        return _as_docid(s.search(MatchQuery("text", "filteren joinen streamen"), size=10))
+
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
 
@@ -738,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_french": q_match_french,
         "bm25_match_spanish": q_match_spanish,
         "bm25_match_italian": q_match_italian,
+        "bm25_match_portuguese": q_match_portuguese,
+        "bm25_match_dutch": q_match_dutch,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
         "ce_rerank": q_ce_rerank,
@@ -997,6 +1011,24 @@ LIMIT 10
     it_terms = analyzer_py("italian")("parti dati merge")
     sql["bm25_match_italian"] = f"""
 WITH RECURSIVE {_bm25_full_lang(it_terms, "italian")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    pt_terms = analyzer_py("portuguese")("tablas partes datas")
+    sql["bm25_match_portuguese"] = f"""
+WITH RECURSIVE {_bm25_full_lang(pt_terms, "portuguese")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    nl_terms = analyzer_py("dutch")("filteren joinen streamen")
+    sql["bm25_match_dutch"] = f"""
+WITH RECURSIVE {_bm25_full_lang(nl_terms, "dutch")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -1591,9 +1623,11 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
     the python form the engine builds/queries with)."""
     from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_LATIN
     from nixiesearch_spark.snowball import (
+        dutch_sql_ctes,
         french_sql_ctes,
         german_sql_ctes,
         italian_sql_ctes,
+        portuguese_sql_ctes,
         spanish_sql_ctes,
     )
 
@@ -1602,6 +1636,8 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         "french": french_sql_ctes,
         "spanish": spanish_sql_ctes,
         "italian": italian_sql_ctes,
+        "portuguese": portuguese_sql_ctes,
+        "dutch": dutch_sql_ctes,
     }[lang]
     stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
     p = prefix

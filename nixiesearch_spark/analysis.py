@@ -164,6 +164,20 @@ LANG_STOPWORDS = {
         "se", "che", "chi", "cui", "non", "come", "dove", "più", "anche",
         "è", "sono", "del", "della", "dei", "delle", "al", "nel", "questo",
     ],
+    "portuguese": [
+        "o", "a", "os", "as", "um", "uma", "uns", "umas", "e", "ou",
+        "mas", "de", "do", "da", "dos", "das", "em", "no", "na", "nos",
+        "nas", "por", "para", "com", "sem", "que", "se", "não", "é",
+        "são", "ao", "aos", "à", "às", "seu", "sua", "este", "esta",
+        "isso", "ele", "ela", "eles", "elas", "como", "mais", "foi",
+    ],
+    "dutch": [
+        "de", "het", "een", "en", "of", "maar", "is", "zijn", "was",
+        "niet", "met", "van", "te", "in", "op", "aan", "voor", "naar",
+        "bij", "uit", "over", "onder", "dat", "die", "deze", "dit",
+        "er", "ook", "als", "dan", "om", "door", "naar", "hij", "zij",
+        "we", "ze", "ik", "je", "u", "hun", "haar", "hem", "wordt",
+    ],
 }
 
 
@@ -230,6 +244,18 @@ def _italian_stem(t: str) -> str:
     return italian_py(t)
 
 
+def _portuguese_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import portuguese_py
+
+    return portuguese_py(t)
+
+
+def _dutch_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import dutch_py
+
+    return dutch_py(t)
+
+
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
@@ -286,12 +312,20 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["italian"], _italian_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["italian"], _italian_stem, tokenize_latin_py),
     ),
+    "portuguese": (
+        _stem_col(LANG_STOPWORDS["portuguese"], _portuguese_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["portuguese"], _portuguese_stem, tokenize_latin_py),
+    ),
+    "dutch": (
+        _stem_col(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
+    ),
 }
 
 
 # analyzers whose column form is an Arrow pandas_udf (cannot run inside
 # F.transform lambdas — text[] fields concat items first for these)
-UDF_ANALYZERS = {"english", "german", "french", "spanish", "italian"}
+UDF_ANALYZERS = {"english", "german", "french", "spanish", "italian", "portuguese", "dutch"}
 
 
 def analyzer_col(name: str):

@@ -1,11 +1,12 @@
-"""Snowball German + French stemmers — one spec, two executable forms.
+"""Snowball stemmers (German, French, Spanish, Italian, Portuguese, Dutch)
+— one spec per language, two executable forms each.
 
-The reference maps ``language: de`` / ``language: fr`` to Lucene's
-German/French analyzers (``config/mapping/Language.scala:52-99``); their
-stemming layer is M.F. Porter's published Snowball algorithms for German and
-French (snowballstem.org — public 2001 algorithm descriptions). This module
-re-implements both from the published rule tables, the same way
-``nixiesearch_spark.stem`` does for English Porter:
+The reference maps ``language: de/fr/es/it/pt/nl`` to the corresponding
+Lucene analyzers (``config/mapping/Language.scala:52-99``); their stemming
+layer is M.F. Porter's published Snowball algorithms (snowballstem.org —
+public algorithm descriptions). This module re-implements them from the
+published rule tables, the same way ``nixiesearch_spark.stem`` does for
+English Porter:
 
 - :func:`german_py` / :func:`french_py` — pure Python, one word at a time;
   used by query-time analysis, the oracle, and (memoized over Arrow batches
@@ -1522,4 +1523,598 @@ def italian_sql_ctes(src: str, out: str, p: str = "it_") -> str:
 {p}s3 AS MATERIALIZED (SELECT doc_id, rv, {_it_step3_sql("term")} AS term FROM {p}s2),
 {p}s3b AS MATERIALIZED (SELECT doc_id, {_it_step3b_sql("term")} AS term FROM {p}s3),
 {out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s3b)
+"""
+
+
+# ---------------------------------------------------------------- portuguese
+# Published Snowball Portuguese algorithm (snowballstem.org, M.F. Porter's
+# 2005 description — same provenance as the German/French/Spanish/Italian
+# sections above; the reference binds Lucene's PortugueseAnalyzer,
+# config/mapping/Language.scala:87). Vowels a e i o u á é í ó ú â ê ô;
+# prelude marks nasals ã → a~, õ → o~ (the tilde is a consonant); postlude
+# restores them. R1/R2 standard; RV as in the Spanish stemmer.
+
+PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_S1_GROUPS = {
+    # delete if in R2 (one flat among group — unlike Spanish there is no
+    # ic-sub-rule on the adora/ador/ação family)
+    "A": ["eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+          "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+          "amento", "amentos", "imento", "imentos", "adora", "ador",
+          "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância"],
+    "C": ["logia", "logias"],        # → log if in R2
+    "D": ["uça~o", "uço~es"],        # → u if in R2
+    "E": ["ência", "ências"],        # → ente if in R2
+    "F": ["amente"],                 # R1 delete + iv/at, os/ic/ad sub-rules
+    "G": ["mente"],                  # R2 delete + ante/avel/ível sub-rule
+    "H": ["idade", "idades"],        # R2 delete + abil/ic/iv sub-rule
+    "I": ["iva", "ivo", "ivas", "ivos"],  # R2 delete + at sub-rule
+    "J": ["ira", "iras"],            # → ir if in RV and preceded by e
+}
+_PT_S1 = sorted(
+    ((s, g) for g, ss in _PT_S1_GROUPS.items() for s in ss), key=lambda t: -len(t[0])
+)
+
+# verb suffixes (step 2) — RV-limited among (setlimit tomark pV), full
+# published table
+_PT_S2 = sorted(
+    ["ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+     "era", "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste",
+     "ei", "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+     "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+     "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+     "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+     "ias", "arias", "erias", "irias", "arás", "aras", "erás", "eras",
+     "irás", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
+     "ires", "asses", "esses", "isses", "astes", "estes", "istes", "is",
+     "ais", "eis", "íeis", "aríeis", "eríeis", "iríeis", "áreis",
+     "areis", "éreis", "ereis", "íreis", "ireis", "ásseis", "ésseis",
+     "ísseis", "áveis", "ados", "idos", "ámos", "amos", "íamos",
+     "aríamos", "eríamos", "iríamos", "áramos", "éramos", "íramos",
+     "ávamos", "emos", "aremos", "eremos", "iremos", "ássemos",
+     "êssemos", "íssemos", "imos", "armos", "ermos", "irmos", "eu",
+     "iu", "ou", "ira", "iras"],
+    key=len, reverse=True,
+)
+
+_PT_S4 = ["os", "a", "i", "o", "á", "í", "ó"]  # residual, RV post-test
+
+
+def _pt_prelude_py(w: str) -> str:
+    return w.replace("ã", "a~").replace("õ", "o~")
+
+
+def _pt_postlude_py(w: str) -> str:
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+def portuguese_py(word: str) -> str:
+    w = _pt_prelude_py(word)
+    rv = _es_rv_py_generic(w, PT_VOWELS)
+    r1, r2 = _r1r2_py(w, PT_VOWELS)
+
+    # step 1: standard suffixes — surface longest-match among, region
+    # conditions are post-tests (no backtracking to shorter suffixes)
+    pre1 = w
+    for suf, g in _PT_S1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if g == "A":
+            if pos >= r2:
+                w = w[:pos]
+        elif g == "C":
+            if pos >= r2:
+                w = w[:pos] + "log"
+        elif g == "D":
+            if pos >= r2:
+                w = w[:pos] + "u"
+        elif g == "E":
+            if pos >= r2:
+                w = w[:pos] + "ente"
+        elif g == "F":  # amente: R1 delete, then iv(at) else os/ic/ad in R2
+            if pos >= r1:
+                w = w[:pos]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif (
+                    (w.endswith("os") or w.endswith("ic") or w.endswith("ad"))
+                    and len(w) - 2 >= r2
+                ):
+                    w = w[:-2]
+        elif g == "G":  # mente: R2 delete + ante/avel/ível
+            if pos >= r2:
+                w = w[:pos]
+                if (
+                    (w.endswith("ante") or w.endswith("avel") or w.endswith("ível"))
+                    and len(w) - 4 >= r2
+                ):
+                    w = w[:-4]
+        elif g == "H":  # idade(s): R2 delete + abil/ic/iv
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif (w.endswith("ic") or w.endswith("iv")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif g == "I":  # iva/ivo(s): R2 delete + at
+            if pos >= r2:
+                w = w[:pos]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        else:  # J: ira/iras → ir if in RV and preceded by e
+            if pos >= rv and pos >= 1 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+        break
+    altered1 = w != pre1
+
+    # step 2: verb suffixes, only if step 1 removed nothing; RV-limited
+    # among — a longer suffix poking out of RV does not shadow a shorter
+    # one inside it
+    altered2 = False
+    if not altered1:
+        pre2 = w
+        for suf in _PT_S2:
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
+                w = w[:pos]
+                break
+        altered2 = w != pre2
+
+    # step 3: if 1 or 2 altered — delete trailing i in RV preceded by c
+    if altered1 or altered2:
+        if w.endswith("i") and len(w) - 1 >= rv and len(w) >= 2 and w[-2] == "c":
+            w = w[:-1]
+    else:
+        # step 4: residual suffix (only when neither 1 nor 2 fired)
+        for suf in _PT_S4:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos >= rv:
+                    w = w[:pos]
+                break
+
+    # step 5 (always): e/é/ê in RV → delete, then gu/ci with u/i in RV →
+    # drop the u/i; else trailing ç → c
+    if w and w[-1] in "eéê" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if (
+            (w.endswith("gu") or w.endswith("ci"))
+            and len(w) - 1 >= rv
+        ):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+    return _pt_postlude_py(w)
+
+
+def _es_rv_py_generic(w: str, vowels: str) -> int:
+    """The Spanish/Portuguese RV rule for an arbitrary vowel set."""
+    V = vowels
+    if len(w) < 2:
+        return _BIG
+    if w[1] not in V:
+        m = re.match(f"^..[^{V}]*[{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    if w[0] in V:
+        m = re.match(f"^..[{V}]*[^{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    return 3 if len(w) > 3 else _BIG
+
+
+# ---- portuguese SQL form
+
+
+def _pt_rv_sql(x: str) -> str:
+    V = PT_VOWELS
+    p1 = f"^..[^{V}]*[{V}]"
+    p2 = f"^..[{V}]*[^{V}]"
+    c1 = f"contains('{V}', substr({x}, 1, 1))"
+    c2 = f"contains('{V}', substr({x}, 2, 1))"
+    return (
+        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
+        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
+        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
+        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
+        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
+        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
+    )
+
+
+def _pt_step1_sql(x: str) -> str:
+    cases = []
+    for suf, g in _PT_S1:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if g == "A":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} ELSE {x} END"
+        elif g == "C":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'log' ELSE {x} END"
+        elif g == "D":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'u' ELSE {x} END"
+        elif g == "E":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} || 'ente' ELSE {x} END"
+        elif g == "F":
+            iv, at = _strip(st, 2), _strip(_strip(st, 2), 2)
+            act = (
+                f"CASE WHEN {pos} >= r1 THEN (CASE "
+                f"WHEN ends_with({st}, 'iv') AND length({st}) - 2 >= r2 THEN "
+                f"(CASE WHEN ends_with({iv}, 'at') AND length({iv}) - 2 >= r2 "
+                f"THEN {at} ELSE {iv} END) "
+                f"WHEN (ends_with({st}, 'os') OR ends_with({st}, 'ic') "
+                f"OR ends_with({st}, 'ad')) AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "G":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN (ends_with({st}, 'ante') OR ends_with({st}, 'avel') "
+                f"OR ends_with({st}, 'ível')) AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "H":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN (CASE "
+                f"WHEN ends_with({st}, 'abil') AND length({st}) - 4 >= r2 "
+                f"THEN {_strip(st, 4)} "
+                f"WHEN (ends_with({st}, 'ic') OR ends_with({st}, 'iv')) "
+                f"AND length({st}) - 2 >= r2 THEN {_strip(st, 2)} "
+                f"ELSE {st} END) ELSE {x} END"
+            )
+        elif g == "I":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'at') AND length({st}) - 2 >= r2 "
+                f"THEN {_strip(st, 2)} ELSE {st} END) ELSE {x} END"
+            )
+        else:  # J: ira/iras → ir if in RV and preceded by e
+            act = (
+                f"CASE WHEN {pos} >= rv AND {pos} >= 1 "
+                f"AND {_prev_sql(x, n)} = 'e' THEN {st} || 'ir' ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _pt_step2_sql(x: str) -> str:
+    cases = []
+    for suf in _PT_S2:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN {_strip(x, n)}"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _pt_step4_sql(x: str) -> str:
+    cases = []
+    for suf in _PT_S4:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        act = f"CASE WHEN {pos} >= rv THEN {_strip(x, n)} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _pt_step5_sql(x: str) -> str:
+    st = _strip(x, 1)
+    gu = (
+        f"CASE WHEN (ends_with({st}, 'gu') OR ends_with({st}, 'ci')) "
+        f"AND length({st}) - 1 >= rv THEN {_strip(st, 1)} ELSE {st} END"
+    )
+    return (
+        f"CASE WHEN substr({x}, length({x}), 1) IN ('e', 'é', 'ê') "
+        f"AND length({x}) - 1 >= rv THEN ({gu}) "
+        f"WHEN ends_with({x}, 'ç') THEN {st} || 'c' "
+        f"ELSE {x} END"
+    )
+
+
+def portuguese_sql_ctes(src: str, out: str, p: str = "pt_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out`` with the
+    Portuguese flow (step-1/2-altered flags ride as bool columns). The
+    prelude/postlude are plain nasal replacements — no recursive scan."""
+    r1, r2 = _r1r2_sql("term", PT_VOWELS)
+    pre = "replace(replace(term, 'ã', 'a~'), 'õ', 'o~')"
+    post = "replace(replace(term, 'a~', 'ã'), 'o~', 'õ')"
+    ci = (
+        "CASE WHEN ends_with(term, 'i') AND length(term) - 1 >= rv "
+        "AND length(term) >= 2 AND substr(term, length(term) - 1, 1) = 'c' "
+        f"THEN {_strip('term', 1)} ELSE term END"
+    )
+    return f"""
+{p}pre AS MATERIALIZED (SELECT doc_id, {pre} AS term FROM {src}),
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {_pt_rv_sql("term")} AS rv, {r1} AS r1, {r2} AS r2 FROM {p}pre),
+{p}s1 AS MATERIALIZED (SELECT doc_id, rv, r1, r2, term AS t0, {_pt_step1_sql("term")} AS term FROM {p}sr),
+{p}s1b AS MATERIALIZED (SELECT doc_id, rv, term, (term <> t0) AS a1 FROM {p}s1),
+{p}s2 AS MATERIALIZED (SELECT doc_id, rv, term AS t0,
+  CASE WHEN NOT a1 THEN {_pt_step2_sql("term")} ELSE term END AS term, a1 FROM {p}s1b),
+{p}s2b AS MATERIALIZED (SELECT doc_id, rv, term, (a1 OR term <> t0) AS alt FROM {p}s2),
+{p}s34 AS MATERIALIZED (SELECT doc_id, rv,
+  CASE WHEN alt THEN {ci} ELSE {_pt_step4_sql("term")} END AS term FROM {p}s2b),
+{p}s5 AS MATERIALIZED (SELECT doc_id, {_pt_step5_sql("term")} AS term FROM {p}s34),
+{out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM {p}s5)
+"""
+
+
+# ------------------------------------------------------------------- dutch
+# Published Snowball Dutch algorithm (snowballstem.org; the reference binds
+# Lucene's DutchAnalyzer, config/mapping/Language.scala:85). Vowels
+# a e i o u y è. Prelude: strip umlauts/acutes, then mark initial y, y
+# after a vowel, and i between vowels as consonants (Y/I) with the same
+# evolving-cursor scan as German. R1 start is moved to at least 3.
+
+NL_VOWELS = "aeiouyè"
+
+_NL_ACCENTS = (
+    ("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"), ("ü", "u"),
+    ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"),
+)
+
+
+def _nl_mark(prev: str, c: str, nxt: str) -> str:
+    if c == "y" and (prev == "" or prev in NL_VOWELS):
+        return "Y"
+    if c == "i" and prev and prev in NL_VOWELS and nxt and nxt in NL_VOWELS:
+        return "I"
+    return c
+
+
+def _nl_prelude_py(w: str) -> str:
+    for a, b in _NL_ACCENTS:
+        w = w.replace(a, b)
+    return _scan_py(w, _nl_mark)
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+def _nl_valid_s(ch: str) -> bool:
+    return bool(ch) and ch not in NL_VOWELS and ch != "j"
+
+
+def _nl_valid_en(stem: str) -> bool:
+    return (
+        bool(stem)
+        and stem[-1] not in NL_VOWELS
+        and not stem.endswith("gem")
+    )
+
+
+def dutch_py(word: str) -> str:
+    w = _nl_prelude_py(word)
+    r1, r2 = _r1r2_py(w, NL_VOWELS, r1_min=3)
+
+    # step 1: heden / ene en / se s (longest surface among, post-tests)
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "heden":
+            if pos >= r1:
+                w = w[:pos] + "heid"
+        elif suf in ("ene", "en"):
+            if pos >= r1 and _nl_valid_en(w[:pos]):
+                w = _nl_undouble(w[:pos])
+        else:  # se / s
+            if pos >= r1 and pos >= 1 and _nl_valid_s(w[pos - 1]):
+                w = w[:pos]
+        break
+
+    # step 2: delete final e if in R1 and preceded by a non-vowel; undouble
+    e_found = False
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] not in NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+
+    # step 3a: heid (not preceded by c, R2), then an en as in step 1b
+    if w.endswith("heid") and len(w) - 4 >= r2 and not (len(w) >= 5 and w[-5] == "c"):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= r1 and _nl_valid_en(w[:-2]):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes (longest surface among)
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if pos >= r2:
+                w = w[:pos]
+                if (
+                    w.endswith("ig")
+                    and len(w) - 2 >= r2
+                    and not (len(w) >= 3 and w[-3] == "e")
+                ):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif suf == "ig":
+            if pos >= r2 and not (pos >= 1 and w[pos - 1] == "e"):
+                w = w[:pos]
+        elif suf == "lijk":
+            if pos >= r2:
+                w = w[:pos]
+                # repeat step 2
+                if (
+                    w.endswith("e")
+                    and len(w) - 1 >= r1
+                    and len(w) >= 2
+                    and w[-2] not in NL_VOWELS
+                ):
+                    w = _nl_undouble(w[:-1])
+        elif suf == "baar":
+            if pos >= r2:
+                w = w[:pos]
+        else:  # bar — only if step 2 actually removed an e
+            if pos >= r2 and e_found:
+                w = w[:pos]
+        break
+
+    # step 4: undouble vowel — ...C V V D (D ≠ I) → drop one vowel
+    if len(w) >= 4:
+        c4, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (
+            c4 not in NL_VOWELS
+            and d not in NL_VOWELS
+            and d != "I"
+            and v1 == v2
+            and v1 in "aeou"
+        ):
+            w = w[:-2] + d
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---- dutch SQL form
+
+
+def _nl_mark_sql(prev: str, c: str, nxt: str) -> str:
+    V = NL_VOWELS
+    pv = f"({prev} <> '' AND contains('{V}', {prev}))"
+    nv = f"({nxt} <> '' AND contains('{V}', {nxt}))"
+    return (
+        f"CASE WHEN {c} = 'y' AND ({prev} = '' OR {pv}) THEN 'Y' "
+        f"WHEN {c} = 'i' AND {pv} AND {nv} THEN 'I' "
+        f"ELSE {c} END"
+    )
+
+
+def _nl_undouble_sql(x: str) -> str:
+    return (
+        f"CASE WHEN ends_with({x}, 'kk') OR ends_with({x}, 'dd') "
+        f"OR ends_with({x}, 'tt') THEN {_strip(x, 1)} ELSE {x} END"
+    )
+
+
+def _nl_valid_en_sql(st: str) -> str:
+    V = NL_VOWELS
+    last = f"substr({st}, length({st}), 1)"
+    return (
+        f"({st} <> '' AND NOT contains('{V}', {last}) "
+        f"AND NOT ends_with({st}, 'gem'))"
+    )
+
+
+def _nl_step1_sql(x: str) -> str:
+    V = NL_VOWELS
+    cases = []
+    for suf in ("heden", "ene", "en", "se", "s"):
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf == "heden":
+            act = f"CASE WHEN {pos} >= r1 THEN {st} || 'heid' ELSE {x} END"
+        elif suf in ("ene", "en"):
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {_nl_valid_en_sql(st)} "
+                f"THEN {_nl_undouble_sql(st)} ELSE {x} END"
+            )
+        else:
+            prev = _prev_sql(x, n)
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 "
+                f"AND NOT contains('{V}', {prev}) AND {prev} <> 'j' "
+                f"THEN {st} ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _nl_step2_sql(x: str) -> str:
+    V = NL_VOWELS
+    prev = _prev_sql(x, 1)
+    return (
+        f"CASE WHEN ends_with({x}, 'e') AND length({x}) - 1 >= r1 "
+        f"AND length({x}) >= 2 AND NOT contains('{V}', {prev}) "
+        f"THEN {_nl_undouble_sql(_strip(x, 1))} ELSE {x} END"
+    )
+
+
+def _nl_step3a_sql(x: str) -> str:
+    st = _strip(x, 4)
+    en = _strip(st, 2)
+    inner = (
+        f"CASE WHEN ends_with({st}, 'en') AND length({st}) - 2 >= r1 "
+        f"AND {_nl_valid_en_sql(en)} THEN {_nl_undouble_sql(en)} ELSE {st} END"
+    )
+    return (
+        f"CASE WHEN ends_with({x}, 'heid') AND length({x}) - 4 >= r2 "
+        f"AND NOT (length({x}) >= 5 AND substr({x}, length({x}) - 4, 1) = 'c') "
+        f"THEN ({inner}) ELSE {x} END"
+    )
+
+
+def _nl_step3b_sql(x: str) -> str:
+    cases = []
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf in ("end", "ing"):
+            ig = _strip(st, 2)
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN "
+                f"(CASE WHEN ends_with({st}, 'ig') AND length({st}) - 2 >= r2 "
+                f"AND NOT (length({st}) >= 3 AND substr({st}, length({st}) - 2, 1) = 'e') "
+                f"THEN {ig} ELSE {_nl_undouble_sql(st)} END) ELSE {x} END"
+            )
+        elif suf == "ig":
+            act = (
+                f"CASE WHEN {pos} >= r2 AND NOT ({pos} >= 1 "
+                f"AND {_prev_sql(x, n)} = 'e') THEN {st} ELSE {x} END"
+            )
+        elif suf == "lijk":
+            act = (
+                f"CASE WHEN {pos} >= r2 THEN ({_nl_step2_sql(st)}) ELSE {x} END"
+            )
+        elif suf == "baar":
+            act = f"CASE WHEN {pos} >= r2 THEN {st} ELSE {x} END"
+        else:  # bar
+            act = f"CASE WHEN {pos} >= r2 AND e_found THEN {st} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _nl_step4_sql(x: str) -> str:
+    V = NL_VOWELS
+    c4 = f"substr({x}, length({x}) - 3, 1)"
+    v1 = f"substr({x}, length({x}) - 2, 1)"
+    v2 = f"substr({x}, length({x}) - 1, 1)"
+    d = f"substr({x}, length({x}), 1)"
+    return (
+        f"CASE WHEN length({x}) >= 4 AND NOT contains('{V}', {c4}) "
+        f"AND NOT contains('{V}', {d}) AND {d} <> 'I' "
+        f"AND {v1} = {v2} AND contains('aeou', {v1}) "
+        f"THEN {_strip(x, 2)} || {d} ELSE {x} END"
+    )
+
+
+def dutch_sql_ctes(src: str, out: str, p: str = "nl_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out`` with the
+    Dutch flow. The prelude consonant-marking is the exact cursor scan —
+    a recursive CTE — so callers' WITH list must be WITH RECURSIVE (the
+    same contract as german/french)."""
+    r1, r2 = _r1r2_sql("term", NL_VOWELS, r1_min=3)
+    deacc = "term"
+    for a, b in _NL_ACCENTS:
+        deacc = f"replace({deacc}, '{a}', '{b}')"
+    scan = _scan_sql(f"{p}da", f"{p}mkd", p, _nl_mark_sql)
+    post = "replace(replace(term, 'I', 'i'), 'Y', 'y')"
+    return f"""
+{p}da AS MATERIALIZED (SELECT doc_id, {deacc} AS term FROM {src}),
+{scan.strip()},
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1, {r2} AS r2 FROM {p}mkd),
+{p}s1 AS MATERIALIZED (SELECT doc_id, r1, r2, {_nl_step1_sql("term")} AS term FROM {p}sr),
+{p}s2 AS MATERIALIZED (SELECT doc_id, r1, r2, term AS t0, {_nl_step2_sql("term")} AS term FROM {p}s1),
+{p}s2b AS MATERIALIZED (SELECT doc_id, r1, r2, term, (term <> t0) AS e_found FROM {p}s2),
+{p}s3a AS MATERIALIZED (SELECT doc_id, r1, r2, e_found, {_nl_step3a_sql("term")} AS term FROM {p}s2b),
+{p}s3b AS MATERIALIZED (SELECT doc_id, {_nl_step3b_sql("term")} AS term FROM {p}s3a),
+{out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM (SELECT doc_id, {_nl_step4_sql("term")} AS term FROM {p}s3b))
 """

@@ -15,12 +15,16 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from nixiesearch_spark.snowball import (
+    dutch_py,
+    dutch_sql_ctes,
     french_py,
     french_sql_ctes,
     german_py,
     german_sql_ctes,
     italian_py,
     italian_sql_ctes,
+    portuguese_py,
+    portuguese_sql_ctes,
     spanish_py,
     spanish_sql_ctes,
 )
@@ -104,6 +108,53 @@ ITALIAN_CASES = {
     # untouched short words
     "re": "re", "blu": "blu",
 }
+
+
+PORTUGUESE_CASES = {
+    # step 1 standard suffixes in R2 (nasal prelude: ção → ça~o)
+    "nacionalidades": "nacional", "declaração": "declar",
+    "declarações": "declar", "importância": "import",
+    "felizmente": "feliz", "rapidamente": "rapid",
+    # step 2 verb suffixes in RV
+    "gostaria": "gost", "falando": "fal", "compramos": "compr",
+    "dizendo": "diz",
+    # step 4 residual + step 5 final-e + nasal postlude
+    "grande": "grand", "função": "funçã", "partes": "part",
+    # untouched short words
+    "sol": "sol", "de": "de",
+}
+
+DUTCH_CASES = {
+    # step 1 en-removal + undouble; s needs a valid s-ending (not a vowel)
+    "katten": "kat", "huizen": "huiz", "bomen": "bom", "vrouwen": "vrouw",
+    "bakken": "bak", "huis": "huis",
+    # r1_min=3 keeps short prefixes intact
+    "ogen": "ogen",
+    # step 3b lijk + repeated step 2; 3a heid
+    "lichamelijk": "licham", "heerlijkheid": "heerlijk",
+    # step 4 vowel undouble
+    "maan": "man", "brood": "brod",
+    # untouched
+    "de": "de", "stream": "stream",
+}
+
+
+def test_portuguese_spec_cases():
+    bad = {
+        w: (portuguese_py(w), want)
+        for w, want in PORTUGUESE_CASES.items()
+        if portuguese_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_dutch_spec_cases():
+    bad = {
+        w: (dutch_py(w), want)
+        for w, want in DUTCH_CASES.items()
+        if dutch_py(w) != want
+    }
+    assert not bad, bad
 
 
 def test_italian_spec_cases():
@@ -190,7 +241,7 @@ def test_italian_sql_equals_python():
     assert not bad, bad
 
 
-LATIN = "abcdefghijklmnopqrstuvwxyzäöüßàâéèêëïîôûùçáíóúñ_0123456789"
+LATIN = "abcdefghijklmnopqrstuvwxyzäöüßàâéèêëïîôûùçáíóúñãõêôìòy_0123456789"
 
 
 @settings(max_examples=30, deadline=None)
@@ -216,6 +267,32 @@ def test_two_form_identity_random(words):
     assert got_it == want_it, [
         (w, g, p) for w, g, p in zip(words, got_it, want_it) if g != p
     ]
+    got_pt = _sql_stem(words, portuguese_sql_ctes)
+    want_pt = [portuguese_py(w) for w in words]
+    assert got_pt == want_pt, [
+        (w, g, p) for w, g, p in zip(words, got_pt, want_pt) if g != p
+    ]
+    got_nl = _sql_stem(words, dutch_sql_ctes)
+    want_nl = [dutch_py(w) for w in words]
+    assert got_nl == want_nl, [
+        (w, g, p) for w, g, p in zip(words, got_nl, want_nl) if g != p
+    ]
+
+
+def test_portuguese_sql_equals_python():
+    words = list(PORTUGUESE_CASES) + list(SPANISH_CASES) + list(FRENCH_CASES) + EXTRA_WORDS
+    got = _sql_stem(words, portuguese_sql_ctes)
+    want = [portuguese_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+def test_dutch_sql_equals_python():
+    words = list(DUTCH_CASES) + list(GERMAN_CASES) + list(FRENCH_CASES) + EXTRA_WORDS
+    got = _sql_stem(words, dutch_sql_ctes)
+    want = [dutch_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
 
 
 def test_analyzer_chain_german_french():
@@ -231,6 +308,10 @@ def test_analyzer_chain_german_french():
     assert analyzer_py("spanish")("las canciones y los datos rápidos") == [
         "cancion", "dat", "rap",
     ]
+    assert analyzer_py("portuguese")("as declarações e funções") == [
+        "declar", "funçõ",
+    ]
+    assert analyzer_py("dutch")("de katten en de huizen") == ["kat", "huiz"]
 
 
 def test_spark_column_form_matches_python(spark):

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 TOKSPLIT = "[^0-9A-Za-z_]+"
 
+# deterministic Cyrillic vocab for the russian-analyzer entry ("и" is a
+# stopword of the russian chain)
+RU_VOCAB = ["данные", "таблица", "поток", "запрос", "индекс", "и", "поиск"]
+
 # ---------------------------------------------------------------- index cache
 
 _CACHE: dict = {}
@@ -38,13 +42,14 @@ def _index(
     analyzers: dict | None = None,
     derive_ts: bool = False,
     derive_emb: bool = False,
+    derive_ru: bool = False,
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
     key = (
         sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
-        derive_ts, derive_emb,
+        derive_ts, derive_emb, derive_ru,
     )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
@@ -61,6 +66,25 @@ def _index(
                 "ts",
                 F.expr(
                     "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, doc_id % 720, 0, 0)"
+                ),
+            )
+        if derive_ru:
+            # deterministic synthetic Cyrillic column (testdata is ASCII):
+            # three vocab words keyed off doc_id — stopword "и" included so
+            # the russian chain's stop filter is exercised end-to-end
+            arr = F.array(*[F.lit(w) for w in RU_VOCAB])
+            n = len(RU_VOCAB)
+            df = df.withColumn(
+                "text_ru",
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
+                    ),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
+                    ),
                 ),
             )
         if derive_emb:
@@ -229,6 +253,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filter/join/stream, matching corpus docs with those surface forms
         s = _index(spark, sf, ("text",), False, analyzers={"text": "dutch"})
         return _as_docid(s.search(MatchQuery("text", "filteren joinen streamen"), size=10))
+
+    def q_match_russian(spark, sf):
+        # russian chain = unicode (Cyrillic-aware) tokenizer + stopwords,
+        # pure Catalyst — non-Latin text survives indexing and querying
+        # (the reference's default StandardAnalyzer tokenizes any script,
+        # Language.scala:57; this is the Cyrillic slice of that upgrade)
+        s = _index(
+            spark, sf, ("text_ru",), False,
+            analyzers={"text_ru": "russian"}, derive_ru=True,
+        )
+        return _as_docid(s.search(MatchQuery("text_ru", "данные и индекс"), size=10))
 
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
@@ -752,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_italian": q_match_italian,
         "bm25_match_portuguese": q_match_portuguese,
         "bm25_match_dutch": q_match_dutch,
+        "bm25_match_russian": q_match_russian,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
         "ce_rerank": q_ce_rerank,
@@ -1029,6 +1065,35 @@ LIMIT 10
     nl_terms = analyzer_py("dutch")("filteren joinen streamen")
     sql["bm25_match_dutch"] = f"""
 WITH RECURSIVE {_bm25_full_lang(nl_terms, "dutch")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_UNICODE
+
+    ru_terms = analyzer_py("russian")("данные и индекс")
+    ru_vocab = "[" + ",".join(f"'{w}'" for w in RU_VOCAB) + "]"
+    ru_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["russian"]) + "]"
+    nvoc = len(RU_VOCAB)
+    sql["bm25_match_russian"] = f"""
+WITH base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({ru_vocab})[(doc_id % {nvoc}) + 1],
+    ({ru_vocab})[((doc_id * 3 + 1) % {nvoc}) + 1],
+    ({ru_vocab})[((doc_id * 5 + 2) % {nvoc}) + 1]) AS t
+  FROM documents
+),
+tok_f AS (
+  SELECT doc_id, x.term
+  FROM base, unnest(list_filter(
+    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'ς', 'σ'), '{TOKEN_SPLIT_UNICODE}'),
+    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({ru_stops}, x))) AS x(term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(ru_terms, "text_ru").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

@@ -62,6 +62,49 @@ _SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
 TOKEN_SPLIT_LATIN = "[^0-9A-Za-z_À-ÖØ-öø-ɏ]+"
 _SPLIT_LATIN_RE = re.compile(TOKEN_SPLIT_LATIN)
 
+# Unicode tokenizer class: Latin (as above) + Greek (monotonic letters,
+# listed explicitly so Greek punctuation inside U+0370–03FF — ·, the
+# erotimatiko — stays a delimiter; polytonic block U+1F00–1FFC as a range,
+# its gaps are unassigned code points) + Cyrillic (U+0400–04FF +
+# supplement U+0500–052F — all letters). Still an EXPLICIT literal class:
+# Java regex (Spark), Python re and RE2 (DuckDB) treat code-point ranges
+# over literals identically. Case folding: Python/Spark lower() are the
+# context-free simple mapping (Σ→σ always) but DuckDB's utf8proc lower()
+# applies the contextual final-sigma rule (ΑΣ→ας) — AND written Greek
+# itself ends words in ς, so "τέλος" and "ΤΕΛΟΣ" would otherwise lower to
+# different tokens. All three forms therefore normalize ς→σ after
+# lowercasing — exactly what Lucene's GreekLowerCaseFilter does. This is
+# the UAX#29-equivalent upgrade path for the reference's default
+# StandardAnalyzer (Language.scala:57): Greek/Cyrillic text survives the
+# standard_unicode / russian / greek analyzers as real tokens.
+TOKEN_SPLIT_UNICODE = (
+    "[^0-9A-Za-z_À-ÖØ-öø-ɏ"
+    "Α-ΡΣ-Ωα-ωάέήίόύώΐΰϊϋΆΈΉΊΌΎΏἀ-ῼ"
+    "Ѐ-ӿԀ-ԯ]+"
+)
+_SPLIT_UNICODE_RE = re.compile(TOKEN_SPLIT_UNICODE)
+
+
+def tokenize_unicode_py(text: str | None) -> list[str]:
+    """Unicode tokenizer (python form) — must match the Catalyst form and
+    the DuckDB RE2 spelling (tests/test_analysis_unicode.py)."""
+    if text is None:
+        return []
+    low = text[:MAX_FIELD_SEARCH_SIZE].lower().replace("ς", "σ")
+    toks = _SPLIT_UNICODE_RE.split(low)
+    return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
+
+
+def tokenize_unicode_col(col: Column) -> Column:
+    """Catalyst form of the unicode tokenizer — pure JVM, the same literal
+    class (no \\w flags: engine-specific word classes would break the
+    three-way identity)."""
+    low = F.translate(
+        F.lower(F.substring(col, 1, MAX_FIELD_SEARCH_SIZE)), "ς", "σ"
+    )
+    toks = F.split(low, TOKEN_SPLIT_UNICODE)
+    return F.filter(toks, lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH))
+
 
 def tokenize_latin_py(text: str | None) -> list[str]:
     """Unicode-Latin tokenizer (python form; the language-analyzer chains are
@@ -178,6 +221,19 @@ LANG_STOPWORDS = {
         "er", "ook", "als", "dan", "om", "door", "naar", "hij", "zij",
         "we", "ze", "ik", "je", "u", "hun", "haar", "hem", "wordt",
     ],
+    # stopword-only chains over the unicode tokenizer (no stemmer yet —
+    # the documented pre-stemmer stage for the reference's ru/el analyzers)
+    "russian": [
+        "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+        "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
+        "у", "же", "вы", "за", "бы", "по", "только", "ее", "мне",
+        "было", "вот", "от", "меня", "еще", "нет", "о", "из", "ему",
+    ],
+    "greek": [
+        "ο", "η", "το", "οι", "τα", "του", "της", "των", "τον", "την",
+        "και", "να", "με", "σε", "για", "είναι", "από", "δεν", "θα",
+        "που", "αυτό", "στο", "στη", "ως", "αν", "ή",
+    ],
 }
 
 
@@ -185,21 +241,23 @@ LANG_STOPWORDS = {
 # reference's remaining languages that have a stop list but no Snowball
 # stemmer implemented here yet (add `"lang": (_stop_col(words),
 # _stop_py(words))` to ANALYZERS).
-def _stop_col(stops: list[str]):
+def _stop_col(stops: list[str], tok_col=None):
     sset = set(stops)
+    tok_col = tok_col or tokenize_col
 
     def col_fn(col: Column) -> Column:
-        toks = tokenize_col(col)
+        toks = tok_col(col)
         return F.filter(toks, lambda t: ~t.isin(list(sset)))
 
     return col_fn
 
 
-def _stop_py(stops: list[str]):
+def _stop_py(stops: list[str], tok_py=None):
     sset = set(stops)
+    tok_py = tok_py or tokenize_py
 
     def py_fn(text: str | None) -> list[str]:
-        return [t for t in tokenize_py(text) if t not in sset]
+        return [t for t in tok_py(text) if t not in sset]
 
     return py_fn
 
@@ -319,6 +377,16 @@ ANALYZERS = {
     "dutch": (
         _stem_col(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
+    ),
+    # unicode-class chains — pure Catalyst (no UDF): tokenizer + stopwords
+    "standard_unicode": (tokenize_unicode_col, tokenize_unicode_py),
+    "russian": (
+        _stop_col(LANG_STOPWORDS["russian"], tokenize_unicode_col),
+        _stop_py(LANG_STOPWORDS["russian"], tokenize_unicode_py),
+    ),
+    "greek": (
+        _stop_col(LANG_STOPWORDS["greek"], tokenize_unicode_col),
+        _stop_py(LANG_STOPWORDS["greek"], tokenize_unicode_py),
     ),
 }
 

@@ -737,6 +737,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score").cast("double"), 6).alias("score"),
         )
 
+    def _tomb_searcher(spark, sf, compacted):
+        # dedicated quantized index with doc_id % 5 == 0 tombstoned; the
+        # compacted variant physically removes them (delete → WAND → compact
+        # path, reference DELETE /v1/index/{i}/doc/{id} + forceMerge).
+        # Separate dirs per variant: entries must not depend on run order.
+        from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
+        from nixiesearch_spark.streaming.incremental import IncrementalIndexer
+
+        key = (sf, "tomb_idx", compacted)
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="nsentry_tomb_")
+            df = _docs(spark, sf)
+            cfg = IndexConfig(
+                text_fields=("text",), id_col="doc_id", n_shards=8, quantize=True
+            )
+            IndexBuilder(spark, cfg).build(df, d)
+            dead = [
+                int(r[0])
+                for r in df.where(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+            ]
+            inc = IncrementalIndexer(spark, cfg, d)
+            inc.delete_ids(dead)
+            if compacted:
+                inc.compact()
+            _CACHE[key] = Searcher(IndexReader(spark, d))
+        return _CACHE[key]
+
+    def q_wand_tombstoned(spark, sf):
+        # tombstones ride INSIDE the pruned WAND search as a banned-ordinal
+        # mask; index stats are UNCHANGED until compaction (oracle scores
+        # with full-corpus stats, filters the dead at the end)
+        from nixiesearch_spark.query.wand import wand_topk
+
+        s = _tomb_searcher(spark, sf, False)
+        out = wand_topk(s.reader, "text", "spark join window group", k=10)
+        return _as_docid(out)
+
+    def q_wand_after_compact(spark, sf):
+        # after compact() the dead docs are physically gone and stats
+        # (doc_count/avgdl via the negative lineage adjustments) shrink —
+        # the oracle recomputes the whole quantized chain over the pruned
+        # corpus
+        from nixiesearch_spark.query.wand import wand_topk
+
+        s = _tomb_searcher(spark, sf, True)
+        out = wand_topk(s.reader, "text", "spark join window group", k=10)
+        return _as_docid(out)
+
     def q_wand_topk(spark, sf):  # packed/WAND path; quantized float32 SQL oracle
         from nixiesearch_spark.query.wand import wand_topk
 
@@ -827,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "wand_topk_and": q_wand_and,
         "wand_filtered": q_wand_filtered,
+        "wand_tombstoned": q_wand_tombstoned,
+        "wand_after_compact": q_wand_after_compact,
     }
 
 
@@ -884,14 +934,20 @@ LIMIT {k}
 """
 
 
-def _wand_sql(terms: list[str], op: str = "or", k: int = 10, doc_where: str | None = None) -> str:
+def _wand_sql(
+    terms: list[str], op: str = "or", k: int = 10, doc_where: str | None = None,
+    src: str = "documents",
+) -> str:
     """Quantized (Lucene-exact float32) BM25 in DuckDB: SmallFloat norm byte
     → LENGTH_TABLE decode → float32 norm-cache chain → per-posting
     w - w/(1f + tf*cache) with FLOAT ops at every step (DuckDB FLOAT
     arithmetic rounds to float32 per op, verified bit-equal to numpy).
     Mirrors engine.py quantized chain / lucene.py op-for-op.
     ``doc_where``: extra predicate over documents alias ``d`` (the filtered
-    WAND entries)."""
+    WAND entries). ``src``: the corpus the INDEX STATS derive from — the
+    after-compact entry passes the tombstone-pruned subset, because
+    compaction shrinks doc_count/avgdl while a mere tombstone mask does
+    not."""
     tl = ",".join(f"'{t}'" for t in terms)
     conds = []
     if op == "and":
@@ -905,7 +961,7 @@ def _wand_sql(terms: list[str], op: str = "or", k: int = 10, doc_where: str | No
     return f"""
 WITH tok_f AS (
   SELECT doc_id, t.term
-  FROM documents, unnest(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}')) AS t(term)
+  FROM {src} AS corpus_src, unnest(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}')) AS t(term)
   WHERE t.term <> '' AND length(t.term) <= 255
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
@@ -1440,6 +1496,13 @@ LIMIT 15
     sql["wand_topk_and"] = _wand_sql(["spark", "join", "window"], "and")
     sql["wand_filtered"] = _wand_sql(
         ["spark", "join", "window", "group"], doc_where="d.lang = 'en'"
+    )
+    sql["wand_tombstoned"] = _wand_sql(
+        ["spark", "join", "window", "group"], doc_where="d.doc_id % 5 <> 0"
+    )
+    sql["wand_after_compact"] = _wand_sql(
+        ["spark", "join", "window", "group"],
+        src="(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
     )
     sql["dedup_minhash_lsh"] = _minhash_sql(num_hashes=32, bands=16, threshold=0.5)
     sql["dedup_simhash"] = _simhash_sql(bits=60, max_hamming=3)

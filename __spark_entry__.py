@@ -424,8 +424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_hnsw(spark, sf):
         # per-shard HNSW graphs (Lucene's vector index, Spark-shaped): one
         # applyInPandas build per shard, mapInPandas beam search per query.
-        # Approximate → no SQL oracle (rows-only gate); tests pin recall
-        # >= 0.9 vs the exact scan and bit-determinism across rebuilds
+        # Oracled against the exact cosine scan: HNSW is approximate by
+        # design, but the build is fully deterministic and the top-10 was
+        # VERIFIED identical to the exact scan at sf0.001 and sf0.01 —
+        # an empirically pinned property of this (data, seed, shard count),
+        # not a structural guarantee. ef_search=256 (≈2× shard size) gives
+        # the beam wide margin; if a future graph change ever breaks the
+        # gate, the failure is recall at the k-th boundary, not scoring.
+        # Recall >= 0.9 at other scales stays pinned by tests.
         from nixiesearch_spark.pipeline import hnsw
 
         e = _emb(spark, sf)
@@ -435,7 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hnsw.build_hnsw(e, "vec_id", "embedding", d, n_shards=4)
             _CACHE[key] = d
         qv = _query_vec(spark, sf)
-        return hnsw.hnsw_topk(spark, qv, k=10, ef_search=64, graph_dir=_CACHE[key])
+        return hnsw.hnsw_topk(spark, qv, k=10, ef_search=256, graph_dir=_CACHE[key])
 
     def q_knn_parent_block(spark, sf):
         # parent/child block-join knn: children = embeddings grouped into
@@ -1357,12 +1363,15 @@ LIMIT 10
 """
 
     # HNSW oracle (VERDICT r3 #3): builds are deterministic (hnsw.py
-    # multiplicative-hash levels, insert-in-id-order) and at gate scale
-    # (500 vectors / 4 shards, ef_search=64 ≳ shard size) the beam search is
-    # effectively exhaustive — verified identical to the exact scan at
-    # sf0.001 AND sf0.01 — so the exact cosine top-k (over ALL embeddings:
-    # the graph includes vec_id 0) is a true oracle here. Approximation at
-    # larger scale is covered by the recall≥0.9 pytest, not this gate.
+    # multiplicative-hash levels, insert-in-id-order) and the entry's
+    # top-10 was verified identical to the exact scan at sf0.001 AND
+    # sf0.01 — an empirically pinned equality for this fixed (data, seed,
+    # n_shards=4, ef_search=256) configuration, NOT a structural
+    # guarantee (HNSW is approximate; 500/4 = ~125 vectors per shard, so
+    # the 256-wide beam has ample but not provable margin). The exact
+    # cosine top-k (over ALL embeddings: the graph includes vec_id 0)
+    # therefore serves as the oracle; recall at larger scale is covered by
+    # the recall >= 0.9 pytest, not this gate.
     sql["ann_hnsw_topk"] = """
 WITH x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v

@@ -62,11 +62,13 @@ _SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
 TOKEN_SPLIT_LATIN = "[^0-9A-Za-z_À-ÖØ-öø-ɏ]+"
 _SPLIT_LATIN_RE = re.compile(TOKEN_SPLIT_LATIN)
 
-# Unicode tokenizer class: Latin (as above) + Greek (monotonic letters,
-# listed explicitly so Greek punctuation inside U+0370–03FF — ·, the
-# erotimatiko — stays a delimiter; polytonic block U+1F00–1FFC as a range,
-# its gaps are unassigned code points) + Cyrillic (U+0400–04FF +
-# supplement U+0500–052F — all letters). Still an EXPLICIT literal class:
+# Unicode tokenizer class: Latin (as above) + Greek + Cyrillic LETTERS
+# ONLY — monotonic Greek listed explicitly (Greek punctuation inside
+# U+0370–03FF — ·, the erotimatiko — stays a delimiter), the polytonic
+# block as letter sub-ranges (its standalone accent marks U+1FBD–1FC1,
+# 1FCD–1FCF, 1FDD–1FDF, 1FED–1FEF, 1FFD–1FFE are delimiters), and
+# Cyrillic minus the signs/combining marks U+0482–0489. Still an EXPLICIT
+# literal class:
 # Java regex (Spark), Python re and RE2 (DuckDB) treat code-point ranges
 # over literals identically. Case folding: Python/Spark lower() are the
 # context-free simple mapping (Σ→σ always) but DuckDB's utf8proc lower()
@@ -79,8 +81,14 @@ _SPLIT_LATIN_RE = re.compile(TOKEN_SPLIT_LATIN)
 # standard_unicode / russian / greek analyzers as real tokens.
 TOKEN_SPLIT_UNICODE = (
     "[^0-9A-Za-z_À-ÖØ-öø-ɏ"
-    "Α-ΡΣ-Ωα-ωάέήίόύώΐΰϊϋΆΈΉΊΌΎΏἀ-ῼ"
-    "Ѐ-ӿԀ-ԯ]+"
+    "Α-ΡΣ-Ωα-ωάέήίόύώΐΰϊϋΆΈΉΊΌΎΏ"
+    # polytonic Greek letter sub-ranges (U+1F00–1FFC minus marks and gaps)
+    "ἀ-ἕἘ-Ἕἠ-ὅὈ-Ὅὐ-ὗ"
+    "ὙὛὝὟ-ώᾀ-ᾴᾶ-ᾼι"
+    "ῂ-ῄῆ-ῌῐ-ΐῖ-Ίῠ-Ῥ"
+    "ῲ-ῴῶ-ῼ"
+    # Cyrillic letters (skip U+0482 thousands sign + U+0483–0489 combining)
+    "Ѐ-ҁҊ-ӿԀ-ԯ]+"
 )
 _SPLIT_UNICODE_RE = re.compile(TOKEN_SPLIT_UNICODE)
 

@@ -818,16 +818,14 @@ class IndexBuilder:
                 yield pd.DataFrame(out)
 
         if postings_df is not None:
-            # pack-from-postings-agg: the persisted build aggregation already
-            # carries og and is hash-partitioned on (shard, field, term, og),
-            # so the groupBy below reuses the cached partitions with NO new
-            # exchange — the pack stage costs encode + write only
+            # pack-from-postings-agg: the persisted build aggregation feeds
+            # the pack instead of re-reading the just-written parquet. The
+            # (shard, field, term, og) regroup below still shuffles (the
+            # cache is partitioned on the 6-key agg hash) — what this saves
+            # is the full-index read, which on object-store deployments is
+            # a network round trip (local disk: measured a wash, r4).
             postings = postings_df
-            og_key = (
-                F.col("og")
-                if "og" in postings_df.columns
-                else F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").alias("og")
-            )
+            og_key = F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").alias("og")
         else:
             postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
             og_key = F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").alias("og")

@@ -298,6 +298,7 @@ def insert_hnsw(
         )
 
     tmp = graph_dir + ".inserting"
+    shutil.rmtree(tmp, ignore_errors=True)
     (
         u.groupBy("shard")
         .applyInPandas(upsert, schema=GRAPH_SCHEMA)
@@ -306,12 +307,25 @@ def insert_hnsw(
         .parquet(tmp)
     )
     # swap ONLY the touched shard partition dirs; every other shard's files
-    # are untouched bytes on disk
-    for sd in os.listdir(tmp):
-        if sd.startswith("shard="):
-            dst = os.path.join(graph_dir, sd)
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.move(os.path.join(tmp, sd), dst)
+    # are untouched bytes on disk. Rename-first protocol: the old shard is
+    # moved aside (atomic rename) BEFORE the replacement moves in, so no
+    # point in time has the only copy deleted — a crash between the two
+    # renames leaves the old data recoverable under shard=N.old. The
+    # remaining reader-visibility window is the same single-writer gap the
+    # rest of the engine documents (incremental._swap_rows_in_place); a
+    # real deployment closes it with an Iceberg/snapshot commit.
+    for sd in sorted(os.listdir(tmp)):
+        if not sd.startswith("shard="):
+            continue
+        dst = os.path.join(graph_dir, sd)
+        # aside-dir lives OUTSIDE the table root so a crash leftover never
+        # pollutes hive partition discovery
+        old = f"{graph_dir}.old.{sd}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        shutil.move(os.path.join(tmp, sd), dst)
+        shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return touched
 

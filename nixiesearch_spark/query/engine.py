@@ -103,26 +103,37 @@ class Searcher:
 
     PLAN_CACHE_MAX = 256
 
-    def _index_version(self) -> tuple:
+    def _index_version(self) -> tuple | None:
         """Cache-invalidation token: stats seqnum + tombstone-dir mtime (a
-        delete between queries must evict every cached plan)."""
+        delete between queries must evict every cached plan). On a
+        NON-local index dir the mtime probe can't see mutations at all —
+        return None and the callers skip plan caching entirely (correctness
+        over speed; local file: deployments, including spark-submit ones,
+        keep the cache)."""
         import os as _os
 
+        if not _os.path.isdir(self.reader.index_dir):
+            return None  # object-store / remote index — mtime can't be probed
         try:
             tmt = _os.path.getmtime(_os.path.join(self.reader.index_dir, "tombstones"))
         except OSError:
-            tmt = 0.0
+            tmt = 0.0  # local dir, no tombstones yet
         return (self.reader.stats.get("seqnum"), tmt)
 
-    def _plan_key(self, *parts) -> tuple:
+    def _plan_key(self, *parts) -> tuple | None:
+        """None = caching unavailable (non-probeable index dir)."""
         import json as _json
+
+        version = self._index_version()
+        if version is None:
+            return None
 
         def canon(x):
             if isinstance(x, dict):
                 return _json.dumps(x, sort_keys=True, default=repr)
             return repr(x)
 
-        return tuple(canon(p) for p in parts) + (self._index_version(),)
+        return tuple(canon(p) for p in parts) + (version,)
 
     def _cache_plan(self, key: tuple, df: DataFrame) -> DataFrame:
         if key not in self._plan_cache and len(self._plan_cache) >= self.PLAN_CACHE_MAX:

@@ -81,6 +81,40 @@ def _prev_sql(x: str, n: int) -> str:
     """1-based substr index of the char just before an n-char suffix."""
     return f"substr({x}, length({x}) - {n}, 1)"
 
+def _rv_std_py(w: str, vowels: str) -> int:
+    """The standard Snowball RV rule (Spanish/Italian/Portuguese): second
+    letter consonant → after the next vowel; first two letters vowels →
+    after the next consonant; else (consonant-vowel) → after the third
+    letter."""
+    V = vowels
+    if len(w) < 2:
+        return _BIG
+    if w[1] not in V:
+        m = re.match(f"^..[^{V}]*[{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    if w[0] in V:
+        m = re.match(f"^..[{V}]*[^{V}]", w)
+        return len(m.group(0)) if m else _BIG
+    return 3 if len(w) > 3 else _BIG
+
+
+def _rv_std_sql(x: str, vowels: str) -> str:
+    """SQL form of :func:`_rv_std_py` — one spelling for every language."""
+    V = vowels
+    p1 = f"^..[^{V}]*[{V}]"
+    p2 = f"^..[{V}]*[^{V}]"
+    c1 = f"contains('{V}', substr({x}, 1, 1))"
+    c2 = f"contains('{V}', substr({x}, 2, 1))"
+    return (
+        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
+        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
+        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
+        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
+        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
+        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
+    )
+
+
 
 # ---- prelude consonant-marking: Snowball's single left-to-right scan.
 # Each language supplies mark(prev, c, nxt) — prev is the EVOLVING previous
@@ -881,16 +915,7 @@ _ES_S3 = sorted(
 
 
 def _es_rv_py(w: str) -> int:
-    V = ES_VOWELS
-    if len(w) < 2:
-        return _BIG
-    if w[1] not in V:
-        m = re.match(f"^..[^{V}]*[{V}]", w)
-        return len(m.group(0)) if m else _BIG
-    if w[0] in V:
-        m = re.match(f"^..[{V}]*[^{V}]", w)
-        return len(m.group(0)) if m else _BIG
-    return 3 if len(w) > 3 else _BIG
+    return _rv_std_py(w, ES_VOWELS)
 
 
 def spanish_py(word: str) -> str:
@@ -1024,19 +1049,7 @@ def spanish_py(word: str) -> str:
 
 
 def _es_rv_sql(x: str) -> str:
-    V = ES_VOWELS
-    p1 = f"^..[^{V}]*[{V}]"
-    p2 = f"^..[{V}]*[^{V}]"
-    c1 = f"contains('{V}', substr({x}, 1, 1))"
-    c2 = f"contains('{V}', substr({x}, 2, 1))"
-    return (
-        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
-        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
-        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
-        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
-        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
-        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
-    )
+    return _rv_std_sql(x, ES_VOWELS)
 
 
 def _es_step0_sql(x: str) -> str:
@@ -1272,16 +1285,7 @@ def _it_prelude_py(w: str) -> str:
 
 
 def _it_rv_py(w: str) -> int:
-    V = IT_VOWELS
-    if len(w) < 2:
-        return _BIG
-    if w[1] not in V:
-        m = re.match(f"^..[^{V}]*[{V}]", w)
-        return len(m.group(0)) if m else _BIG
-    if w[0] in V:
-        m = re.match(f"^..[{V}]*[^{V}]", w)
-        return len(m.group(0)) if m else _BIG
-    return 3 if len(w) > 3 else _BIG
+    return _rv_std_py(w, IT_VOWELS)
 
 
 def italian_py(word: str) -> str:
@@ -1381,19 +1385,7 @@ def italian_py(word: str) -> str:
 
 
 def _it_rv_sql(x: str) -> str:
-    V = IT_VOWELS
-    p1 = f"^..[^{V}]*[{V}]"
-    p2 = f"^..[{V}]*[^{V}]"
-    c1 = f"contains('{V}', substr({x}, 1, 1))"
-    c2 = f"contains('{V}', substr({x}, 2, 1))"
-    return (
-        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
-        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
-        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
-        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
-        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
-        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
-    )
+    return _rv_std_sql(x, IT_VOWELS)
 
 
 def _it_step0_sql(x: str) -> str:
@@ -1591,7 +1583,7 @@ def _pt_postlude_py(w: str) -> str:
 
 def portuguese_py(word: str) -> str:
     w = _pt_prelude_py(word)
-    rv = _es_rv_py_generic(w, PT_VOWELS)
+    rv = _rv_std_py(w, PT_VOWELS)
     r1, r2 = _r1r2_py(w, PT_VOWELS)
 
     # step 1: standard suffixes — surface longest-match among, region
@@ -1691,37 +1683,11 @@ def portuguese_py(word: str) -> str:
     return _pt_postlude_py(w)
 
 
-def _es_rv_py_generic(w: str, vowels: str) -> int:
-    """The Spanish/Portuguese RV rule for an arbitrary vowel set."""
-    V = vowels
-    if len(w) < 2:
-        return _BIG
-    if w[1] not in V:
-        m = re.match(f"^..[^{V}]*[{V}]", w)
-        return len(m.group(0)) if m else _BIG
-    if w[0] in V:
-        m = re.match(f"^..[{V}]*[^{V}]", w)
-        return len(m.group(0)) if m else _BIG
-    return 3 if len(w) > 3 else _BIG
-
-
 # ---- portuguese SQL form
 
 
 def _pt_rv_sql(x: str) -> str:
-    V = PT_VOWELS
-    p1 = f"^..[^{V}]*[{V}]"
-    p2 = f"^..[{V}]*[^{V}]"
-    c1 = f"contains('{V}', substr({x}, 1, 1))"
-    c2 = f"contains('{V}', substr({x}, 2, 1))"
-    return (
-        f"CASE WHEN length({x}) < 2 THEN {_BIG} "
-        f"WHEN NOT {c2} THEN (CASE WHEN regexp_matches({x}, '{p1}') "
-        f"THEN length(regexp_extract({x}, '{p1}')) ELSE {_BIG} END) "
-        f"WHEN {c1} THEN (CASE WHEN regexp_matches({x}, '{p2}') "
-        f"THEN length(regexp_extract({x}, '{p2}')) ELSE {_BIG} END) "
-        f"WHEN length({x}) > 3 THEN 3 ELSE {_BIG} END"
-    )
+    return _rv_std_sql(x, PT_VOWELS)
 
 
 def _pt_step1_sql(x: str) -> str:

@@ -20,10 +20,17 @@ SAMPLES = [
     "ΑΣ ΤΕΛΟΣ",  # final-sigma context: simple mapping σ, never ς
     "mixed русский and english λέξεις 42_x",
     "ёлки Ёлки ЙОД йод",
+    "ὅτ᾽ἦλθε ῥᾴδιος",  # koronis U+1FBD is a delimiter; polytonic letters survive
+    "сло҂во зна҃ки",  # Cyrillic thousands sign + titlo are delimiters
     "",
     "!!! £€ ---",
     None,
 ]
+
+
+def test_marks_are_delimiters():
+    assert tokenize_unicode_py("ὅτ᾽ἦλθε") == ["ὅτ", "ἦλθε"]
+    assert tokenize_unicode_py("сло҂во") == ["сло", "во"]
 
 
 def test_python_vs_catalyst(spark):

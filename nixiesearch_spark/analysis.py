@@ -70,12 +70,13 @@ _SPLIT_LATIN_RE = re.compile(TOKEN_SPLIT_LATIN)
 # Cyrillic minus the signs/combining marks U+0482–0489. Still an EXPLICIT
 # literal class:
 # Java regex (Spark), Python re and RE2 (DuckDB) treat code-point ranges
-# over literals identically. Case folding: Python/Spark lower() are the
-# context-free simple mapping (Σ→σ always) but DuckDB's utf8proc lower()
-# applies the contextual final-sigma rule (ΑΣ→ας) — AND written Greek
-# itself ends words in ς, so "τέλος" and "ΤΕΛΟΣ" would otherwise lower to
-# different tokens. All three forms therefore normalize ς→σ after
-# lowercasing — exactly what Lucene's GreekLowerCaseFilter does. This is
+# over literals identically. Case folding: Python str.lower and DuckDB's
+# utf8proc apply the CONTEXTUAL final-sigma rule (ΑΣ→ας) while Spark's
+# UTF8String uses the simple per-code-point mapping (ΑΣ→ασ) — AND written
+# Greek itself ends words in ς, so "τέλος" and "ΤΕΛΟΣ" would lower to
+# different tokens regardless. All three forms therefore normalize ς→σ
+# after lowercasing — exactly what Lucene's GreekLowerCaseFilter does —
+# which makes the engines identical AND canonicalizes the σ/ς pair. This is
 # the UAX#29-equivalent upgrade path for the reference's default
 # StandardAnalyzer (Language.scala:57): Greek/Cyrillic text survives the
 # standard_unicode / russian / greek analyzers as real tokens.
@@ -226,7 +227,7 @@ LANG_STOPWORDS = {
         "de", "het", "een", "en", "of", "maar", "is", "zijn", "was",
         "niet", "met", "van", "te", "in", "op", "aan", "voor", "naar",
         "bij", "uit", "over", "onder", "dat", "die", "deze", "dit",
-        "er", "ook", "als", "dan", "om", "door", "naar", "hij", "zij",
+        "er", "ook", "als", "dan", "om", "door", "tot", "hij", "zij",
         "we", "ze", "ik", "je", "u", "hun", "haar", "hem", "wordt",
     ],
     # stopword-only chains over the unicode tokenizer (no stemmer yet —
@@ -237,10 +238,13 @@ LANG_STOPWORDS = {
         "у", "же", "вы", "за", "бы", "по", "только", "ее", "мне",
         "было", "вот", "от", "меня", "еще", "нет", "о", "из", "ему",
     ],
+    # stored SIGMA-NORMALIZED (τησ, ωσ — not της, ως): the stop filter
+    # runs after the tokenizer's ς→σ normalization, matching Lucene's
+    # GreekAnalyzer whose stop set is post-GreekLowerCaseFilter form
     "greek": [
-        "ο", "η", "το", "οι", "τα", "του", "της", "των", "τον", "την",
+        "ο", "η", "το", "οι", "τα", "του", "τησ", "των", "τον", "την",
         "και", "να", "με", "σε", "για", "είναι", "από", "δεν", "θα",
-        "που", "αυτό", "στο", "στη", "ως", "αν", "ή",
+        "που", "αυτό", "στο", "στη", "ωσ", "αν", "ή",
     ],
 }
 

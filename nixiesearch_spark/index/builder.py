@@ -325,6 +325,9 @@ class IndexBuilder:
             and len(shards) == c.n_shards
             and not os.path.isdir(os.path.join(index_dir, "postings"))
         )
+        prev = getattr(self, "_full_postings", None)
+        if prev is not None:  # builder reuse: release the orphan cache first
+            prev[0].unpersist(blocking=False)
         self._full_postings = None
         postings = exploded.groupBy(
             "shard", "field", "term", "docid", "ordinal", "norm"
@@ -581,30 +584,35 @@ class IndexBuilder:
         prev_pack_avgdl = prev_stats.get("pack_avgdl")
         do_pack = c.quantize and pack
         pack_avgdl, pack_mode, new_files = prev_pack_avgdl, "skip", None
-        if do_pack:
-            pack_avgdl, pack_mode, new_files = self._pack_or_repack(index_dir, fields)
-        stats = {
-            "fields": fields,
-            "analyzers": {f: c.analyzers.get(f, "standard") for f in c.text_fields},
-            "quantize": c.quantize,
-            "n_shards": c.n_shards,
-            "block_size": c.block_size,
-            "tokenizer": TOKENIZER_VERSION,
-            "seqnum": seqnum,
-            # seqnum the packed table was built at; < seqnum ⇒ WAND stale
-            "packed_seqnum": seqnum if do_pack else prev_packed,
-            # avgdl the packed max_impact bounds were computed at: WAND
-            # scales bounds by max(1, avgdl_now / pack_avgdl) so incremental
-            # packs stay sound under avgdl drift (query/wand.py)
-            "pack_avgdl": pack_avgdl,
-        }
-        self._refresh_dictionary(index_dir, pack_mode, new_files)
-        with open(os.path.join(index_dir, "stats.json"), "w") as f:
-            json.dump(stats, f, indent=2)
-        cached = getattr(self, "_full_postings", None)
-        if cached is not None:  # build-lifetime cache, done after the pack
-            cached[0].unpersist(blocking=False)
-            self._full_postings = None
+        try:
+            if do_pack:
+                pack_avgdl, pack_mode, new_files = self._pack_or_repack(index_dir, fields)
+            stats = {
+                "fields": fields,
+                "analyzers": {f: c.analyzers.get(f, "standard") for f in c.text_fields},
+                "quantize": c.quantize,
+                "n_shards": c.n_shards,
+                "block_size": c.block_size,
+                "tokenizer": TOKENIZER_VERSION,
+                "seqnum": seqnum,
+                # seqnum the packed table was built at; < seqnum ⇒ WAND stale
+                "packed_seqnum": seqnum if do_pack else prev_packed,
+                # avgdl the packed max_impact bounds were computed at: WAND
+                # scales bounds by max(1, avgdl_now / pack_avgdl) so incremental
+                # packs stay sound under avgdl drift (query/wand.py)
+                "pack_avgdl": pack_avgdl,
+            }
+            self._refresh_dictionary(index_dir, pack_mode, new_files)
+            with open(os.path.join(index_dir, "stats.json"), "w") as f:
+                json.dump(stats, f, indent=2)
+        finally:
+            # build-lifetime cache: released even when the pack throws —
+            # a leaked MEMORY_AND_DISK full-index aggregation would pin
+            # executor storage for the application lifetime
+            cached = getattr(self, "_full_postings", None)
+            if cached is not None:
+                cached[0].unpersist(blocking=False)
+                self._full_postings = None
         return stats
 
     def _refresh_dictionary(self, index_dir: str, pack_mode: str, new_files) -> None:

@@ -114,11 +114,15 @@ class Searcher:
 
         if not _os.path.isdir(self.reader.index_dir):
             return None  # object-store / remote index — mtime can't be probed
+        tpath = _os.path.join(self.reader.index_dir, "tombstones")
         try:
-            tmt = _os.path.getmtime(_os.path.join(self.reader.index_dir, "tombstones"))
+            # mtime alone is too coarse on 1s-granularity filesystems (two
+            # deletes in one tick would collide) — fold in the file listing
+            names = sorted(_os.listdir(tpath))
+            tver = (_os.path.getmtime(tpath), tuple(names))
         except OSError:
-            tmt = 0.0  # local dir, no tombstones yet
-        return (self.reader.stats.get("seqnum"), tmt)
+            tver = None  # local dir, no tombstones yet
+        return (self.reader.stats.get("seqnum"), tver)
 
     def _plan_key(self, *parts) -> tuple | None:
         """None = caching unavailable (non-probeable index dir)."""
@@ -380,6 +384,10 @@ class Searcher:
             "path": path,
             "centroids": np.asarray(centroids, dtype=np.float64),
             "n_probe": int(n_probe),
+            # the ANN table's own row count drives num_candidates→probes
+            # (the text corpus size is the wrong denominator when vector
+            # coverage is partial); one count job at attach time
+            "n_vecs": int(self.spark.read.parquet(path).count()),
         }
         self._plan_cache.clear()  # knn plans for this field change shape
 
@@ -396,18 +404,14 @@ class Searcher:
             raise ValueError("knn query_vector must be non-empty")
         cents = ann["centroids"]
         nlist = len(cents)
-        doc_count = max(
-            (f.get("doc_count", 0) for f in self.reader.stats.get("fields", {}).values()),
-            default=0,
-        )
         n_probe = ann["n_probe"]
-        if doc_count:
+        if ann.get("n_vecs"):
             import math
 
-            # expected candidates per probe ≈ doc_count/nlist; probe enough
+            # expected candidates per probe ≈ n_vecs/nlist; probe enough
             # buckets that the pool covers the query's candidate budget
             n_probe = max(
-                n_probe, math.ceil(q.final_k * nlist / max(doc_count, 1))
+                n_probe, math.ceil(q.final_k * nlist / ann["n_vecs"])
             )
         n_probe = min(n_probe, nlist)
         probes = ivf_probes(q.query_vector, cents, n_probe)

@@ -1135,9 +1135,12 @@ LIMIT 10
 
     from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_UNICODE
 
+    from nixiesearch_spark.snowball import russian_sql_ctes
+
     ru_terms = analyzer_py("russian")("данные и индекс")
     ru_vocab = "[" + ",".join(f"'{w}'" for w in RU_VOCAB) + "]"
     ru_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["russian"]) + "]"
+    ru_stem_ctes = russian_sql_ctes("tok_raw", "tok_f", "rusb_").strip().rstrip(",").strip()
     nvoc = len(RU_VOCAB)
     sql["bm25_match_russian"] = f"""
 WITH base AS (
@@ -1147,12 +1150,13 @@ WITH base AS (
     ({ru_vocab})[((doc_id * 5 + 2) % {nvoc}) + 1]) AS t
   FROM documents
 ),
-tok_f AS (
+tok_raw AS (
   SELECT doc_id, x.term
   FROM base, unnest(list_filter(
     regexp_split_to_array(translate(lower(substr(t,1,32000)), 'ς', 'σ'), '{TOKEN_SPLIT_UNICODE}'),
     x -> x <> '' AND length(x) <= 255 AND NOT list_contains({ru_stops}, x))) AS x(term)
 ),
+{ru_stem_ctes},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(ru_terms, "text_ru").strip()}

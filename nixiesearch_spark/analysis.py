@@ -326,6 +326,12 @@ def _dutch_stem(t: str) -> str:
     return dutch_py(t)
 
 
+def _russian_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import russian_py
+
+    return russian_py(t)
+
+
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
@@ -390,11 +396,13 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
     ),
-    # unicode-class chains — pure Catalyst (no UDF): tokenizer + stopwords
+    # unicode-class chains: standard_unicode/greek are pure Catalyst
+    # (tokenizer + stopwords, no UDF); russian is the full Lucene
+    # RussianAnalyzer analog (stop + Snowball Russian stemmer)
     "standard_unicode": (tokenize_unicode_col, tokenize_unicode_py),
     "russian": (
-        _stop_col(LANG_STOPWORDS["russian"], tokenize_unicode_col),
-        _stop_py(LANG_STOPWORDS["russian"], tokenize_unicode_py),
+        _stem_col(LANG_STOPWORDS["russian"], _russian_stem, tokenize_unicode_py),
+        _stem_py(LANG_STOPWORDS["russian"], _russian_stem, tokenize_unicode_py),
     ),
     "greek": (
         _stop_col(LANG_STOPWORDS["greek"], tokenize_unicode_col),
@@ -405,7 +413,10 @@ ANALYZERS = {
 
 # analyzers whose column form is an Arrow pandas_udf (cannot run inside
 # F.transform lambdas — text[] fields concat items first for these)
-UDF_ANALYZERS = {"english", "german", "french", "spanish", "italian", "portuguese", "dutch"}
+UDF_ANALYZERS = {
+    "english", "german", "french", "spanish", "italian", "portuguese",
+    "dutch", "russian",
+}
 
 
 def analyzer_col(name: str):

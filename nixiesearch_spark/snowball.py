@@ -2084,3 +2084,236 @@ def dutch_sql_ctes(src: str, out: str, p: str = "nl_") -> str:
 {p}s3b AS MATERIALIZED (SELECT doc_id, {_nl_step3b_sql("term")} AS term FROM {p}s3a),
 {out} AS MATERIALIZED (SELECT doc_id, {post} AS term FROM (SELECT doc_id, {_nl_step4_sql("term")} AS term FROM {p}s3b))
 """
+
+
+# ------------------------------------------------------------------ russian
+# Published Snowball Russian algorithm (snowballstem.org; the reference
+# binds Lucene's RussianAnalyzer, config/mapping/Language.scala:91).
+# Vowels а е и о у ы э ю я; prelude ё → е; RV = region after the first
+# vowel; R2 standard. EVERY suffix test — including the а/я that must
+# precede a group-1 gerund/participle/verb ending — runs inside RV
+# (ru.sbl wraps the whole backwards section in `setlimit tomark pV`).
+
+RU_VOWELS = "аеиоуыэюя"
+
+_RU_PGERUND_1 = ["вшись", "вши", "в"]  # preceded by а/я (in RV)
+_RU_PGERUND_2 = ["ившись", "ывшись", "ивши", "ывши", "ив", "ыв"]
+_RU_ADJ = sorted(
+    ["ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+     "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую", "юю",
+     "ая", "яя", "ою", "ею"],
+    key=len, reverse=True,
+)
+_RU_PART_1 = ["ем", "нн", "вш", "ющ", "щ"]  # preceded by а/я (in RV)
+_RU_PART_2 = ["ивш", "ывш", "ующ"]
+_RU_VERB_1 = ["ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло",
+              "но", "ет", "ют", "ны", "ть", "ешь", "нно"]  # preceded by а/я
+_RU_VERB_2 = ["ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+              "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+              "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть",
+              "ишь", "ую", "ю"]
+_RU_NOUN = ["а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи",
+            "ии", "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием",
+            "ем", "ам", "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию",
+            "ью", "ю", "ия", "ья", "я"]
+
+
+def _ru_rv_py(w: str) -> int:
+    for i, ch in enumerate(w):
+        if ch in RU_VOWELS:
+            return i + 1
+    return _BIG
+
+
+def _ru_try(w: str, rv: int, g1: list[str], g2: list[str]) -> str | None:
+    """Longest among over g1∪g2 within RV; g1 entries additionally need а/я
+    immediately before (itself inside RV). Among semantics: the longest
+    surface match within RV decides; a failed g1 а/я test means NO removal
+    (no backtracking to shorter suffixes)."""
+    for suf in sorted(set(g1) | set(g2), key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= rv):
+            continue
+        if suf in g2:
+            return w[:pos]
+        # group 1 (may also be in g2 — g2 takes precedence above)
+        if pos >= rv + 1 and w[pos - 1] in "ая":
+            return w[:pos]
+        return None
+    return None
+
+
+def russian_py(word: str) -> str:
+    w = word.replace("ё", "е")
+    rv = _ru_rv_py(w)
+    _, r2 = _r1r2_py(w, RU_VOWELS)
+
+    # step 1: perfective gerund, else (reflexive?) adjectival | verb | noun
+    out = _ru_try(w, rv, _RU_PGERUND_1, _RU_PGERUND_2)
+    if out is not None:
+        w = out
+    else:
+        for suf in ("ся", "сь"):
+            if w.endswith(suf) and len(w) - len(suf) >= rv:
+                w = w[: -len(suf)]
+                break
+        # adjectival = adjective, then optionally a participle before it
+        done = False
+        for suf in _RU_ADJ:
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= rv:
+                w = w[:pos]
+                p = _ru_try(w, rv, _RU_PART_1, _RU_PART_2)
+                if p is not None:
+                    w = p
+                done = True
+                break
+        if not done:
+            out = _ru_try(w, rv, _RU_VERB_1, _RU_VERB_2)
+            if out is not None:
+                w = out
+            else:
+                for suf in sorted(set(_RU_NOUN), key=len, reverse=True):
+                    pos = len(w) - len(suf)
+                    if w.endswith(suf) and pos >= rv:
+                        w = w[:pos]
+                        break
+
+    # step 2: trailing и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational ост/ость in R2
+    for suf in ("ость", "ост"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and pos >= r2:
+            w = w[:pos]
+            break
+
+    # step 4: ейш(е) removal then undouble н; or undouble н; or drop ь
+    done4 = False
+    for suf in ("ейше", "ейш"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and pos >= rv:
+            w = w[:pos]
+            done4 = True
+            break
+    # undouble н: the [substring] 'н' match AND the preceding-н test both
+    # run inside the RV limit — so the SECOND н must be in RV too
+    if w.endswith("нн") and len(w) - 2 >= rv:
+        w = w[:-1]
+    elif not done4 and w.endswith("ь") and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w
+
+
+# ---- russian SQL form
+
+
+def _ru_rv_sql(x: str) -> str:
+    V = RU_VOWELS
+    p = f"^[^{V}]*[{V}]"
+    return (
+        f"CASE WHEN regexp_matches({x}, '{p}') "
+        f"THEN length(regexp_extract({x}, '{p}')) ELSE {_BIG} END"
+    )
+
+
+def _ru_try_sql(x: str, g1: list[str], g2: list[str]) -> str:
+    """CASE expression applying the RV-limited among over g1∪g2 (see
+    _ru_try); yields the stripped word or {x} unchanged."""
+    g2set = set(g2)
+    cases = []
+    for suf in sorted(set(g1) | g2set, key=len, reverse=True):
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf in g2set:
+            act = st
+        else:
+            act = (
+                f"CASE WHEN {pos} >= rv + 1 "
+                f"AND {_prev_sql(x, n)} IN ('а', 'я') THEN {st} ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _ru_suffix_sql(x: str, sufs: list[str]) -> str:
+    """Plain RV-limited delete-among (reflexive / noun / step amongs)."""
+    cases = []
+    for suf in sorted(set(sufs), key=len, reverse=True):
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN {_strip(x, n)}"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _ru_adjectival_sql(x: str) -> str:
+    """Adjective among; on a hit, apply the participle among to the rest."""
+    cases = []
+    for suf in _RU_ADJ:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        part = _ru_try_sql(st, _RU_PART_1, _RU_PART_2)
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({part})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def russian_sql_ctes(src: str, out: str, p: str = "ru_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out`` with the
+    Russian flow. No recursive scan (prelude is a plain ё→е replace);
+    step-1 alternatives ride as marker columns so each among fires at most
+    once, mirroring russian_py exactly."""
+    _, r2 = _r1r2_sql("term", RU_VOWELS)
+    pg = _ru_try_sql("term", _RU_PGERUND_1, _RU_PGERUND_2)
+    refl = _ru_suffix_sql("term", ["ся", "сь"])
+    adjectival = _ru_adjectival_sql("term")
+    verb = _ru_try_sql("term", _RU_VERB_1, _RU_VERB_2)
+    noun = _ru_suffix_sql("term", _RU_NOUN)
+    step2 = (
+        "CASE WHEN ends_with(term, 'и') AND length(term) - 1 >= rv "
+        f"THEN {_strip('term', 1)} ELSE term END"
+    )
+    step3 = (
+        "CASE WHEN ends_with(term, 'ость') AND length(term) - 4 >= r2 "
+        f"THEN {_strip('term', 4)} "
+        "WHEN ends_with(term, 'ост') AND length(term) - 3 >= r2 "
+        f"THEN {_strip('term', 3)} ELSE term END"
+    )
+    eish = (
+        "CASE WHEN ends_with(term, 'ейше') AND length(term) - 4 >= rv "
+        f"THEN {_strip('term', 4)} "
+        "WHEN ends_with(term, 'ейш') AND length(term) - 3 >= rv "
+        f"THEN {_strip('term', 3)} ELSE term END"
+    )
+    step4 = (
+        "CASE WHEN ends_with(term, 'нн') AND length(term) - 2 >= rv "
+        f"THEN {_strip('term', 1)} "
+        "WHEN NOT e4 AND ends_with(term, 'ь') AND length(term) - 1 >= rv "
+        f"THEN {_strip('term', 1)} ELSE term END"
+    )
+    return f"""
+{p}pre AS MATERIALIZED (SELECT doc_id, replace(term, 'ё', 'е') AS term FROM {src}),
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {_ru_rv_sql("term")} AS rv, {r2} AS r2 FROM {p}pre),
+{p}pg AS MATERIALIZED (SELECT doc_id, rv, r2, term AS t0, {pg} AS term FROM {p}sr),
+{p}pgb AS MATERIALIZED (SELECT doc_id, rv, r2, term, (term <> t0) AS g FROM {p}pg),
+{p}rf AS MATERIALIZED (SELECT doc_id, rv, r2, g,
+  CASE WHEN NOT g THEN {refl} ELSE term END AS term FROM {p}pgb),
+{p}aj AS MATERIALIZED (SELECT doc_id, rv, r2, g, term AS t0,
+  CASE WHEN NOT g THEN {adjectival} ELSE term END AS term FROM {p}rf),
+{p}ajb AS MATERIALIZED (SELECT doc_id, rv, r2, term, g, (NOT g AND term <> t0) AS a FROM {p}aj),
+{p}vb AS MATERIALIZED (SELECT doc_id, rv, r2, g, a, term AS t0,
+  CASE WHEN NOT g AND NOT a THEN {verb} ELSE term END AS term FROM {p}ajb),
+{p}vbb AS MATERIALIZED (SELECT doc_id, rv, r2, term, g, a, (NOT g AND NOT a AND term <> t0) AS v FROM {p}vb),
+{p}nn AS MATERIALIZED (SELECT doc_id, rv, r2,
+  CASE WHEN NOT g AND NOT a AND NOT v THEN {noun} ELSE term END AS term FROM {p}vbb),
+{p}s2 AS MATERIALIZED (SELECT doc_id, rv, r2, {step2} AS term FROM {p}nn),
+{p}s3 AS MATERIALIZED (SELECT doc_id, rv, r2, {step3} AS term FROM {p}s2),
+{p}e4 AS MATERIALIZED (SELECT doc_id, rv, term AS t0, {eish} AS term FROM {p}s3),
+{p}e4b AS MATERIALIZED (SELECT doc_id, rv, term, (term <> t0) AS e4 FROM {p}e4),
+{out} AS MATERIALIZED (SELECT doc_id, {step4} AS term FROM {p}e4b)
+"""

@@ -67,8 +67,9 @@ def test_python_vs_duckdb():
 
 
 def test_russian_greek_chains():
+    # russian = full chain (stop + Snowball Russian stemmer)
     assert analyzer_py("russian")("Данные и индекс на потоке") == [
-        "данные", "индекс", "потоке",
+        "дан", "индекс", "поток",
     ]
     # final sigma canonicalizes to σ (GreekLowerCaseFilter semantics)
     assert analyzer_py("greek")("τα δεδομένα και ο δείκτης") == [

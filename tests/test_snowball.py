@@ -17,6 +17,8 @@ from hypothesis import strategies as st
 from nixiesearch_spark.snowball import (
     dutch_py,
     dutch_sql_ctes,
+    russian_py,
+    russian_sql_ctes,
     french_py,
     french_sql_ctes,
     german_py,
@@ -137,6 +139,52 @@ DUTCH_CASES = {
     # untouched
     "de": "de", "stream": "stream",
 }
+
+
+RUSSIAN_CASES = {
+    # step 1 alternatives: adjectival (+participle), verb, noun — all in RV
+    "данные": "дан", "таблицы": "таблиц", "потоке": "поток",
+    "запросов": "запрос", "быстрый": "быстр", "работающий": "работа",
+    "записывается": "записыва", "книгами": "книг", "делавшийся": "дела",
+    # step 3 R2 + step 4 (ейш / undouble н / ь)
+    "скорость": "скорост", "красивейший": "красив",
+    # prelude ё→е
+    "ёлки": "елк",
+    # untouched
+    "индекс": "индекс", "и": "и",
+}
+
+
+def test_russian_spec_cases():
+    bad = {
+        w: (russian_py(w), want)
+        for w, want in RUSSIAN_CASES.items()
+        if russian_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_russian_sql_equals_python():
+    words = list(RUSSIAN_CASES) + [
+        "", "н", "нн", "ннн", "ь", "ться", "важнейший", "возможности",
+        "пользователями", "программирование", "исследований", "связанные",
+        "русский", "понимает", "читавшись", "погулявши", "mixed", "ascii",
+    ]
+    got = _sql_stem(words, russian_sql_ctes)
+    want = [russian_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+CYRILLIC = "абвгдежзийклмнопрстуфхцчшщъыьэюяё"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=CYRILLIC, min_size=0, max_size=12), min_size=1, max_size=30))
+def test_russian_two_form_identity_random(words):
+    got = _sql_stem(words, russian_sql_ctes)
+    want = [russian_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
 
 
 def test_portuguese_spec_cases():

@@ -254,6 +254,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "dutch"})
         return _as_docid(s.search(MatchQuery("text", "filteren joinen streamen"), size=10))
 
+    def q_match_swedish(spark, sf):
+        # Snowball Swedish: parten/streamen/datas stem to part/stream/dat,
+        # matching corpus part/stream/data stems
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "swedish"})
+        return _as_docid(s.search(MatchQuery("text", "parten streamen datas"), size=10))
+
+    def q_match_norwegian(spark, sf):
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "norwegian"})
+        return _as_docid(s.search(MatchQuery("text", "parten streamene datas"), size=10))
+
+    def q_match_danish(spark, sf):
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "danish"})
+        return _as_docid(s.search(MatchQuery("text", "parterne streamet datas"), size=10))
+
     def q_match_russian(spark, sf):
         # russian chain = unicode (Cyrillic-aware) tokenizer + stopwords,
         # pure Catalyst — non-Latin text survives indexing and querying
@@ -842,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_portuguese": q_match_portuguese,
         "bm25_match_dutch": q_match_dutch,
         "bm25_match_russian": q_match_russian,
+        "bm25_match_swedish": q_match_swedish,
+        "bm25_match_norwegian": q_match_norwegian,
+        "bm25_match_danish": q_match_danish,
         "bm25_match_filtered_datetime": q_match_filtered_datetime,
         "bm25_match_textlist": q_match_textlist,
         "ce_rerank": q_ce_rerank,
@@ -1134,6 +1151,20 @@ LIMIT 10
 """
 
     from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_UNICODE
+
+    for _lang, _q in (
+        ("swedish", "parten streamen datas"),
+        ("norwegian", "parten streamene datas"),
+        ("danish", "parterne streamet datas"),
+    ):
+        _terms = analyzer_py(_lang)(_q)
+        sql[f"bm25_match_{_lang}"] = f"""
+WITH RECURSIVE {_bm25_full_lang(_terms, _lang)}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
 
     from nixiesearch_spark.snowball import russian_sql_ctes
 
@@ -1764,12 +1795,15 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
     the python form the engine builds/queries with)."""
     from nixiesearch_spark.analysis import LANG_STOPWORDS, TOKEN_SPLIT_LATIN
     from nixiesearch_spark.snowball import (
+        danish_sql_ctes,
         dutch_sql_ctes,
         french_sql_ctes,
         german_sql_ctes,
         italian_sql_ctes,
+        norwegian_sql_ctes,
         portuguese_sql_ctes,
         spanish_sql_ctes,
+        swedish_sql_ctes,
     )
 
     ctes_fn = {
@@ -1779,6 +1813,9 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         "italian": italian_sql_ctes,
         "portuguese": portuguese_sql_ctes,
         "dutch": dutch_sql_ctes,
+        "swedish": swedish_sql_ctes,
+        "norwegian": norwegian_sql_ctes,
+        "danish": danish_sql_ctes,
     }[lang]
     stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
     p = prefix

@@ -230,8 +230,23 @@ LANG_STOPWORDS = {
         "er", "ook", "als", "dan", "om", "door", "tot", "hij", "zij",
         "we", "ze", "ik", "je", "u", "hun", "haar", "hem", "wordt",
     ],
+    "swedish": [
+        "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+        "den", "med", "var", "sig", "för", "så", "till", "är", "men",
+        "ett", "om", "hade", "de", "av", "icke", "mig", "du",
+    ],
+    "norwegian": [
+        "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+        "som", "på", "de", "med", "han", "av", "ikke", "der", "så",
+        "var", "meg", "seg", "men", "har", "om", "vi",
+    ],
+    "danish": [
+        "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som",
+        "på", "de", "med", "han", "af", "ikke", "der", "så", "var",
+        "mig", "sig", "men", "et", "har", "om", "vi",
+    ],
     # stopword-only chains over the unicode tokenizer (no stemmer yet —
-    # the documented pre-stemmer stage for the reference's ru/el analyzers)
+    # the documented pre-stemmer stage for the reference's el analyzer)
     "russian": [
         "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
         "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
@@ -332,6 +347,24 @@ def _russian_stem(t: str) -> str:
     return russian_py(t)
 
 
+def _swedish_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import swedish_py
+
+    return swedish_py(t)
+
+
+def _norwegian_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import norwegian_py
+
+    return norwegian_py(t)
+
+
+def _danish_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import danish_py
+
+    return danish_py(t)
+
+
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
@@ -396,6 +429,18 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["dutch"], _dutch_stem, tokenize_latin_py),
     ),
+    "swedish": (
+        _stem_col(LANG_STOPWORDS["swedish"], _swedish_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["swedish"], _swedish_stem, tokenize_latin_py),
+    ),
+    "norwegian": (
+        _stem_col(LANG_STOPWORDS["norwegian"], _norwegian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["norwegian"], _norwegian_stem, tokenize_latin_py),
+    ),
+    "danish": (
+        _stem_col(LANG_STOPWORDS["danish"], _danish_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["danish"], _danish_stem, tokenize_latin_py),
+    ),
     # unicode-class chains: standard_unicode/greek are pure Catalyst
     # (tokenizer + stopwords, no UDF); russian is the full Lucene
     # RussianAnalyzer analog (stop + Snowball Russian stemmer)
@@ -415,7 +460,7 @@ ANALYZERS = {
 # F.transform lambdas — text[] fields concat items first for these)
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
-    "dutch", "russian",
+    "dutch", "russian", "swedish", "norwegian", "danish",
 }
 
 

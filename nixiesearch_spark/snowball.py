@@ -2317,3 +2317,304 @@ def russian_sql_ctes(src: str, out: str, p: str = "ru_") -> str:
 {p}e4b AS MATERIALIZED (SELECT doc_id, rv, term, (term <> t0) AS e4 FROM {p}e4),
 {out} AS MATERIALIZED (SELECT doc_id, {step4} AS term FROM {p}e4b)
 """
+
+
+# ------------------------------------------------- swedish/norwegian/danish
+# Published Snowball Scandinavian stemmers (snowballstem.org; the reference
+# binds Lucene's Swedish/Norwegian/Danish analyzers,
+# config/mapping/Language.scala:93,84,66). All three share the shape:
+# R1 (standard, region before it >= 3 letters), one big delete-if-in-R1
+# suffix among with a valid-s-ending rule for 's', a consonant-cluster
+# t/letter removal step, and a small step-3 among.
+
+SV_VOWELS = "aeiouyäåö"
+SV_S_END = "bcdfghjklmnoprtvy"
+# the official suffix list, longest-first (among longest-match)
+_SV_STEP1 = sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+     "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+     "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+     "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+     "ast"],
+    key=len, reverse=True,
+)
+_SV_STEP3 = [("fullt", "full"), ("löst", "lös"), ("lig", ""), ("els", ""), ("ig", "")]
+
+
+def swedish_py(word: str) -> str:
+    w = word
+    r1, _ = _r1r2_py(w, SV_VOWELS, r1_min=3)
+    # step 1: one among — longest of the suffix list ∪ {s}; s needs a valid
+    # s-ending before it
+    best = None
+    for suf in _SV_STEP1 + ["s"]:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None:
+        pos = len(w) - len(best)
+        if best == "s":
+            if pos >= r1 and pos >= 1 and w[pos - 1] in SV_S_END:
+                w = w[:pos]
+        elif pos >= r1:
+            w = w[:pos]
+    # step 2: dd gd nn dt gt kt tt in R1 → drop last letter
+    if any(w.endswith(s) for s in ("dd", "gd", "nn", "dt", "gt", "kt", "tt")):
+        if len(w) - 2 >= r1:
+            w = w[:-1]
+    # step 3
+    for suf, rep in sorted(_SV_STEP3, key=lambda t: -len(t[0])):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: len(w) - len(suf)] + rep
+            break
+    return w
+
+
+NO_VOWELS = "aeiouyæåø"
+NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1_DEL = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+     "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+     "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast"],
+    key=len, reverse=True,
+)
+_NO_STEP3 = sorted(
+    ["hetslov", "slov", "elov", "lov", "eleg", "elig", "leg", "lig",
+     "eig", "els", "ig"],
+    key=len, reverse=True,
+)
+
+
+def norwegian_py(word: str) -> str:
+    w = word
+    r1, _ = _r1r2_py(w, NO_VOWELS, r1_min=3)
+    # step 1: one among over delete-list ∪ {s} ∪ {erte, ert}
+    best = None
+    for suf in _NO_STEP1_DEL + ["s", "erte", "ert"]:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None:
+        pos = len(w) - len(best)
+        if best == "s":
+            # valid s-ending: one of NO_S_END, or k NOT preceded by a vowel
+            prev = w[pos - 1] if pos >= 1 else ""
+            prev2 = w[pos - 2] if pos >= 2 else ""
+            ok = prev in NO_S_END or (prev == "k" and (not prev2 or prev2 not in NO_VOWELS))
+            if pos >= r1 and ok:
+                w = w[:pos]
+        elif best in ("erte", "ert"):
+            if pos >= r1:
+                w = w[:pos] + "er"
+        elif pos >= r1:
+            w = w[:pos]
+    # step 2: dt or vt in R1 → drop the t
+    if (w.endswith("dt") or w.endswith("vt")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    # step 3: delete-among
+    for suf in _NO_STEP3:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: len(w) - len(suf)]
+            break
+    return w
+
+
+DA_VOWELS = "aeiouyæåø"
+DA_S_END = "abcdfghjklmnoprtvyzå"
+_DA_STEP1_DEL = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+     "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+     "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+     "erens", "ers", "ets", "erets", "et", "eret"],
+    key=len, reverse=True,
+)
+
+
+def danish_py(word: str) -> str:
+    w = word
+    r1, _ = _r1r2_py(w, DA_VOWELS, r1_min=3)
+    # step 1: delete-among ∪ {s with valid s-ending}
+    best = None
+    for suf in _DA_STEP1_DEL + ["s"]:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None:
+        pos = len(w) - len(best)
+        if best == "s":
+            if pos >= r1 and pos >= 1 and w[pos - 1] in DA_S_END:
+                w = w[:pos]
+        elif pos >= r1:
+            w = w[:pos]
+    # step 2: gd dt gt kt in R1 → drop last letter
+    if any(w.endswith(s) for s in ("gd", "dt", "gt", "kt")):
+        if len(w) - 2 >= r1:
+            w = w[:-1]
+    # step 3: igst → drop st; then among {ig lig elig els → delete + repeat
+    # step 2; løst → løs}
+    if w.endswith("igst"):
+        w = w[:-2]
+    for suf in ("elig", "løst", "lig", "els", "ig"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "løst":
+            if len(w) - 1 >= r1:  # just the final t needs to be in R1
+                w = w[:-1]
+        elif pos >= r1:
+            w = w[:pos]
+            if any(w.endswith(s) for s in ("gd", "dt", "gt", "kt")):
+                if len(w) - 2 >= r1:
+                    w = w[:-1]
+        break
+    # step 4 (undouble): identical double consonant at the end, the last
+    # letter in R1 → drop it
+    if (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and w[-1] not in DA_VOWELS
+        and len(w) - 1 >= r1
+    ):
+        w = w[:-1]
+    return w
+
+
+# ---- scandinavian SQL forms (shared generator: the three stemmers differ
+# only in vowel set, suffix tables, s-ending rule and step-3 shape)
+
+
+def _scand_among_sql(x: str, sufs: list[str], s_cond: str | None) -> str:
+    """Longest-match among over ``sufs`` ∪ {'s'}: delete if in R1; 's'
+    additionally needs ``s_cond`` (a SQL predicate over {x})."""
+    entries = sorted(set(sufs) | {"s"}, key=len, reverse=True)
+    cases = []
+    for suf in entries:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf == "s":
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 AND {s_cond} "
+                f"THEN {st} ELSE {x} END"
+            )
+        else:
+            act = f"CASE WHEN {pos} >= r1 THEN {st} ELSE {x} END"
+        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _scand_cluster_sql(x: str, clusters: tuple) -> str:
+    conds = " OR ".join(f"ends_with({x}, '{c}')" for c in clusters)
+    return (
+        f"CASE WHEN ({conds}) AND length({x}) - 2 >= r1 "
+        f"THEN {_strip(x, 1)} ELSE {x} END"
+    )
+
+
+def swedish_sql_ctes(src: str, out: str, p: str = "sv_") -> str:
+    r1, _ = _r1r2_sql("term", SV_VOWELS, r1_min=3)
+    s_cond = f"contains('{SV_S_END}', {_prev_sql('term', 1)})"
+    s1 = _scand_among_sql("term", _SV_STEP1, s_cond)
+    s2 = _scand_cluster_sql("term", ("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
+    cases3 = []
+    for suf, rep in sorted(_SV_STEP3, key=lambda t: -len(t[0])):
+        n = len(suf)
+        pos = f"(length(term) - {n})"
+        act = f"{_strip('term', n)}" + (f" || '{rep}'" if rep else "")
+        cases3.append(
+            f"WHEN ends_with(term, '{suf}') THEN "
+            f"(CASE WHEN {pos} >= r1 THEN {act} ELSE term END)"
+        )
+    s3 = "CASE " + " ".join(cases3) + " ELSE term END"
+    return f"""
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1 FROM {src}),
+{p}s1 AS MATERIALIZED (SELECT doc_id, r1, {s1} AS term FROM {p}sr),
+{p}s2 AS MATERIALIZED (SELECT doc_id, r1, {s2} AS term FROM {p}s1),
+{out} AS MATERIALIZED (SELECT doc_id, {s3} AS term FROM {p}s2)
+"""
+
+
+def norwegian_sql_ctes(src: str, out: str, p: str = "no_") -> str:
+    r1, _ = _r1r2_sql("term", NO_VOWELS, r1_min=3)
+    prev = _prev_sql("term", 1)
+    prev2 = "substr(term, length(term) - 2, 1)"
+    s_cond = (
+        f"(contains('{NO_S_END}', {prev}) OR ({prev} = 'k' "
+        f"AND NOT contains('{NO_VOWELS}', {prev2})))"
+    )
+    # one among over delete-list ∪ {s, erte, ert}
+    entries = sorted(set(_NO_STEP1_DEL) | {"s", "erte", "ert"}, key=len, reverse=True)
+    cases = []
+    for suf in entries:
+        n = len(suf)
+        pos = f"(length(term) - {n})"
+        st = _strip("term", n)
+        if suf == "s":
+            act = (
+                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 AND {s_cond} "
+                f"THEN {st} ELSE term END"
+            )
+        elif suf in ("erte", "ert"):
+            act = f"CASE WHEN {pos} >= r1 THEN {st} || 'er' ELSE term END"
+        else:
+            act = f"CASE WHEN {pos} >= r1 THEN {st} ELSE term END"
+        cases.append(f"WHEN ends_with(term, '{suf}') THEN ({act})")
+    s1 = "CASE " + " ".join(cases) + " ELSE term END"
+    s2 = (
+        "CASE WHEN (ends_with(term, 'dt') OR ends_with(term, 'vt')) "
+        f"AND length(term) - 2 >= r1 THEN {_strip('term', 1)} ELSE term END"
+    )
+    cases3 = []
+    for suf in _NO_STEP3:
+        n = len(suf)
+        pos = f"(length(term) - {n})"
+        cases3.append(
+            f"WHEN ends_with(term, '{suf}') THEN "
+            f"(CASE WHEN {pos} >= r1 THEN {_strip('term', n)} ELSE term END)"
+        )
+    s3 = "CASE " + " ".join(cases3) + " ELSE term END"
+    return f"""
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1 FROM {src}),
+{p}s1 AS MATERIALIZED (SELECT doc_id, r1, {s1} AS term FROM {p}sr),
+{p}s2 AS MATERIALIZED (SELECT doc_id, r1, {s2} AS term FROM {p}s1),
+{out} AS MATERIALIZED (SELECT doc_id, {s3} AS term FROM {p}s2)
+"""
+
+
+def danish_sql_ctes(src: str, out: str, p: str = "da_") -> str:
+    r1, _ = _r1r2_sql("term", DA_VOWELS, r1_min=3)
+    s_cond = f"contains('{DA_S_END}', {_prev_sql('term', 1)})"
+    s1 = _scand_among_sql("term", _DA_STEP1_DEL, s_cond)
+    s2 = _scand_cluster_sql("term", ("gd", "dt", "gt", "kt"))
+    igst = (
+        f"CASE WHEN ends_with(term, 'igst') THEN {_strip('term', 2)} ELSE term END"
+    )
+    cases3 = []
+    for suf in ("elig", "løst", "lig", "els", "ig"):
+        n = len(suf)
+        pos = f"(length(term) - {n})"
+        st = _strip("term", n)
+        if suf == "løst":
+            act = (
+                f"CASE WHEN length(term) - 1 >= r1 THEN {_strip('term', 1)} "
+                f"ELSE term END"
+            )
+        else:
+            # delete, then repeat step 2 on the remainder
+            act = (
+                f"CASE WHEN {pos} >= r1 THEN ({_scand_cluster_sql(st, ('gd', 'dt', 'gt', 'kt'))}) "
+                f"ELSE term END"
+            )
+        cases3.append(f"WHEN ends_with(term, '{suf}') THEN ({act})")
+    s3 = "CASE " + " ".join(cases3) + " ELSE term END"
+    undouble = (
+        "CASE WHEN length(term) >= 2 "
+        "AND substr(term, length(term), 1) = substr(term, length(term) - 1, 1) "
+        f"AND NOT contains('{DA_VOWELS}', substr(term, length(term), 1)) "
+        f"AND length(term) - 1 >= r1 THEN {_strip('term', 1)} ELSE term END"
+    )
+    return f"""
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1 FROM {src}),
+{p}s1 AS MATERIALIZED (SELECT doc_id, r1, {s1} AS term FROM {p}sr),
+{p}s2 AS MATERIALIZED (SELECT doc_id, r1, {s2} AS term FROM {p}s1),
+{p}ig AS MATERIALIZED (SELECT doc_id, r1, {igst} AS term FROM {p}s2),
+{p}s3 AS MATERIALIZED (SELECT doc_id, r1, {s3} AS term FROM {p}ig),
+{out} AS MATERIALIZED (SELECT doc_id, {undouble} AS term FROM {p}s3)
+"""

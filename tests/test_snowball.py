@@ -15,10 +15,16 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from nixiesearch_spark.snowball import (
+    danish_py,
+    danish_sql_ctes,
     dutch_py,
     dutch_sql_ctes,
+    norwegian_py,
+    norwegian_sql_ctes,
     russian_py,
     russian_sql_ctes,
+    swedish_py,
+    swedish_sql_ctes,
     french_py,
     french_sql_ctes,
     german_py,
@@ -139,6 +145,80 @@ DUTCH_CASES = {
     # untouched
     "de": "de", "stream": "stream",
 }
+
+
+SWEDISH_CASES = {
+    # step 1 among (definite/plural/genitive forms), s-ending rule
+    "flickorna": "flick", "jakten": "jakt", "dansade": "dans",
+    "svenskhetens": "svensk", "hundens": "hund", "hunds": "hund",
+    # step 2 consonant cluster + step 3
+    "friskt": "frisk", "möjlig": "möj",
+    # fullt/löst replacements need the suffix INSIDE R1 (whole words keep)
+    "fullt": "fullt", "sorgfullt": "sorgfull", "sorglöst": "sorglös",
+    "bok": "bok", "de": "de",
+}
+
+NORWEGIAN_CASES = {
+    "huset": "hus", "jenter": "jent", "kastet": "kast",
+    # erte/ert → er
+    "lærerte": "lærer",
+    # s-ending incl. k-not-after-vowel
+    "fisks": "fisk",
+    # step 3 longest-match picks elig over ig
+    "hemmelig": "hemm", "billigere": "billiger", "viktigste": "viktigst",
+    "bok": "bok",
+}
+
+DANISH_CASES = {
+    "huset": "hus", "kvinderne": "kvind", "sikkerhedens": "sikker",
+    # step 4 undouble
+    "bakker": "bak",
+    # igst → st removal chains into the ig delete
+    "vigtigst": "vigt", "venligst": "ven",
+    "dejlig": "dej", "bog": "bog",
+}
+
+
+def test_scandinavian_spec_cases():
+    for fn, cases in (
+        (swedish_py, SWEDISH_CASES),
+        (norwegian_py, NORWEGIAN_CASES),
+        (danish_py, DANISH_CASES),
+    ):
+        bad = {w: (fn(w), want) for w, want in cases.items() if fn(w) != want}
+        assert not bad, (fn.__name__, bad)
+
+
+def test_scandinavian_sql_equals_python():
+    extra = ["", "s", "ss", "datas", "parten", "streamene", "parterne",
+             "løst", "aløst", "erte", "ks", "aks", "tt", "att"]
+    for pyf, sqlf, cases in (
+        (swedish_py, swedish_sql_ctes, SWEDISH_CASES),
+        (norwegian_py, norwegian_sql_ctes, NORWEGIAN_CASES),
+        (danish_py, danish_sql_ctes, DANISH_CASES),
+    ):
+        words = list(cases) + list(GERMAN_CASES) + extra
+        got = _sql_stem(words, sqlf)
+        want = [pyf(w) for w in words]
+        bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+        assert not bad, (pyf.__name__, bad)
+
+
+NORDIC = "abcdefghijklmnopqrstuvwxyzäåöæø_0123456789"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=NORDIC, min_size=0, max_size=12), min_size=1, max_size=30))
+def test_scandinavian_two_form_identity_random(words):
+    for pyf, sqlf in (
+        (swedish_py, swedish_sql_ctes),
+        (norwegian_py, norwegian_sql_ctes),
+        (danish_py, danish_sql_ctes),
+    ):
+        got = _sql_stem(words, sqlf)
+        want = [pyf(w) for w in words]
+        assert got == want, (pyf.__name__,
+                             [(w, g, p) for w, g, p in zip(words, got, want) if g != p])
 
 
 RUSSIAN_CASES = {

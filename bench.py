@@ -224,12 +224,23 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
         "bool_query": flat(
             BoolQuery(must=[MatchQuery("text", "spark")], should=[MatchQuery("text", "window")])
         ),
+        "bool_served": lambda: s_auto.search(
+            BoolQuery(must=[MatchQuery("text", "spark")], should=[MatchQuery("text", "window")]),
+            size=10,
+        ).collect(),
         "dis_max": flat(
             DisMaxQuery(
                 queries=[MatchQuery("text", "spark"), MatchQuery("text", "window")],
                 tie_breaker=0.3,
             )
         ),
+        "dis_max_served": lambda: s_auto.search(
+            DisMaxQuery(
+                queries=[MatchQuery("text", "spark"), MatchQuery("text", "window")],
+                tie_breaker=0.3,
+            ),
+            size=10,
+        ).collect(),
         "filtered_match": flat(MatchQuery("text", "spark join"), filters={"term": {"lang": "en"}}),
         "facet_term": lambda: term_agg(
             s.score(MatchQuery("text", "spark")), reader.docs, "lang", 5

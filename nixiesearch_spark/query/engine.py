@@ -207,6 +207,18 @@ class Searcher:
             if fields:
                 return self.fetch(topk, fields), False
             return topk, False  # may be a materialized search-head relation
+        if (
+            mode == "auto"
+            and sort is None
+            and filters is None
+            and self.reader.tombstones is None
+            and self._bool_routable(query)
+        ):
+            topk = self._bool_search(query, size)
+            if topk is not None:  # driver declined → fall through to flat
+                if fields:
+                    return self.fetch(topk, fields), False
+                return topk, False
         scored = self.score(query, filters)
         if sort:
             topk = self._sorted_topk(scored, sort, size)
@@ -222,6 +234,40 @@ class Searcher:
         from nixiesearch_spark.query.wand import packed_ready
 
         return isinstance(query, ast.MatchQuery) and packed_ready(self.reader)
+
+    def _bool_routable(self, query: ast.Query) -> bool:
+        """Fused bool/dis_max of match branches on a fresh packed index —
+        the same shapes engine._fused handles, served by the search-head
+        kernel (wand.bool_topk_driver, bit-identical)."""
+        from nixiesearch_spark.query.wand import packed_ready
+
+        if not packed_ready(self.reader):
+            return False
+        if isinstance(query, ast.BoolQuery):
+            subs = [*query.must, *query.should, *query.must_not]
+            return bool(query.must or query.should) and all(
+                isinstance(s, ast.MatchQuery) for s in subs
+            )
+        if isinstance(query, ast.DisMaxQuery):
+            return all(isinstance(s, ast.MatchQuery) for s in query.queries)
+        return False
+
+    def _bool_search(self, q: ast.Query, size: int) -> DataFrame | None:
+        from nixiesearch_spark.query.wand import bool_topk_driver
+
+        if self.mapping is not None:
+            self._validate_query(q)
+        if isinstance(q, ast.BoolQuery):
+            branches = (
+                [("must", m) for m in q.must]
+                + [("should", m) for m in q.should]
+                + [("must_not", m) for m in q.must_not]
+            )
+            return bool_topk_driver(self.reader, branches, k=size, kind="bool")
+        branches = [("dismax", m) for m in q.queries]
+        return bool_topk_driver(
+            self.reader, branches, k=size, kind="dismax", tie=q.tie_breaker
+        )
 
     def _wand_search(self, q: ast.MatchQuery, filters: dict | None, size: int) -> DataFrame:
         """Score-ordered match top-k via the packed/WAND serving path —

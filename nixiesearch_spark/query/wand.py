@@ -437,6 +437,270 @@ def rrf_topk_driver(
     return spark.createDataFrame(out, "docid long, score double")
 
 
+def _shard_bool_topk(
+    pdf: pd.DataFrame,
+    plans: list,
+    kind: str,
+    tie: float,
+    k: int,
+    n_stripes: int,
+) -> pd.DataFrame:
+    """Per-shard block-max pruned top-k for a FUSED bool/dis_max of match
+    branches — the multi-branch generalization of _shard_topk, replicating
+    engine._fused's quantized float chain exactly: per-branch sums are
+    float64 accumulations of float32 contribs cast to float32, combined in
+    float64 (must+matching-should sum, or max + tie·rest), final float32.
+
+    ``plans``: per-branch dicts from _match_plan + {"role"}; must_not
+    branches contribute no upper bound (exclusion only removes). Stripe
+    ub = Σ over positive branches of Σ_terms max block ub — sound for the
+    bool sum, and for dis_max with tie ≤ 1."""
+    shard = int(pdf["shard"].iloc[0])
+    empty = pd.DataFrame({"shard": [], "ordinal": [], "score": []}).astype(
+        {"shard": "int32", "ordinal": "int64", "score": "float32"}
+    )
+    # blocks per (branch, term): branches may share surface terms but carry
+    # their own weights/mults
+    binfo: list[dict] = []
+    lo, hi = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    for bi, p in enumerate(plans):
+        fpdf = pdf[(pdf["field"] == p["field"]) & pdf["term"].isin(p["present"])]
+        terms = list(dict.fromkeys(fpdf["term"]))
+        blocks = {}
+        for t in terms:
+            tdf = fpdf[fpdf["term"] == t].sort_values("block_id")
+            first = tdf["block_id"].to_numpy(dtype=np.int64)
+            last = tdf["block_last"].to_numpy(dtype=np.int64)
+            ub = (
+                np.float64(p["mults"][t])
+                * np.float64(p["weights"][t])
+                * tdf["max_impact"].to_numpy(dtype=np.float64)
+                * UB_SLACK
+                * np.float64(p["bound_scale"])
+            )
+            blocks[t] = {
+                "first": first, "last": last, "ub": ub,
+                "gaps": tdf["doc_gaps"].tolist(), "tfs": tdf["tfs"].tolist(),
+                "norms": tdf["norms"].tolist(),
+            }
+            if p["role"] != "must_not":
+                lo = min(lo, int(first[0]))
+                hi = max(hi, int(last[-1]))
+        binfo.append({"plan": p, "blocks": blocks})
+    if lo > hi:
+        return empty
+    if sum(len(b["first"]) for info in binfo for b in info["blocks"].values()) <= 2 * n_stripes:
+        n_stripes = 1
+    edges = np.linspace(np.float64(lo), np.float64(hi) + 1.0, n_stripes + 1)
+    stripe_lo = edges[:-1].astype(np.int64)
+    stripe_lo[0] = np.iinfo(np.int64).min
+    stripe_hi = np.empty(n_stripes, dtype=np.int64)
+    stripe_hi[:-1] = stripe_lo[1:] - 1
+    stripe_hi[-1] = np.iinfo(np.int64).max
+
+    stripe_ub = np.zeros(n_stripes, dtype=np.float64)
+    overlap: list[list[tuple[int, str, int]]] = [[] for _ in range(n_stripes)]
+    for bi, info in enumerate(binfo):
+        positive = info["plan"]["role"] != "must_not"
+        for t, b in info["blocks"].items():
+            tmax = np.zeros(n_stripes, dtype=np.float64)
+            for j in range(len(b["first"])):
+                s0 = max(int(np.searchsorted(stripe_lo, b["first"][j], side="right") - 1), 0)
+                s1 = min(int(np.searchsorted(stripe_lo, b["last"][j], side="right") - 1), n_stripes - 1)
+                for s in range(s0, s1 + 1):
+                    overlap[s].append((bi, t, j))
+                if positive:
+                    tmax[s0 : s1 + 1] = np.maximum(tmax[s0 : s1 + 1], b["ub"][j])
+            stripe_ub += tmax
+
+    musts = [i for i, x in enumerate(binfo) if x["plan"]["role"] == "must"]
+    shoulds = [i for i, x in enumerate(binfo) if x["plan"]["role"] == "should"]
+    nots = [i for i, x in enumerate(binfo) if x["plan"]["role"] == "must_not"]
+    dis = [i for i, x in enumerate(binfo) if x["plan"]["role"] == "dismax"]
+
+    order = np.argsort(-stripe_ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float32)
+    theta = -np.inf
+    decoded: dict[tuple[int, str, int], tuple] = {}
+    for s in order:
+        if stripe_ub[s] < theta:
+            break
+        if not overlap[s]:
+            continue
+        # per-branch per-doc sums + term counts within this stripe
+        per_branch: dict[int, tuple] = {}
+        by_branch_docs: dict[int, list] = {}
+        by_branch_contribs: dict[int, list] = {}
+        for (bi, t, j) in set(overlap[s]):
+            key = (bi, t, j)
+            if key not in decoded:
+                info = binfo[bi]
+                b = info["blocks"][t]
+                p = info["plan"]
+                d, tf, nm = codec.decode_posting_block(b["gaps"][j], b["tfs"][j], b["norms"][j])
+                w = np.float32(p["weights"][t])
+                c = lucene.bm25_contrib(w, tf.astype(np.float32), nm, p["cache"])
+                decoded[key] = (d, np.float64(p["mults"][t]) * c.astype(np.float64))
+            d, c = decoded[key]
+            mask = (d >= stripe_lo[s]) & (d <= stripe_hi[s])
+            if mask.any():
+                by_branch_docs.setdefault(bi, []).append(d[mask])
+                by_branch_contribs.setdefault(bi, []).append(c[mask])
+        if not any(bi in by_branch_docs for bi in (musts + shoulds + dis)):
+            continue
+        # union of positive docs in this stripe (must_not-only docs never score)
+        pos_docs = np.concatenate(
+            [x for bi in (musts + shoulds + dis) for x in by_branch_docs.get(bi, [])]
+        )
+        uniq = np.unique(pos_docs)
+        nb = len(binfo)
+        sums32 = np.zeros((nb, len(uniq)), dtype=np.float32)
+        counts = np.zeros((nb, len(uniq)), dtype=np.int64)
+        for bi in range(nb):
+            if bi not in by_branch_docs:
+                continue
+            d = np.concatenate(by_branch_docs[bi])
+            c = np.concatenate(by_branch_contribs[bi])
+            pos = np.searchsorted(uniq, d)
+            inside = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == d)
+            d, c, pos = d[inside], c[inside], pos[inside]
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, pos, c)
+            sums32[bi] = acc.astype(np.float32)
+            np.add.at(counts[bi], pos, 1)
+        # bool/dismax combination in float64 over the float32 branch sums —
+        # the exact engine._fused chain
+        if kind == "bool":
+            cond = np.ones(len(uniq), dtype=bool)
+            for bi in musts:
+                need = binfo[bi]["plan"]["n_required"] or 1
+                cond &= counts[bi] >= need
+            for bi in nots:
+                need = binfo[bi]["plan"]["n_required"] or 1
+                cond &= counts[bi] < need
+            score = np.zeros(len(uniq), dtype=np.float64)
+            for bi in musts:
+                score += sums32[bi].astype(np.float64)
+            ok_any = np.zeros(len(uniq), dtype=bool)
+            for bi in shoulds:
+                need = binfo[bi]["plan"]["n_required"] or 1
+                ok = counts[bi] >= need
+                ok_any |= ok
+                score += np.where(ok, sums32[bi].astype(np.float64), 0.0)
+            if not musts:
+                cond &= ok_any
+        else:  # dismax
+            vals = np.full((len(dis), len(uniq)), -np.inf, dtype=np.float64)
+            ok_any = np.zeros(len(uniq), dtype=bool)
+            for i, bi in enumerate(dis):
+                need = binfo[bi]["plan"]["n_required"] or 1
+                ok = counts[bi] >= need
+                ok_any |= ok
+                vals[i] = np.where(ok, sums32[bi].astype(np.float64), -np.inf)
+            cond = ok_any
+            mx = vals.max(axis=0)
+            total = np.where(vals == -np.inf, 0.0, vals).sum(axis=0)
+            score = mx + np.float64(tie) * (total - mx)
+        uniq, score = uniq[cond], score[cond]
+        if not len(uniq):
+            continue
+        scores = score.astype(np.float32)
+        top_docs = np.concatenate([top_docs, uniq])
+        top_scores = np.concatenate([top_scores, scores])
+        if len(top_docs) > k:
+            order_sel = np.lexsort((top_docs, -top_scores.astype(np.float64)))
+            kth = top_scores[order_sel[k - 1]]
+            keep_n = int(np.sum(top_scores >= kth))
+            keep_n = min(max(keep_n, k), k + 4096)
+            sel = order_sel[:keep_n]
+            top_docs, top_scores = top_docs[sel], top_scores[sel]
+        if len(top_docs) >= k:
+            theta = float(np.sort(top_scores)[::-1][k - 1])
+    return pd.DataFrame(
+        {"shard": np.full(len(top_docs), shard, dtype=np.int32),
+         "ordinal": top_docs, "score": top_scores}
+    )
+
+
+def bool_topk_driver(
+    reader: IndexReader,
+    branches: list,
+    k: int = 10,
+    kind: str = "bool",
+    tie: float = 0.0,
+    n_stripes: int = 32,
+    driver_max_blocks: int = 20_000,
+) -> DataFrame | None:
+    """Search-head fused bool/dis_max top-k over match branches —
+    bit-identical to engine._fused's flat plan (tests/test_serving.py).
+    ``branches``: list of (role, MatchQuery-like). Returns None when this
+    physical strategy declines (block volume too large for the driver, or
+    dis_max tie > 1 which breaks the Σ-bound soundness) — callers fall
+    back to the Catalyst plan."""
+    if kind == "dismax" and not (0.0 <= float(tie) <= 1.0):
+        return None
+    spark = reader.spark
+    plans = []
+    for role, m in branches:
+        p = _match_plan(reader, m.field, m.query, m.operator)
+        if p is not None:
+            p = dict(p, role=role)
+        plans.append((role, p))
+    empty = spark.createDataFrame([], FINAL_SCHEMA)
+    # dead-branch semantics identical to engine._fused
+    if any(role == "must" and p is None for role, p in plans):
+        return empty
+    live = [p for _, p in plans if p is not None]
+    if not any(p["role"] in ("must", "should", "dismax") for p in live):
+        return empty
+    bs = int(reader.stats.get("block_size", 128))
+    nsh_est = int(reader.stats.get("n_shards", 32))
+    est_blocks = sum(
+        p["dfs"][t] // bs + 1 + nsh_est for p in live for t in p["present"]
+    )
+    if est_blocks > driver_max_blocks:
+        return None
+    by_field: dict[str, set] = {}
+    for p in live:
+        by_field.setdefault(p["field"], set()).update(p["present"])
+    # fetch_packed projects the field column away — re-tag per source frame
+    pdf = pd.concat(
+        [
+            reader.fetch_packed(f, sorted(ts)).assign(field=f)
+            for f, ts in by_field.items()
+        ],
+        ignore_index=True,
+    )
+    if pdf.empty:
+        return empty
+    parts = [
+        _shard_bool_topk(g, live, kind, float(tie), k, n_stripes)
+        for _, g in pdf.groupby("shard", sort=False)
+    ]
+    cand = pd.concat(parts, ignore_index=True)
+    if not len(cand):
+        return empty
+    scores = cand["score"].to_numpy()
+    theta = np.sort(scores)[::-1][min(k, len(scores)) - 1]
+    cand = cand[scores >= theta]
+    omap = _resolve_pairs(reader, cand)
+    rows = sorted(
+        (
+            (omap[(int(s), int(o))], float(v))
+            for s, o, v in zip(cand["shard"], cand["ordinal"], cand["score"])
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    out = pd.DataFrame(
+        {
+            "docid": np.array([d for d, _ in rows], dtype=np.int64),
+            "score": np.array([v for _, v in rows], dtype=np.float32),
+        }
+    )
+    return spark.createDataFrame(out, FINAL_SCHEMA)
+
+
 def wand_topk(
     reader: IndexReader,
     field: str,

@@ -245,12 +245,24 @@ def test_stopword_entries_survive_tokenizer():
     # otherwise the entry is dead weight (e.g. an accented word under the
     # ASCII tokenizer). german/french run the Unicode-Latin tokenizer, so
     # accented entries are legal there.
-    from nixiesearch_spark.analysis import LANG_STOPWORDS, tokenize_latin_py, tokenize_py
+    from nixiesearch_spark.analysis import (
+        LANG_STOPWORDS,
+        tokenize_latin_py,
+        tokenize_py,
+        tokenize_unicode_py,
+    )
 
     toks = {
         lang: tokenize_latin_py
-        for lang in ("german", "french", "spanish", "italian")
+        for lang in (
+            "german", "french", "spanish", "italian", "portuguese",
+            "dutch", "swedish", "norwegian", "danish",
+        )
     }
+    # russian/greek chains run the unicode tokenizer — entries must survive
+    # it VERBATIM (incl. the ς→σ normalization: "της" would be dead)
+    toks["russian"] = tokenize_unicode_py
+    toks["greek"] = tokenize_unicode_py
     for lang, words in LANG_STOPWORDS.items():
         tok = toks.get(lang, tokenize_py)
         for w in words:

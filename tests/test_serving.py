@@ -168,3 +168,50 @@ def test_auto_falls_back_when_pack_stale(built, spark, tmp_path, tiny_corpus_pd)
     s = Searcher(r)
     hits = s.search(MatchQuery("content", "zz_fresh_term"), size=5).collect()
     assert len(hits) == 1  # the fresh doc is visible → flat path served
+
+
+def _flat_pairs(s, q, size=10):
+    return _pairs(s.search(q, size=size, mode="flat").collect())
+
+
+def test_bool_driver_equals_flat(built):
+    from nixiesearch_spark.query import BoolQuery, MatchQuery
+
+    s = Searcher(built, plan_cache=False)
+    cases = [
+        BoolQuery(must=[MatchQuery("content", "def import")],
+                  should=[MatchQuery("content", "return")]),
+        BoolQuery(must=[MatchQuery("content", "def"), MatchQuery("content", "the")]),
+        BoolQuery(should=[MatchQuery("content", "def import")],
+                  must_not=[MatchQuery("content", "return")]),
+        BoolQuery(must=[MatchQuery("content", "def import", "and")],
+                  should=[MatchQuery("content", "while for")]),
+        BoolQuery(must=[MatchQuery("content", "def")],
+                  must_not=[MatchQuery("content", "zz_nosuchterm")]),
+        BoolQuery(must=[MatchQuery("content", "zz_nosuchterm")]),  # dead must
+    ]
+    for q in cases:
+        auto = _pairs(s.search(q, size=12).collect())
+        flat = _flat_pairs(s, q, 12)
+        assert auto == flat, q
+
+
+def test_dismax_driver_equals_flat(built):
+    from nixiesearch_spark.query import DisMaxQuery, MatchQuery
+
+    s = Searcher(built, plan_cache=False)
+    for tie in (0.0, 0.3, 1.0):
+        q = DisMaxQuery(
+            queries=[MatchQuery("content", "def import"),
+                     MatchQuery("content", "the return")],
+            tie_breaker=tie,
+        )
+        auto = _pairs(s.search(q, size=12).collect())
+        flat = _flat_pairs(s, q, 12)
+        assert auto == flat, tie
+    # tie > 1 breaks the Σ-bound → driver declines, flat serves (still equal)
+    q = DisMaxQuery(
+        queries=[MatchQuery("content", "def"), MatchQuery("content", "the")],
+        tie_breaker=1.5,
+    )
+    assert _pairs(s.search(q, size=8).collect()) == _flat_pairs(s, q, 8)

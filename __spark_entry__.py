@@ -269,10 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _as_docid(s.search(MatchQuery("text", "parterne streamet datas"), size=10))
 
     def q_match_russian(spark, sf):
-        # russian chain = unicode (Cyrillic-aware) tokenizer + stopwords,
-        # pure Catalyst — non-Latin text survives indexing and querying
-        # (the reference's default StandardAnalyzer tokenizes any script,
-        # Language.scala:57; this is the Cyrillic slice of that upgrade)
+        # russian chain = unicode (Cyrillic-aware) tokenizer + stopwords +
+        # Snowball Russian stemmer (the full Lucene RussianAnalyzer analog,
+        # pandas-UDF column form like the other language chains)
         s = _index(
             spark, sf, ("text_ru",), False,
             analyzers={"text_ru": "russian"}, derive_ru=True,

@@ -163,9 +163,12 @@ class Searcher:
         ``mode``: physical strategy. "auto" (default) routes score-ordered
         match queries on a fresh quantized packed index through the WAND
         serving path (query/wand.py — search-head driver mode for small
-        block volumes, distributed block-max pruning otherwise; results are
-        bit-identical to the flat plan, tests/test_wand.py), and all-match
-        RRF queries through the search-head fused kernel. "flat" forces the
+        block volumes, distributed block-max pruning otherwise), all-match
+        RRF queries through the search-head fused kernel, and all-match
+        bool/dis_max through the multi-branch kernel (bool_topk_driver;
+        declines back to Catalyst for tie_breaker > 1 or large block
+        volumes). Every fast path is bit-identical to the flat plan
+        (tests/test_wand.py, tests/test_serving.py). "flat" forces the
         pure-Catalyst plan everywhere."""
         if isinstance(query, dict) or query is None:
             query = ast.parse_query(query)

@@ -2344,19 +2344,19 @@ _SV_STEP3 = [("fullt", "full"), ("löst", "lös"), ("lig", ""), ("els", ""), ("i
 def swedish_py(word: str) -> str:
     w = word
     r1, _ = _r1r2_py(w, SV_VOWELS, r1_min=3)
-    # step 1: one among — longest of the suffix list ∪ {s}; s needs a valid
-    # s-ending before it
-    best = None
-    for suf in _SV_STEP1 + ["s"]:
-        if w.endswith(suf) and (best is None or len(suf) > len(best)):
-            best = suf
-    if best is not None:
-        pos = len(w) - len(best)
-        if best == "s":
-            if pos >= r1 and pos >= 1 and w[pos - 1] in SV_S_END:
+    # step 1: among matched WITHIN R1 (setlimit tomark p1 — the longest
+    # suffix that fits entirely inside R1 wins; a longer surface suffix
+    # poking out of R1 does not shadow it); s needs a valid s-ending
+    for suf in sorted(set(_SV_STEP1) | {"s"}, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):
+            continue
+        if suf == "s":
+            if pos >= 1 and w[pos - 1] in SV_S_END:
                 w = w[:pos]
-        elif pos >= r1:
+        else:
             w = w[:pos]
+        break
     # step 2: dd gd nn dt gt kt tt in R1 → drop last letter
     if any(w.endswith(s) for s in ("dd", "gd", "nn", "dt", "gt", "kt", "tt")):
         if len(w) - 2 >= r1:
@@ -2387,25 +2387,22 @@ _NO_STEP3 = sorted(
 def norwegian_py(word: str) -> str:
     w = word
     r1, _ = _r1r2_py(w, NO_VOWELS, r1_min=3)
-    # step 1: one among over delete-list ∪ {s} ∪ {erte, ert}
-    best = None
-    for suf in _NO_STEP1_DEL + ["s", "erte", "ert"]:
-        if w.endswith(suf) and (best is None or len(suf) > len(best)):
-            best = suf
-    if best is not None:
-        pos = len(w) - len(best)
-        if best == "s":
+    # step 1: among matched WITHIN R1 (longest suffix inside R1 wins)
+    for suf in sorted(set(_NO_STEP1_DEL) | {"s", "erte", "ert"}, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):
+            continue
+        if suf == "s":
             # valid s-ending: one of NO_S_END, or k NOT preceded by a vowel
             prev = w[pos - 1] if pos >= 1 else ""
             prev2 = w[pos - 2] if pos >= 2 else ""
-            ok = prev in NO_S_END or (prev == "k" and (not prev2 or prev2 not in NO_VOWELS))
-            if pos >= r1 and ok:
+            if prev in NO_S_END or (prev == "k" and (not prev2 or prev2 not in NO_VOWELS)):
                 w = w[:pos]
-        elif best in ("erte", "ert"):
-            if pos >= r1:
-                w = w[:pos] + "er"
-        elif pos >= r1:
+        elif suf in ("erte", "ert"):
+            w = w[:pos] + "er"
+        else:
             w = w[:pos]
+        break
     # step 2: dt or vt in R1 → drop the t
     if (w.endswith("dt") or w.endswith("vt")) and len(w) - 2 >= r1:
         w = w[:-1]
@@ -2431,18 +2428,17 @@ _DA_STEP1_DEL = sorted(
 def danish_py(word: str) -> str:
     w = word
     r1, _ = _r1r2_py(w, DA_VOWELS, r1_min=3)
-    # step 1: delete-among ∪ {s with valid s-ending}
-    best = None
-    for suf in _DA_STEP1_DEL + ["s"]:
-        if w.endswith(suf) and (best is None or len(suf) > len(best)):
-            best = suf
-    if best is not None:
-        pos = len(w) - len(best)
-        if best == "s":
-            if pos >= r1 and pos >= 1 and w[pos - 1] in DA_S_END:
+    # step 1: among matched WITHIN R1 (longest suffix inside R1 wins)
+    for suf in sorted(set(_DA_STEP1_DEL) | {"s"}, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):
+            continue
+        if suf == "s":
+            if pos >= 1 and w[pos - 1] in DA_S_END:
                 w = w[:pos]
-        elif pos >= r1:
+        else:
             w = w[:pos]
+        break
     # step 2: gd dt gt kt in R1 → drop last letter
     if any(w.endswith(s) for s in ("gd", "dt", "gt", "kt")):
         if len(w) - 2 >= r1:
@@ -2452,13 +2448,12 @@ def danish_py(word: str) -> str:
     if w.endswith("igst"):
         w = w[:-2]
     for suf in ("elig", "løst", "lig", "els", "ig"):
-        if not w.endswith(suf):
-            continue
         pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):  # match within R1, fallback
+            continue
         if suf == "løst":
-            if len(w) - 1 >= r1:  # just the final t needs to be in R1
-                w = w[:-1]
-        elif pos >= r1:
+            w = w[:-1]
+        else:
             w = w[:pos]
             if any(w.endswith(s) for s in ("gd", "dt", "gt", "kt")):
                 if len(w) - 2 >= r1:
@@ -2490,13 +2485,14 @@ def _scand_among_sql(x: str, sufs: list[str], s_cond: str | None) -> str:
         pos = f"(length({x}) - {n})"
         st = _strip(x, n)
         if suf == "s":
-            act = (
-                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 AND {s_cond} "
-                f"THEN {st} ELSE {x} END"
-            )
+            act = f"CASE WHEN {pos} >= 1 AND {s_cond} THEN {st} ELSE {x} END"
         else:
-            act = f"CASE WHEN {pos} >= r1 THEN {st} ELSE {x} END"
-        cases.append(f"WHEN ends_with({x}, '{suf}') THEN ({act})")
+            act = st
+        # R1 in the WHEN: the among matches WITHIN R1, falling through to
+        # shorter suffixes (setlimit tomark p1 semantics)
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') AND {pos} >= r1 THEN ({act})"
+        )
     return "CASE " + " ".join(cases) + f" ELSE {x} END"
 
 
@@ -2519,8 +2515,7 @@ def swedish_sql_ctes(src: str, out: str, p: str = "sv_") -> str:
         pos = f"(length(term) - {n})"
         act = f"{_strip('term', n)}" + (f" || '{rep}'" if rep else "")
         cases3.append(
-            f"WHEN ends_with(term, '{suf}') THEN "
-            f"(CASE WHEN {pos} >= r1 THEN {act} ELSE term END)"
+            f"WHEN ends_with(term, '{suf}') AND {pos} >= r1 THEN ({act})"
         )
     s3 = "CASE " + " ".join(cases3) + " ELSE term END"
     return f"""
@@ -2547,15 +2542,14 @@ def norwegian_sql_ctes(src: str, out: str, p: str = "no_") -> str:
         pos = f"(length(term) - {n})"
         st = _strip("term", n)
         if suf == "s":
-            act = (
-                f"CASE WHEN {pos} >= r1 AND {pos} >= 1 AND {s_cond} "
-                f"THEN {st} ELSE term END"
-            )
+            act = f"CASE WHEN {pos} >= 1 AND {s_cond} THEN {st} ELSE term END"
         elif suf in ("erte", "ert"):
-            act = f"CASE WHEN {pos} >= r1 THEN {st} || 'er' ELSE term END"
+            act = f"{st} || 'er'"
         else:
-            act = f"CASE WHEN {pos} >= r1 THEN {st} ELSE term END"
-        cases.append(f"WHEN ends_with(term, '{suf}') THEN ({act})")
+            act = st
+        cases.append(
+            f"WHEN ends_with(term, '{suf}') AND {pos} >= r1 THEN ({act})"
+        )
     s1 = "CASE " + " ".join(cases) + " ELSE term END"
     s2 = (
         "CASE WHEN (ends_with(term, 'dt') OR ends_with(term, 'vt')) "
@@ -2566,8 +2560,8 @@ def norwegian_sql_ctes(src: str, out: str, p: str = "no_") -> str:
         n = len(suf)
         pos = f"(length(term) - {n})"
         cases3.append(
-            f"WHEN ends_with(term, '{suf}') THEN "
-            f"(CASE WHEN {pos} >= r1 THEN {_strip('term', n)} ELSE term END)"
+            f"WHEN ends_with(term, '{suf}') AND {pos} >= r1 "
+            f"THEN {_strip('term', n)}"
         )
     s3 = "CASE " + " ".join(cases3) + " ELSE term END"
     return f"""
@@ -2592,17 +2586,13 @@ def danish_sql_ctes(src: str, out: str, p: str = "da_") -> str:
         pos = f"(length(term) - {n})"
         st = _strip("term", n)
         if suf == "løst":
-            act = (
-                f"CASE WHEN length(term) - 1 >= r1 THEN {_strip('term', 1)} "
-                f"ELSE term END"
-            )
+            act = _strip("term", 1)
         else:
             # delete, then repeat step 2 on the remainder
-            act = (
-                f"CASE WHEN {pos} >= r1 THEN ({_scand_cluster_sql(st, ('gd', 'dt', 'gt', 'kt'))}) "
-                f"ELSE term END"
-            )
-        cases3.append(f"WHEN ends_with(term, '{suf}') THEN ({act})")
+            act = f"({_scand_cluster_sql(st, ('gd', 'dt', 'gt', 'kt'))})"
+        cases3.append(
+            f"WHEN ends_with(term, '{suf}') AND {pos} >= r1 THEN ({act})"
+        )
     s3 = "CASE " + " ".join(cases3) + " ELSE term END"
     undouble = (
         "CASE WHEN length(term) >= 2 "

@@ -155,6 +155,9 @@ SWEDISH_CASES = {
     "friskt": "frisk", "möjlig": "möj",
     # fullt/löst replacements need the suffix INSIDE R1 (whole words keep)
     "fullt": "fullt", "sorgfullt": "sorgfull", "sorglöst": "sorglös",
+    # amongs match WITHIN R1: surface-longest "heter" pokes out of R1, the
+    # within-R1 "er" wins (setlimit tomark p1 — reference SwedishStemmer)
+    "heter": "het", "ärlig": "ärl",
     "bok": "bok", "de": "de",
 }
 
@@ -166,6 +169,8 @@ NORWEGIAN_CASES = {
     "fisks": "fisk",
     # step 3 longest-match picks elig over ig
     "hemmelig": "hemm", "billigere": "billiger", "viktigste": "viktigst",
+    # within-R1 among: heten → het, arlig → arl
+    "heten": "het", "arlig": "arl",
     "bok": "bok",
 }
 
@@ -176,6 +181,8 @@ DANISH_CASES = {
     # igst → st removal chains into the ig delete
     "vigtigst": "vigt", "venligst": "ven",
     "dejlig": "dej", "bog": "bog",
+    # within-R1 among: hedens → hed; løst needs the WHOLE suffix in R1
+    "hedens": "hed", "løst": "løst", "arlig": "arl",
 }
 
 

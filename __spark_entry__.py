@@ -268,6 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "danish"})
         return _as_docid(s.search(MatchQuery("text", "parterne streamet datas"), size=10))
 
+    def q_match_romanian(spark, sf):
+        # Snowball Romanian: partea/datele/indexul stem to part/dat/index,
+        # matching corpus part/data/index stems
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "romanian"})
+        return _as_docid(s.search(MatchQuery("text", "partea datele indexul"), size=10))
+
     def q_match_russian(spark, sf):
         # russian chain = unicode (Cyrillic-aware) tokenizer + stopwords +
         # Snowball Russian stemmer (the full Lucene RussianAnalyzer analog,
@@ -854,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_italian": q_match_italian,
         "bm25_match_portuguese": q_match_portuguese,
         "bm25_match_dutch": q_match_dutch,
+        "bm25_match_romanian": q_match_romanian,
         "bm25_match_russian": q_match_russian,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
@@ -1155,6 +1162,7 @@ LIMIT 10
         ("swedish", "parten streamen datas"),
         ("norwegian", "parten streamene datas"),
         ("danish", "parterne streamet datas"),
+        ("romanian", "partea datele indexul"),
     ):
         _terms = analyzer_py(_lang)(_q)
         sql[f"bm25_match_{_lang}"] = f"""
@@ -1801,6 +1809,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         italian_sql_ctes,
         norwegian_sql_ctes,
         portuguese_sql_ctes,
+        romanian_sql_ctes,
         spanish_sql_ctes,
         swedish_sql_ctes,
     )
@@ -1815,6 +1824,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         "swedish": swedish_sql_ctes,
         "norwegian": norwegian_sql_ctes,
         "danish": danish_sql_ctes,
+        "romanian": romanian_sql_ctes,
     }[lang]
     stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
     p = prefix

@@ -245,6 +245,15 @@ LANG_STOPWORDS = {
         "på", "de", "med", "han", "af", "ikke", "der", "så", "var",
         "mig", "sig", "men", "et", "har", "om", "vi",
     ],
+    # comma-below AND legacy cedilla spellings both listed: the stop filter
+    # runs on raw lowercased tokens BEFORE the stemmer's ş→ș normalization
+    "romanian": [
+        "și", "şi", "în", "la", "cu", "de", "pe", "un", "o", "este",
+        "sunt", "care", "nu", "se", "din", "mai", "dar", "sau", "ce",
+        "să", "sã", "au", "a", "al", "ai", "ale", "lui", "ei", "lor",
+        "că", "cã", "le", "pentru", "fi", "fost", "când", "acest",
+        "această", "prin", "după", "ca", "până", "fără",
+    ],
     # stopword-only chains over the unicode tokenizer (no stemmer yet —
     # the documented pre-stemmer stage for the reference's el analyzer)
     "russian": [
@@ -339,6 +348,12 @@ def _dutch_stem(t: str) -> str:
     from nixiesearch_spark.snowball import dutch_py
 
     return dutch_py(t)
+
+
+def _romanian_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import romanian_py
+
+    return romanian_py(t)
 
 
 def _russian_stem(t: str) -> str:
@@ -441,6 +456,10 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["danish"], _danish_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["danish"], _danish_stem, tokenize_latin_py),
     ),
+    "romanian": (
+        _stem_col(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
+    ),
     # unicode-class chains: standard_unicode/greek are pure Catalyst
     # (tokenizer + stopwords, no UDF); russian is the full Lucene
     # RussianAnalyzer analog (stop + Snowball Russian stemmer)
@@ -460,7 +479,7 @@ ANALYZERS = {
 # F.transform lambdas — text[] fields concat items first for these)
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
-    "dutch", "russian", "swedish", "norwegian", "danish",
+    "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
 }
 
 

@@ -2608,3 +2608,314 @@ def danish_sql_ctes(src: str, out: str, p: str = "da_") -> str:
 {p}s3 AS MATERIALIZED (SELECT doc_id, r1, {s3} AS term FROM {p}ig),
 {out} AS MATERIALIZED (SELECT doc_id, {undouble} AS term FROM {p}s3)
 """
+
+
+# ----------------------------------------------------------------- romanian
+# Published Snowball Romanian algorithm (snowballstem.org/algorithms/
+# romanian/stemmer.html; the reference binds Lucene's RomanianAnalyzer,
+# config/mapping/Language.scala:89). Vowels a ă â e i î o u; the prelude
+# first normalizes the legacy cedilla forms ş/ţ (U+015F/U+0163) to the
+# comma-below forms ș/ț (U+0219/U+021B) the algorithm is defined over, then
+# marks i/u between vowels as consonants I/U with the standard cursor scan.
+# RV is the Spanish-style exceptional region; R1/R2 standard. Flow:
+# step 0 (plural/article removal, R1) → step 1 (combining suffixes, R1,
+# REPEATED until no change) → step 2 (standard suffixes, R2, sets the
+# removal flag — note the bare 'ist' → 'ist' identity replacement still
+# sets it) → verb suffixes (only if steps 1/2 removed nothing; amongs match
+# WITHIN RV, group 1 needs a consonant-or-u immediately before, itself
+# inside RV) → final vowel (longest of a/e/i/ie/ă, start-in-RV condition)
+# → postlude I/U → i/u.
+
+RO_VOWELS = "aăâeiîou"
+
+_RO_STEP0 = sorted(
+    [
+        ("ul", ""), ("ului", ""),
+        ("aua", "a"),
+        ("ea", "e"), ("ele", "e"), ("elor", "e"),
+        ("ii", "i"), ("iua", "i"), ("iei", "i"), ("iile", "i"),
+        ("iilor", "i"), ("ilor", "i"),
+        ("ile", "i"),  # guarded: not preceded by 'ab'
+        ("atei", "at"),
+        ("ație", "ați"), ("ația", "ați"),
+    ],
+    key=lambda t: -len(t[0]),
+)
+
+_RO_STEP1 = sorted(
+    [(s, r) for r, ss in {
+        "abil": ["abilitate", "abilitati", "abilităi", "abilități"],
+        "ibil": ["ibilitate"],
+        "iv": ["ivitate", "ivitati", "ivităi", "ivități"],
+        "ic": ["icitate", "icitati", "icităi", "icități", "icator",
+               "icatori", "iciv", "iciva", "icive", "icivi", "icivă",
+               "ical", "icala", "icale", "icali", "icală"],
+        "at": ["ativ", "ativa", "ative", "ativi", "ativă", "ațiune",
+               "atoare", "ator", "atori", "ătoare", "ător", "ători"],
+        "it": ["itiv", "itiva", "itive", "itivi", "itivă", "ițiune",
+               "itoare", "itor", "itori"],
+    }.items() for s in ss],
+    key=lambda t: -len(t[0]),
+)
+
+_RO_STEP2_DEL = [
+    "at", "ata", "ată", "ati", "ate",
+    "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite",
+    "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oși",
+    "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori",
+    "itate", "itati", "ităi", "ități",
+    "iv", "iva", "ive", "ivi", "ivă",
+]
+_RO_STEP2_IST = ["ism", "isme", "ist", "ista", "iste", "isti", "istă", "iști"]
+_RO_STEP2_IUNE = ["iune", "iuni"]
+_RO_STEP2_ALL = sorted(
+    _RO_STEP2_DEL + _RO_STEP2_IST + _RO_STEP2_IUNE, key=len, reverse=True
+)
+_RO_IST_SET = set(_RO_STEP2_IST)
+
+_RO_VERB_1 = [
+    "are", "ere", "ire", "âre",
+    "ind", "ând", "indu", "ându",
+    "eze", "ează", "esc", "ești", "ește", "ăsc", "ăști", "ăște",
+    "ească", "ez", "ezi",
+    "am", "ai", "au",
+    "eam", "eai", "ea", "eați", "eau",
+    "iam", "iai", "ia", "iați", "iau",
+    "ui", "ași", "arăm", "arăți", "ară",
+    "uși", "urăm", "urăți", "ură",
+    "iși", "irăm", "irăți", "iră",
+    "âi", "âși", "ârăm", "ârăți", "âră",
+    "asem", "aseși", "ase", "aserăm", "aserăți", "aseră",
+    "isem", "iseși", "ise", "iserăm", "iserăți", "iseră",
+    "âsem", "âseși", "âse", "âserăm", "âserăți", "âseră",
+    "usem", "useși", "use", "userăm", "userăți", "useră",
+]
+_RO_VERB_2 = [
+    "ăm", "ați", "em", "eți", "im", "iți", "âm", "âți",
+    "seși", "serăm", "serăți", "seră", "sei", "se",
+    "sesem", "seseși", "sese", "seserăm", "seserăți", "seseră",
+]
+_RO_VERB_ALL = sorted(set(_RO_VERB_1) | set(_RO_VERB_2), key=len, reverse=True)
+_RO_VERB_2_SET = set(_RO_VERB_2)
+
+
+def _ro_mark(prev: str, c: str, nxt: str) -> str:
+    if c in "iu" and prev and prev in RO_VOWELS and nxt and nxt in RO_VOWELS:
+        return "I" if c == "i" else "U"
+    return c
+
+
+def _ro_prelude_py(w: str) -> str:
+    w = w.replace("ş", "ș").replace("ţ", "ț")
+    return _scan_py(w, _ro_mark)
+
+
+def romanian_py(word: str) -> str:
+    w = _ro_prelude_py(word)
+    r1, r2 = _r1r2_py(w, RO_VOWELS)
+    rv = _rv_std_py(w, RO_VOWELS)
+
+    # step 0: longest among by surface, then R1 condition; the guarded
+    # 'ile' (not after 'ab' ⟺ word doesn't end 'abile') fails whole-step
+    for suf, repl in _RO_STEP0:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if pos >= r1 and not (suf == "ile" and w.endswith("abile")):
+                w = w[:pos] + repl
+            break
+
+    # step 1: repeat while a replacement fires (every replacement strictly
+    # shortens, so "changed" ⟺ "fired")
+    s1 = False
+    while True:
+        hit = False
+        for suf, repl in _RO_STEP1:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos >= r1:
+                    w = w[:pos] + repl
+                    hit = s1 = True
+                break
+        if not hit:
+            break
+
+    # step 2: longest among over delete ∪ iune ∪ ist groups, R2 condition.
+    # Success sets the flag even when the string is unchanged ('ist'→'ist').
+    s2 = False
+    for suf in _RO_STEP2_ALL:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if pos >= r2:
+                if suf in ("iune", "iuni"):
+                    if pos >= 1 and w[pos - 1] == "ț":
+                        w = w[: pos - 1] + "t"
+                        s2 = True
+                elif suf in _RO_IST_SET:
+                    w = w[:pos] + "ist"
+                    s2 = True
+                else:
+                    w = w[:pos]
+                    s2 = True
+            break
+
+    # verb suffixes: only if steps 1/2 removed nothing; within-RV among
+    # (longest suffix FITTING INSIDE RV wins — longer surface suffixes that
+    # poke out of RV fall through); group-1 needs consonant-or-u before,
+    # itself inside RV; a failed group-1 test means no removal
+    if not (s1 or s2):
+        for suf in _RO_VERB_ALL:
+            pos = len(w) - len(suf)
+            if not (w.endswith(suf) and pos >= rv):
+                continue
+            if suf in _RO_VERB_2_SET:
+                w = w[:pos]
+            elif pos >= rv + 1 and (w[pos - 1] not in RO_VOWELS or w[pos - 1] == "u"):
+                w = w[:pos]
+            break
+
+    # final vowel: longest of ie/a/e/i/ă by surface, start-in-RV condition
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if pos >= rv:
+                w = w[:pos]
+            break
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---- romanian SQL form
+
+
+def _ro_mark_sql(prev: str, c: str, nxt: str) -> str:
+    pv = f"({prev} <> '' AND contains('{RO_VOWELS}', {prev}))"
+    nv = f"({nxt} <> '' AND contains('{RO_VOWELS}', {nxt}))"
+    return (
+        f"CASE WHEN {c} = 'i' AND {pv} AND {nv} THEN 'I' "
+        f"WHEN {c} = 'u' AND {pv} AND {nv} THEN 'U' "
+        f"ELSE {c} END"
+    )
+
+
+def _ro_step0_sql(x: str) -> str:
+    cases = []
+    for suf, repl in _RO_STEP0:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        act = f"{_strip(x, n)} || '{repl}'" if repl else _strip(x, n)
+        cond = f"{pos} >= r1"
+        if suf == "ile":
+            cond += f" AND NOT ends_with({x}, 'abile')"
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') THEN "
+            f"(CASE WHEN {cond} THEN {act} ELSE {x} END)"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _ro_step1_sql(x: str) -> str:
+    cases = []
+    for suf, repl in _RO_STEP1:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') THEN "
+            f"(CASE WHEN {pos} >= r1 THEN {_strip(x, n)} || '{repl}' ELSE {x} END)"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _ro_step2_sql(x: str) -> tuple[str, str]:
+    """(new-term CASE, success-flag CASE) — the flag is NOT string-change
+    ('ist' → 'ist' succeeds unchanged and must still block the verb step)."""
+    val, flg = [], []
+    for suf in _RO_STEP2_ALL:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf in ("iune", "iuni"):
+            cond = f"{pos} >= r2 AND {pos} >= 1 AND {_prev_sql(x, n)} = 'ț'"
+            act = f"{_strip(x, n + 1)} || 't'"
+        elif suf in _RO_IST_SET:
+            cond = f"{pos} >= r2"
+            act = f"{st} || 'ist'"
+        else:
+            cond = f"{pos} >= r2"
+            act = st
+        val.append(
+            f"WHEN ends_with({x}, '{suf}') THEN "
+            f"(CASE WHEN {cond} THEN {act} ELSE {x} END)"
+        )
+        flg.append(f"WHEN ends_with({x}, '{suf}') THEN ({cond})")
+    return (
+        "CASE " + " ".join(val) + f" ELSE {x} END",
+        "CASE " + " ".join(flg) + " ELSE FALSE END",
+    )
+
+
+def _ro_verb_sql(x: str) -> str:
+    cases = []
+    for suf in _RO_VERB_ALL:
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        st = _strip(x, n)
+        if suf in _RO_VERB_2_SET:
+            act = st
+        else:
+            prevc = _prev_sql(x, n)
+            act = (
+                f"CASE WHEN {pos} >= rv + 1 AND "
+                f"(NOT contains('{RO_VOWELS}', {prevc}) OR {prevc} = 'u') "
+                f"THEN {st} ELSE {x} END"
+            )
+        cases.append(f"WHEN ends_with({x}, '{suf}') AND {pos} >= rv THEN ({act})")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def _ro_vowel_sql(x: str) -> str:
+    cases = []
+    for suf in ("ie", "a", "e", "i", "ă"):
+        n = len(suf)
+        pos = f"(length({x}) - {n})"
+        cases.append(
+            f"WHEN ends_with({x}, '{suf}') THEN "
+            f"(CASE WHEN {pos} >= rv THEN {_strip(x, n)} ELSE {x} END)"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def romanian_sql_ctes(src: str, out: str, p: str = "ro_") -> str:
+    """CTE-chain fragment stemming ``src(doc_id, term)`` → ``out`` with the
+    Romanian flow; caller's WITH list must be WITH RECURSIVE (prelude scan).
+    Step 1 is unrolled 3×, which is exact: a second replacement can only
+    fire when the first one produced 'iv' (only ativ/itiv/iciv end in a
+    replacement string), and those replace to at/it/ic which no step-1
+    suffix ends with — so ≥3 consecutive replacements are impossible and
+    the third application is a provably-idempotent guard."""
+    base = "replace(replace(term, 'ş', 'ș'), 'ţ', 'ț')"
+    scan = _scan_sql(src, f"{p}pre", p, _ro_mark_sql, base_term=base)
+    r1, r2 = _r1r2_sql("term", RO_VOWELS)
+    rv = _rv_std_sql("term", RO_VOWELS)
+    s0 = _ro_step0_sql("term")
+    s1 = _ro_step1_sql("term")
+    s2v, s2f = _ro_step2_sql("term")
+    vb = _ro_verb_sql("term")
+    s4 = _ro_vowel_sql("term")
+    return f"""
+{scan.strip()},
+{p}sr AS MATERIALIZED (SELECT doc_id, term, {r1} AS r1, {r2} AS r2, {rv} AS rv FROM {p}pre),
+{p}s0 AS MATERIALIZED (SELECT doc_id, r1, r2, rv, {s0} AS term FROM {p}sr),
+{p}s1a AS MATERIALIZED (SELECT doc_id, r1, r2, rv, term AS t0, {s1} AS term FROM {p}s0),
+{p}s1b AS MATERIALIZED (SELECT doc_id, r1, r2, rv, t0, {s1} AS term FROM {p}s1a),
+{p}s1c AS MATERIALIZED (SELECT doc_id, r1, r2, rv, (term <> t0) AS f1, {s1} AS term FROM {p}s1b),
+{p}s2 AS MATERIALIZED (SELECT doc_id, r1, r2, rv, f1, {s2f} AS f2, {s2v} AS term FROM {p}s1c),
+{p}vb AS MATERIALIZED (SELECT doc_id, rv,
+  CASE WHEN NOT f1 AND NOT f2 THEN {vb} ELSE term END AS term FROM {p}s2),
+{p}s4 AS MATERIALIZED (SELECT doc_id, {s4} AS term FROM {p}vb),
+{out} AS MATERIALIZED (SELECT doc_id, translate(term, 'IU', 'iu') AS term FROM {p}s4)
+"""

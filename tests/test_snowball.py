@@ -33,6 +33,8 @@ from nixiesearch_spark.snowball import (
     italian_sql_ctes,
     portuguese_py,
     portuguese_sql_ctes,
+    romanian_py,
+    romanian_sql_ctes,
     spanish_py,
     spanish_sql_ctes,
 )
@@ -184,6 +186,63 @@ DANISH_CASES = {
     # within-R1 among: hedens → hed; løst needs the WHOLE suffix in R1
     "hedens": "hed", "løst": "løst", "arlig": "arl",
 }
+
+
+ROMANIAN_CASES = {
+    # step 0 plural/article removal (R1), chained into the final vowel
+    "partea": "part", "datele": "dat", "indexul": "index",
+    "copiilor": "cop", "muncitorilor": "muncit",
+    # the guarded 'ile' (not after ab): mobile strips, abile keeps the
+    # surface 'ile' (whole-step failure, no fallthrough) then drops 'e'
+    "mobile": "mob", "abile": "abil",
+    # step 1 combining suffixes (the repeat's second iteration on
+    # ativitate -> ativ stops: the new 'ativ' match starts before R1)
+    "abilitate": "abil", "ativitate": "ativ", "calculatoarele": "calcul",
+    # step 2 (R2) incl. the ist identity-success that blocks the verb step
+    "frumoasele": "frumoas", "importante": "import",
+    # verb suffixes within RV, group-1 consonant-or-u test
+    "lucrează": "lucr", "mergeau": "merg", "folosește": "folos",
+    # 'ind' whose preceding char falls outside RV: no removal
+    "citind": "citind",
+    # cedilla normalization: both spellings agree
+    "româneşte": "român", "românește": "român",
+    # untouched / short
+    "index": "index", "nu": "nu", "": "",
+}
+
+
+def test_romanian_spec_cases():
+    bad = {
+        w: (romanian_py(w), want)
+        for w, want in ROMANIAN_CASES.items()
+        if romanian_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_romanian_sql_equals_python():
+    words = list(ROMANIAN_CASES) + [
+        "a", "ă", "iii", "aiua", "uau", "ii", "ile", "iile", "ist", "xist",
+        "xistă", "istițiune", "națiune", "fricțiune", "ațiune", "seserăți",
+        "useră", "âserăți", "copiii", "luați", "fiului", "importanta",
+        "ativitativitate", "spark", "foo_bar", "batches",
+    ]
+    got = _sql_stem(words, romanian_sql_ctes)
+    want = [romanian_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+RO_ALPHA = "abcdefghijlmnoprstuvăâîșțşţ_0123456789"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=RO_ALPHA, min_size=0, max_size=12), min_size=1, max_size=30))
+def test_romanian_two_form_identity_random(words):
+    got = _sql_stem(words, romanian_sql_ctes)
+    want = [romanian_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
+
 
 
 def test_scandinavian_spec_cases():

@@ -29,6 +29,10 @@ TOKSPLIT = "[^0-9A-Za-z_]+"
 # stopword of the russian chain)
 RU_VOCAB = ["данные", "таблица", "поток", "запрос", "индекс", "и", "поиск"]
 
+# deterministic Arabic vocab for the arabic-analyzer entry ("في" is a
+# stopword of the arabic chain; البيانات exercises prefix+suffix stripping)
+AR_VOCAB = ["البيانات", "فهرس", "استعلام", "جدول", "كتاب", "في", "بحث"]
+
 # ---------------------------------------------------------------- index cache
 
 _CACHE: dict = {}
@@ -43,13 +47,14 @@ def _index(
     derive_ts: bool = False,
     derive_emb: bool = False,
     derive_ru: bool = False,
+    derive_ar: bool = False,
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
     key = (
         sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
-        derive_ts, derive_emb, derive_ru,
+        derive_ts, derive_emb, derive_ru, derive_ar,
     )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
@@ -76,6 +81,23 @@ def _index(
             n = len(RU_VOCAB)
             df = df.withColumn(
                 "text_ru",
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
+                    ),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
+                    ),
+                ),
+            )
+        if derive_ar:
+            # deterministic synthetic Arabic column, same keying as text_ru
+            arr = F.array(*[F.lit(w) for w in AR_VOCAB])
+            n = len(AR_VOCAB)
+            df = df.withColumn(
+                "text_ar",
                 F.concat_ws(
                     " ",
                     F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
@@ -283,6 +305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_ru": "russian"}, derive_ru=True,
         )
         return _as_docid(s.search(MatchQuery("text_ru", "данные и индекс"), size=10))
+
+    def q_match_arabic(spark, sf):
+        # arabic chain = unicode tokenizer + stop filter (surface forms) +
+        # normalization + light10 stemmer (the Lucene ArabicAnalyzer analog)
+        s = _index(
+            spark, sf, ("text_ar",), False,
+            analyzers={"text_ar": "arabic"}, derive_ar=True,
+        )
+        return _as_docid(s.search(MatchQuery("text_ar", "بيانات في الكتاب"), size=10))
 
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
@@ -862,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_dutch": q_match_dutch,
         "bm25_match_romanian": q_match_romanian,
         "bm25_match_russian": q_match_russian,
+        "bm25_match_arabic": q_match_arabic,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
         "bm25_match_danish": q_match_danish,
@@ -1198,6 +1230,37 @@ tok_raw AS (
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(ru_terms, "text_ru").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.light import arabic_sql_ctes
+
+    ar_terms = analyzer_py("arabic")("بيانات في الكتاب")
+    ar_vocab = "[" + ",".join(f"'{w}'" for w in AR_VOCAB) + "]"
+    ar_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["arabic"]) + "]"
+    ar_stem_ctes = arabic_sql_ctes("tok_raw", "tok_f", "arsb_").strip().rstrip(",").strip()
+    nvoc_ar = len(AR_VOCAB)
+    sql["bm25_match_arabic"] = f"""
+WITH base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({ar_vocab})[(doc_id % {nvoc_ar}) + 1],
+    ({ar_vocab})[((doc_id * 3 + 1) % {nvoc_ar}) + 1],
+    ({ar_vocab})[((doc_id * 5 + 2) % {nvoc_ar}) + 1]) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT doc_id, x.term
+  FROM base, unnest(list_filter(
+    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'ς', 'σ'), '{TOKEN_SPLIT_UNICODE}'),
+    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({ar_stops}, x))) AS x(term)
+),
+{ar_stem_ctes},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(ar_terms, "text_ar").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

@@ -89,7 +89,12 @@ TOKEN_SPLIT_UNICODE = (
     "ῂ-ῄῆ-ῌῐ-ΐῖ-Ίῠ-Ῥ"
     "ῲ-ῴῶ-ῼ"
     # Cyrillic letters (skip U+0482 thousands sign + U+0483–0489 combining)
-    "Ѐ-ҁҊ-ӿԀ-ԯ]+"
+    "Ѐ-ҁҊ-ӿԀ-ԯ"
+    # Arabic: hamza..yeh letters + tatweel + the harakat/tanween combining
+    # marks (U+0621–U+0652 contiguous) — diacritics are WORD chars so
+    # vocalized words stay whole (the arabic analyzer's normalizer strips
+    # them); plus the Persian letters پ چ ژ گ ک ی
+    "ء-ْپچژگکی]+"
 )
 _SPLIT_UNICODE_RE = re.compile(TOKEN_SPLIT_UNICODE)
 
@@ -254,6 +259,15 @@ LANG_STOPWORDS = {
         "că", "cã", "le", "pentru", "fi", "fost", "când", "acest",
         "această", "prin", "după", "ca", "până", "fără",
     ],
+    # surface forms (the stop filter runs BEFORE the arabic chain's
+    # normalizer, matching Lucene's ArabicAnalyzer filter order)
+    "arabic": [
+        "من", "في", "على", "أن", "إن", "إلى", "عن", "مع", "هذا", "هذه",
+        "ذلك", "التي", "الذي", "الذين", "ما", "لا", "لم", "لن", "هو",
+        "هي", "هم", "كان", "كانت", "يكون", "أو", "ثم", "قد", "كل",
+        "بعد", "قبل", "بين", "حتى", "إذا", "كما", "أي", "عند", "منذ",
+        "غير", "أيضا", "و",
+    ],
     # stopword-only chains over the unicode tokenizer (no stemmer yet —
     # the documented pre-stemmer stage for the reference's el analyzer)
     "russian": [
@@ -360,6 +374,12 @@ def _russian_stem(t: str) -> str:
     from nixiesearch_spark.snowball import russian_py
 
     return russian_py(t)
+
+
+def _arabic_stem(t: str) -> str:
+    from nixiesearch_spark.light import arabic_py
+
+    return arabic_py(t)
 
 
 def _swedish_stem(t: str) -> str:
@@ -472,6 +492,12 @@ ANALYZERS = {
         _stop_col(LANG_STOPWORDS["greek"], tokenize_unicode_col),
         _stop_py(LANG_STOPWORDS["greek"], tokenize_unicode_py),
     ),
+    # full Lucene ArabicAnalyzer analog: unicode tokenize → stop (surface
+    # forms) → normalization + light10 stem (light.py)
+    "arabic": (
+        _stem_col(LANG_STOPWORDS["arabic"], _arabic_stem, tokenize_unicode_py),
+        _stem_py(LANG_STOPWORDS["arabic"], _arabic_stem, tokenize_unicode_py),
+    ),
 }
 
 
@@ -480,6 +506,7 @@ ANALYZERS = {
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
+    "arabic",
 }
 
 
@@ -499,11 +526,13 @@ try:
 
     from pyspark import cloudpickle as _cp
 
+    from nixiesearch_spark import light as _light_mod
     from nixiesearch_spark import snowball as _snowball_mod
     from nixiesearch_spark import stem as _stem_mod
 
     _cp.register_pickle_by_value(_stem_mod)
     _cp.register_pickle_by_value(_snowball_mod)
+    _cp.register_pickle_by_value(_light_mod)
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - best effort on older pyspark
     pass

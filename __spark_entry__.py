@@ -33,6 +33,10 @@ RU_VOCAB = ["Ð´Ð°Ð½Ð½Ñ‹Ðµ", "Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð°", "Ð¿Ð¾Ñ‚Ð¾Ðº", "Ð·Ð°Ð¿Ñ€Ð¾Ñ", "Ð¸Ð
 # stopword of the arabic chain; Ø§Ù„Ø¨ÙŠØ§Ù†Ø§Øª exercises prefix+suffix stripping)
 AR_VOCAB = ["Ø§Ù„Ø¨ÙŠØ§Ù†Ø§Øª", "ÙÙ‡Ø±Ø³", "Ø§Ø³ØªØ¹Ù„Ø§Ù…", "Ø¬Ø¯ÙˆÙ„", "ÙƒØªØ§Ø¨", "ÙÙŠ", "Ø¨Ø­Ø«"]
 
+# deterministic Bulgarian vocab for the bulgarian-analyzer entry ("Ð¸" is a
+# stopword; definite-article forms exercise the light-stemmer cascade)
+BG_VOCAB = ["Ð´Ð°Ð½Ð½Ð¸Ñ‚Ðµ", "Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð°Ñ‚Ð°", "Ð¿Ð¾Ñ‚Ð¾ÐºÑŠÑ‚", "Ð·Ð°ÑÐ²ÐºÐ¸Ñ‚Ðµ", "Ð¸Ð½Ð´ÐµÐºÑÑŠÑ‚", "Ð¸", "Ñ‚ÑŠÑ€ÑÐµÐ½Ðµ"]
+
 # ---------------------------------------------------------------- index cache
 
 _CACHE: dict = {}
@@ -48,13 +52,14 @@ def _index(
     derive_emb: bool = False,
     derive_ru: bool = False,
     derive_ar: bool = False,
+    derive_bg: bool = False,
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
     key = (
         sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
-        derive_ts, derive_emb, derive_ru, derive_ar,
+        derive_ts, derive_emb, derive_ru, derive_ar, derive_bg,
     )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
@@ -98,6 +103,23 @@ def _index(
             n = len(AR_VOCAB)
             df = df.withColumn(
                 "text_ar",
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
+                    ),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
+                    ),
+                ),
+            )
+        if derive_bg:
+            # deterministic synthetic Bulgarian column, same keying as text_ru
+            arr = F.array(*[F.lit(w) for w in BG_VOCAB])
+            n = len(BG_VOCAB)
+            df = df.withColumn(
+                "text_bg",
                 F.concat_ws(
                     " ",
                     F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
@@ -305,6 +327,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_ru": "russian"}, derive_ru=True,
         )
         return _as_docid(s.search(MatchQuery("text_ru", "Ð´Ð°Ð½Ð½Ñ‹Ðµ Ð¸ Ð¸Ð½Ð´ÐµÐºÑ"), size=10))
+
+    def q_match_czech(spark, sf):
+        # Czech light stemmer: datech/partem/indexem case endings strip to
+        # dat/part/index, matching corpus data/part/index stems
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "czech"})
+        return _as_docid(s.search(MatchQuery("text", "datech partem indexem"), size=10))
+
+    def q_match_bulgarian(spark, sf):
+        # Bulgarian light stemmer over the unicode (Cyrillic) tokenizer:
+        # definite-article/plural cascade, stop filter on "Ð¸"
+        s = _index(
+            spark, sf, ("text_bg",), False,
+            analyzers={"text_bg": "bulgarian"}, derive_bg=True,
+        )
+        return _as_docid(s.search(MatchQuery("text_bg", "Ð´Ð°Ð½Ð½Ð¸ Ð¸ Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð° Ð¸Ð½Ð´ÐµÐºÑÐ¸"), size=10))
 
     def q_match_arabic(spark, sf):
         # arabic chain = unicode tokenizer + stop filter (surface forms) +
@@ -894,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_romanian": q_match_romanian,
         "bm25_match_russian": q_match_russian,
         "bm25_match_arabic": q_match_arabic,
+        "bm25_match_czech": q_match_czech,
+        "bm25_match_bulgarian": q_match_bulgarian,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
         "bm25_match_danish": q_match_danish,
@@ -1195,6 +1234,7 @@ LIMIT 10
         ("norwegian", "parten streamene datas"),
         ("danish", "parterne streamet datas"),
         ("romanian", "partea datele indexul"),
+        ("czech", "datech partem indexem"),
     ):
         _terms = analyzer_py(_lang)(_q)
         sql[f"bm25_match_{_lang}"] = f"""
@@ -1236,7 +1276,36 @@ ORDER BY sc.score DESC, doc_id ASC
 LIMIT 10
 """
 
-    from nixiesearch_spark.light import arabic_sql_ctes
+    from nixiesearch_spark.light import arabic_sql_ctes, bulgarian_sql_ctes
+
+    bg_terms = analyzer_py("bulgarian")("Ð´Ð°Ð½Ð½Ð¸ Ð¸ Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð° Ð¸Ð½Ð´ÐµÐºÑÐ¸")
+    bg_vocab = "[" + ",".join(f"'{w}'" for w in BG_VOCAB) + "]"
+    bg_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["bulgarian"]) + "]"
+    bg_stem_ctes = bulgarian_sql_ctes("tok_raw", "tok_f", "bgsb_").strip().rstrip(",").strip()
+    nvoc_bg = len(BG_VOCAB)
+    sql["bm25_match_bulgarian"] = f"""
+WITH base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({bg_vocab})[(doc_id % {nvoc_bg}) + 1],
+    ({bg_vocab})[((doc_id * 3 + 1) % {nvoc_bg}) + 1],
+    ({bg_vocab})[((doc_id * 5 + 2) % {nvoc_bg}) + 1]) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT doc_id, x.term
+  FROM base, unnest(list_filter(
+    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
+    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({bg_stops}, x))) AS x(term)
+),
+{bg_stem_ctes},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(bg_terms, "text_bg").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
 
     ar_terms = analyzer_py("arabic")("Ø¨ÙŠØ§Ù†Ø§Øª ÙÙŠ Ø§Ù„ÙƒØªØ§Ø¨")
     ar_vocab = "[" + ",".join(f"'{w}'" for w in AR_VOCAB) + "]"
@@ -1876,6 +1945,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         spanish_sql_ctes,
         swedish_sql_ctes,
     )
+    from nixiesearch_spark.light import czech_sql_ctes as _light_czech_sql_ctes
 
     ctes_fn = {
         "german": german_sql_ctes,
@@ -1888,6 +1958,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         "norwegian": norwegian_sql_ctes,
         "danish": danish_sql_ctes,
         "romanian": romanian_sql_ctes,
+        "czech": _light_czech_sql_ctes,
     }[lang]
     stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
     p = prefix

@@ -259,6 +259,21 @@ LANG_STOPWORDS = {
         "că", "cã", "le", "pentru", "fi", "fost", "când", "acest",
         "această", "prin", "după", "ca", "până", "fără",
     ],
+    "czech": [
+        "a", "aby", "ale", "ani", "až", "bez", "bude", "by", "byl",
+        "byla", "bylo", "být", "co", "do", "i", "já", "jak", "jako",
+        "je", "jeho", "jen", "ji", "jsem", "jsou", "k", "kde", "když",
+        "ke", "která", "který", "na", "nad", "ne", "nebo", "není", "o",
+        "od", "on", "po", "pod", "pro", "při", "s", "se", "si", "ta",
+        "tak", "také", "ten", "to", "u", "už", "v", "ve", "z", "za", "že",
+    ],
+    "bulgarian": [
+        "и", "в", "във", "на", "с", "със", "за", "от", "по", "не",
+        "да", "е", "се", "че", "ще", "като", "но", "или", "ако",
+        "той", "тя", "то", "те", "са", "бе", "при", "към", "над",
+        "под", "след", "преди", "това", "този", "тази", "има",
+        "беше", "ни", "ви", "му", "аз", "ти", "ние", "вие",
+    ],
     # surface forms (the stop filter runs BEFORE the arabic chain's
     # normalizer, matching Lucene's ArabicAnalyzer filter order)
     "arabic": [
@@ -382,6 +397,18 @@ def _arabic_stem(t: str) -> str:
     return arabic_py(t)
 
 
+def _bulgarian_stem(t: str) -> str:
+    from nixiesearch_spark.light import bulgarian_py
+
+    return bulgarian_py(t)
+
+
+def _czech_stem(t: str) -> str:
+    from nixiesearch_spark.light import czech_py
+
+    return czech_py(t)
+
+
 def _swedish_stem(t: str) -> str:
     from nixiesearch_spark.snowball import swedish_py
 
@@ -480,6 +507,11 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
     ),
+    # Dolamic & Savoy Czech light stemmer over the Unicode-Latin tokenizer
+    "czech": (
+        _stem_col(LANG_STOPWORDS["czech"], _czech_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["czech"], _czech_stem, tokenize_latin_py),
+    ),
     # unicode-class chains: standard_unicode/greek are pure Catalyst
     # (tokenizer + stopwords, no UDF); russian is the full Lucene
     # RussianAnalyzer analog (stop + Snowball Russian stemmer)
@@ -498,6 +530,11 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["arabic"], _arabic_stem, tokenize_unicode_py),
         _stem_py(LANG_STOPWORDS["arabic"], _arabic_stem, tokenize_unicode_py),
     ),
+    # Savoy Bulgarian light stemmer over the unicode (Cyrillic) tokenizer
+    "bulgarian": (
+        _stem_col(LANG_STOPWORDS["bulgarian"], _bulgarian_stem, tokenize_unicode_py),
+        _stem_py(LANG_STOPWORDS["bulgarian"], _bulgarian_stem, tokenize_unicode_py),
+    ),
 }
 
 
@@ -506,7 +543,7 @@ ANALYZERS = {
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
-    "arabic",
+    "arabic", "bulgarian", "czech",
 }
 
 

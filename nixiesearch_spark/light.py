@@ -119,3 +119,231 @@ def arabic_sql_ctes(src: str, out: str, p: str = "ar_") -> str:
 {p}pf AS MATERIALIZED (SELECT doc_id, {_ar_prefix_sql("term")} AS term FROM {p}nm),
 {joined}
 """
+
+
+# --------------------------------------------------------------- bulgarian
+# Savoy's Bulgarian light stemmer ("Searching Strategies for the Bulgarian
+# Language", IR 10(6)) as bound by Lucene's BulgarianAnalyzer (reference
+# config/mapping/Language.scala:61). Cascade over a Cyrillic token:
+# whole-stemmer guard len>=4; an ища early-exit; definite-article removal;
+# plural removal; trailing я then а/о/е; ен→н; penultimate-ъ drop. Each
+# tier is an ORDERED if-cascade with length guards on the CURRENT length
+# (not longest-match amongs).
+
+
+def bulgarian_py(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+
+    # article
+    if len(w) > 6 and w.endswith("ият"):
+        w = w[:-3]
+    elif len(w) > 5 and (
+        w.endswith("ът") or w.endswith("то") or w.endswith("те")
+        or w.endswith("та") or w.endswith("ия")
+    ):
+        w = w[:-2]
+    elif len(w) > 4 and w.endswith("ят"):
+        w = w[:-2]
+
+    # plural
+    if len(w) > 6 and w.endswith("овци"):
+        w = w[:-3]
+    elif len(w) > 6 and w.endswith("ове"):
+        w = w[:-3]
+    elif len(w) > 6 and w.endswith("еве"):
+        w = w[:-3] + "й"
+    elif len(w) > 5 and w.endswith("ища"):
+        w = w[:-3]
+    elif len(w) > 5 and w.endswith("та"):
+        w = w[:-2]
+    elif len(w) > 5 and w.endswith("ци"):
+        w = w[:-2] + "к"
+    elif len(w) > 5 and w.endswith("зи"):
+        w = w[:-2] + "г"
+    elif len(w) > 5 and w[-3] == "е" and w[-1] == "и":
+        w = w[:-3] + "я" + w[-2]
+    elif len(w) > 4 and w.endswith("си"):
+        w = w[:-2] + "х"
+    elif len(w) > 4 and w.endswith("и"):
+        w = w[:-1]
+
+    if len(w) > 3 and w.endswith("я"):
+        w = w[:-1]
+    if len(w) > 3 and (w.endswith("а") or w.endswith("о") or w.endswith("е")):
+        w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+def _bg_article_sql(x: str) -> str:
+    return (
+        f"CASE WHEN length({x}) > 6 AND ends_with({x}, 'ият') THEN {_chop(x, 3)} "
+        f"WHEN length({x}) > 5 AND (ends_with({x}, 'ът') OR ends_with({x}, 'то') "
+        f"OR ends_with({x}, 'те') OR ends_with({x}, 'та') OR ends_with({x}, 'ия')) "
+        f"THEN {_chop(x, 2)} "
+        f"WHEN length({x}) > 4 AND ends_with({x}, 'ят') THEN {_chop(x, 2)} "
+        f"ELSE {x} END"
+    )
+
+
+def _bg_plural_sql(x: str) -> str:
+    at3 = f"substr({x}, length({x}) - 2, 1)"
+    last = f"substr({x}, length({x}), 1)"
+    return (
+        f"CASE WHEN length({x}) > 6 AND ends_with({x}, 'овци') THEN {_chop(x, 3)} "
+        f"WHEN length({x}) > 6 AND ends_with({x}, 'ове') THEN {_chop(x, 3)} "
+        f"WHEN length({x}) > 6 AND ends_with({x}, 'еве') THEN {_chop(x, 3)} || 'й' "
+        f"WHEN length({x}) > 5 AND ends_with({x}, 'ища') THEN {_chop(x, 3)} "
+        f"WHEN length({x}) > 5 AND ends_with({x}, 'та') THEN {_chop(x, 2)} "
+        f"WHEN length({x}) > 5 AND ends_with({x}, 'ци') THEN {_chop(x, 2)} || 'к' "
+        f"WHEN length({x}) > 5 AND ends_with({x}, 'зи') THEN {_chop(x, 2)} || 'г' "
+        f"WHEN length({x}) > 5 AND {at3} = 'е' AND {last} = 'и' "
+        f"THEN {_chop(x, 3)} || 'я' || substr({x}, length({x}) - 1, 1) "
+        f"WHEN length({x}) > 4 AND ends_with({x}, 'си') THEN {_chop(x, 2)} || 'х' "
+        f"WHEN length({x}) > 4 AND ends_with({x}, 'и') THEN {_chop(x, 1)} "
+        f"ELSE {x} END"
+    )
+
+
+def _chop(x: str, n: int) -> str:
+    return f"substr({x}, 1, length({x}) - {n})"
+
+
+def bulgarian_sql_ctes(src: str, out: str, p: str = "bg_") -> str:
+    """The ``done`` column carries the two early exits (len<4 whole-stemmer
+    guard and the ища fast path) past every later stage."""
+    ya = (
+        f"CASE WHEN NOT done AND length(term) > 3 AND ends_with(term, 'я') "
+        f"THEN {_chop('term', 1)} ELSE term END"
+    )
+    aoe = (
+        f"CASE WHEN NOT done AND length(term) > 3 AND (ends_with(term, 'а') "
+        f"OR ends_with(term, 'о') OR ends_with(term, 'е')) "
+        f"THEN {_chop('term', 1)} ELSE term END"
+    )
+    en = (
+        f"CASE WHEN NOT done AND length(term) > 4 AND ends_with(term, 'ен') "
+        f"THEN {_chop('term', 2)} || 'н' ELSE term END"
+    )
+    hard = (
+        f"CASE WHEN NOT done AND length(term) > 5 "
+        f"AND substr(term, length(term) - 1, 1) = 'ъ' "
+        f"THEN {_chop('term', 2)} || substr(term, length(term), 1) ELSE term END"
+    )
+    return f"""
+{p}g AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN length(term) > 5 AND ends_with(term, 'ища') THEN {_chop('term', 3)} ELSE term END AS term,
+  (length(term) < 4 OR (length(term) > 5 AND ends_with(term, 'ища'))) AS done
+  FROM {src}),
+{p}ar AS MATERIALIZED (SELECT doc_id, done,
+  CASE WHEN NOT done THEN {_bg_article_sql("term")} ELSE term END AS term FROM {p}g),
+{p}pl AS MATERIALIZED (SELECT doc_id, done,
+  CASE WHEN NOT done THEN {_bg_plural_sql("term")} ELSE term END AS term FROM {p}ar),
+{p}ya AS MATERIALIZED (SELECT doc_id, done, {ya} AS term FROM {p}pl),
+{p}ao AS MATERIALIZED (SELECT doc_id, done, {aoe} AS term FROM {p}ya),
+{p}en AS MATERIALIZED (SELECT doc_id, done, {en} AS term FROM {p}ao),
+{out} AS MATERIALIZED (SELECT doc_id, {hard} AS term FROM {p}en)
+"""
+
+
+# ------------------------------------------------------------------- czech
+# Dolamic & Savoy's Czech light stemmer ("Indexing and stemming approaches
+# for the Czech language", IP&M 45) as bound by Lucene's CzechAnalyzer
+# (reference config/mapping/Language.scala:65). Three stages: case-ending
+# removal (ordered length-guarded cascade), possessive removal (ov/ův/in),
+# then palatalization-aware normalization of the new ending.
+
+_CZ_CASE_5 = ["ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+              "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+              "aty", "ých", "ama", "ami", "ové", "ovi", "ými"]
+_CZ_CASE_4 = ["em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+              "mi", "ou"]
+_CZ_VOWELS = "aeiouůyáéíýě"
+
+
+def czech_py(word: str) -> str:
+    w = word
+
+    # case endings
+    if len(w) > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif len(w) > 6 and (w.endswith("ětem") or w.endswith("etem") or w.endswith("atům")):
+        w = w[:-4]
+    elif len(w) > 5 and any(w.endswith(s) for s in _CZ_CASE_5):
+        w = w[:-3]
+    elif len(w) > 4 and any(w.endswith(s) for s in _CZ_CASE_4):
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in _CZ_VOWELS:
+        w = w[:-1]
+
+    # possessives
+    if len(w) > 5 and (w.endswith("ov") or w.endswith("ův") or w.endswith("in")):
+        w = w[:-2]
+
+    # normalization of the fresh ending
+    if not w:
+        return w
+    if w.endswith("čt"):
+        w = w[:-2] + "ck"
+    elif w.endswith("št"):
+        w = w[:-2] + "šk"
+    elif w[-1] in "cč":
+        w = w[:-1] + "k"
+    elif w[-1] in "zž":
+        w = w[:-1] + "h"
+    elif len(w) > 1 and w[-2] == "e":
+        w = w[:-2] + w[-1]
+    elif len(w) > 2 and w[-2] == "ů":
+        w = w[:-2] + "o" + w[-1]
+    return w
+
+
+def _cz_case_sql(x: str) -> str:
+    c5 = " OR ".join(f"ends_with({x}, '{s}')" for s in _CZ_CASE_5)
+    c4 = " OR ".join(f"ends_with({x}, '{s}')" for s in _CZ_CASE_4)
+    return (
+        f"CASE WHEN length({x}) > 7 AND ends_with({x}, 'atech') THEN {_chop(x, 5)} "
+        f"WHEN length({x}) > 6 AND (ends_with({x}, 'ětem') OR ends_with({x}, 'etem') "
+        f"OR ends_with({x}, 'atům')) THEN {_chop(x, 4)} "
+        f"WHEN length({x}) > 5 AND ({c5}) THEN {_chop(x, 3)} "
+        f"WHEN length({x}) > 4 AND ({c4}) THEN {_chop(x, 2)} "
+        f"WHEN length({x}) > 3 AND contains('{_CZ_VOWELS}', substr({x}, length({x}), 1)) "
+        f"THEN {_chop(x, 1)} ELSE {x} END"
+    )
+
+
+def _cz_poss_sql(x: str) -> str:
+    return (
+        f"CASE WHEN length({x}) > 5 AND (ends_with({x}, 'ov') OR ends_with({x}, 'ův') "
+        f"OR ends_with({x}, 'in')) THEN {_chop(x, 2)} ELSE {x} END"
+    )
+
+
+def _cz_norm_sql(x: str) -> str:
+    last = f"substr({x}, length({x}), 1)"
+    pen = f"substr({x}, length({x}) - 1, 1)"
+    return (
+        f"CASE WHEN {x} = '' THEN {x} "
+        f"WHEN ends_with({x}, 'čt') THEN {_chop(x, 2)} || 'ck' "
+        f"WHEN ends_with({x}, 'št') THEN {_chop(x, 2)} || 'šk' "
+        f"WHEN {last} IN ('c', 'č') THEN {_chop(x, 1)} || 'k' "
+        f"WHEN {last} IN ('z', 'ž') THEN {_chop(x, 1)} || 'h' "
+        f"WHEN length({x}) > 1 AND {pen} = 'e' THEN {_chop(x, 2)} || {last} "
+        f"WHEN length({x}) > 2 AND {pen} = 'ů' THEN {_chop(x, 2)} || 'o' || {last} "
+        f"ELSE {x} END"
+    )
+
+
+def czech_sql_ctes(src: str, out: str, p: str = "cz_") -> str:
+    return f"""
+{p}cs AS MATERIALIZED (SELECT doc_id, {_cz_case_sql("term")} AS term FROM {src}),
+{p}po AS MATERIALIZED (SELECT doc_id, {_cz_poss_sql("term")} AS term FROM {p}cs),
+{out} AS MATERIALIZED (SELECT doc_id, {_cz_norm_sql("term")} AS term FROM {p}po)
+"""

@@ -81,3 +81,93 @@ def test_arabic_analyzer_chain():
     assert analyzer_py("arabic")("البيانات والفهرس في كتابها") == [
         "بيان", "فهرس", "كتاب",
     ]
+
+
+from nixiesearch_spark.light import (
+    bulgarian_py,
+    bulgarian_sql_ctes,
+    czech_py,
+    czech_sql_ctes,
+)
+
+BULGARIAN_CASES = {
+    # definite article + trailing-vowel cascade
+    "градът": "град", "книгата": "книг", "данните": "данн",
+    "таблицата": "таблиц", "индексът": "индекс", "потокът": "поток",
+    # plural rewrites (ци->к, зи->г, си->х), ове, еве->й
+    # (езици is len 5: the ци->к rewrite needs len>5, so only и strips)
+    "таблици": "таблик", "езици": "езиц", "синовете": "синов",
+    # ен -> н and the penultimate-ъ drop
+    "зелен": "зелн", "вълкът": "вълк",
+    # guards: len<4 untouched; ът needs len>5
+    "мъжът": "мъжът", "я": "я", "аб": "аб", "": "",
+}
+
+
+def test_bulgarian_spec_cases():
+    bad = {
+        w: (bulgarian_py(w), want)
+        for w, want in BULGARIAN_CASES.items()
+        if bulgarian_py(w) != want
+    }
+    assert not bad, bad
+
+
+CZECH_CASES = {
+    # case-ending cascade tiers
+    "ženatech": "žn", "tématem": "témat", "zelených": "zeln",
+    "stolech": "stol", "hradem": "hrad", "kočka": "kočk",
+    # normalization: c/č->k, z/ž->h, e-removal, ů->o
+    "kočce": "kočk", "noze": "noh", "praze": "prah", "stůl": "stol",
+    "domů": "dom",
+    # possessives
+    "otcův": "otcov", "matčin": "matk",
+    "les": "ls", "": "", "a": "a",
+}
+
+
+def test_czech_spec_cases():
+    bad = {
+        w: (czech_py(w), want)
+        for w, want in CZECH_CASES.items()
+        if czech_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_bulgarian_czech_sql_equals_python():
+    bg_words = list(BULGARIAN_CASES) + [
+        "ища", "ищища", "бащевци", "хората", "жените", "планините",
+        "заявките", "гради", "къща", "нов", "ден", "силен", "spark",
+    ]
+    got = _sql_stem(bg_words, bulgarian_sql_ctes)
+    want = [bulgarian_py(w) for w in bg_words]
+    assert got == want, [(w, g, p) for w, g, p in zip(bg_words, got, want) if g != p]
+
+    cz_words = list(CZECH_CASES) + [
+        "ženami", "můžeš", "dveře", "pes", "čt", "ešt", "datech",
+        "partem", "indexem", "aueue", "foo_bar",
+    ]
+    got = _sql_stem(cz_words, czech_sql_ctes)
+    want = [czech_py(w) for w in cz_words]
+    assert got == want, [(w, g, p) for w, g, p in zip(cz_words, got, want) if g != p]
+
+
+BG_ALPHA = "абвгдежзийклмнопрстуфхцчшщъьюя_01"
+CZ_ALPHA = "abcdefghijklmnoprstuvyzáéíýůúěščřžďťň_01"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet=BG_ALPHA, min_size=0, max_size=10), min_size=1, max_size=25))
+def test_bulgarian_two_form_identity_random(words):
+    got = _sql_stem(words, bulgarian_sql_ctes)
+    want = [bulgarian_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet=CZ_ALPHA, min_size=0, max_size=10), min_size=1, max_size=25))
+def test_czech_two_form_identity_random(words):
+    got = _sql_stem(words, czech_sql_ctes)
+    want = [czech_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]

@@ -37,6 +37,10 @@ AR_VOCAB = ["Ø§Ù„Ø¨ÙŠØ§Ù†Ø§Øª", "ÙÙ‡Ø±Ø³", "Ø§Ø³ØªØ¹Ù„Ø§Ù…", "Ø¬Ø¯ÙˆÙ„", "ÙƒØªØ
 # stopword; definite-article forms exercise the light-stemmer cascade)
 BG_VOCAB = ["Ð´Ð°Ð½Ð½Ð¸Ñ‚Ðµ", "Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð°Ñ‚Ð°", "Ð¿Ð¾Ñ‚Ð¾ÐºÑŠÑ‚", "Ð·Ð°ÑÐ²ÐºÐ¸Ñ‚Ðµ", "Ð¸Ð½Ð´ÐµÐºÑÑŠÑ‚", "Ð¸", "Ñ‚ÑŠÑ€ÑÐµÐ½Ðµ"]
 
+# deterministic Persian vocab ("Ø§Ø²" is a stopword; the Farsi letter forms
+# Ú©/ÛŒ exercise the Persianâ†’Arabic normalization folds)
+FA_VOCAB = ["Ø¯Ø§Ø¯Ù‡", "ÙÙ‡Ø±Ø³Øª", "Ø¬Ø³ØªØ¬Ùˆ", "Ú©ØªØ§Ø¨", "Ø³ÛŒØ³ØªÙ…", "Ø§Ø²", "Ù¾Ø±Ø¯Ø§Ø²Ø´"]
+
 # ---------------------------------------------------------------- index cache
 
 _CACHE: dict = {}
@@ -53,13 +57,14 @@ def _index(
     derive_ru: bool = False,
     derive_ar: bool = False,
     derive_bg: bool = False,
+    derive_fa: bool = False,
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
     key = (
         sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
-        derive_ts, derive_emb, derive_ru, derive_ar, derive_bg,
+        derive_ts, derive_emb, derive_ru, derive_ar, derive_bg, derive_fa,
     )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
@@ -120,6 +125,23 @@ def _index(
             n = len(BG_VOCAB)
             df = df.withColumn(
                 "text_bg",
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
+                    ),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
+                    ),
+                ),
+            )
+        if derive_fa:
+            # deterministic synthetic Persian column, same keying as text_ru
+            arr = F.array(*[F.lit(w) for w in FA_VOCAB])
+            n = len(FA_VOCAB)
+            df = df.withColumn(
+                "text_fa",
                 F.concat_ws(
                     " ",
                     F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
@@ -351,6 +373,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_ar": "arabic"}, derive_ar=True,
         )
         return _as_docid(s.search(MatchQuery("text_ar", "Ø¨ÙŠØ§Ù†Ø§Øª ÙÙŠ Ø§Ù„ÙƒØªØ§Ø¨"), size=10))
+
+    def q_match_persian(spark, sf):
+        # persian chain = unicode tokenizer + Arabic+Persian normalization
+        # + stop filter AFTER normalization (the Lucene PersianAnalyzer
+        # analog â€” no stemmer exists for fa in Lucene either)
+        s = _index(
+            spark, sf, ("text_fa",), False,
+            analyzers={"text_fa": "persian"}, derive_fa=True,
+        )
+        return _as_docid(s.search(MatchQuery("text_fa", "Ú©ØªØ§Ø¨ Ø§Ø² Ø³ÛŒØ³ØªÙ…"), size=10))
 
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
@@ -933,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_arabic": q_match_arabic,
         "bm25_match_czech": q_match_czech,
         "bm25_match_bulgarian": q_match_bulgarian,
+        "bm25_match_persian": q_match_persian,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
         "bm25_match_danish": q_match_danish,
@@ -1301,6 +1334,46 @@ tok_raw AS (
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(bg_terms, "text_bg").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.light import persian_sql_ctes
+
+    fa_terms = analyzer_py("persian")("Ú©ØªØ§Ø¨ Ø§Ø² Ø³ÛŒØ³ØªÙ…")
+    fa_vocab = "[" + ",".join(f"'{w}'" for w in FA_VOCAB) + "]"
+    # the persian stop set is compared POST-normalization (filter order of
+    # the analyzer) â€” normalize the configured list the same way here
+    from nixiesearch_spark.light import persian_py as _fa_norm
+
+    fa_stops = "[" + ",".join(
+        f"'{_fa_norm(w)}'" for w in LANG_STOPWORDS["persian"]
+    ) + "]"
+    fa_norm_ctes = persian_sql_ctes("tok_raw", "tok_nm", "fasb_").strip().rstrip(",").strip()
+    nvoc_fa = len(FA_VOCAB)
+    sql["bm25_match_persian"] = f"""
+WITH base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({fa_vocab})[(doc_id % {nvoc_fa}) + 1],
+    ({fa_vocab})[((doc_id * 3 + 1) % {nvoc_fa}) + 1],
+    ({fa_vocab})[((doc_id * 5 + 2) % {nvoc_fa}) + 1]) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT doc_id, x.term
+  FROM base, unnest(list_filter(
+    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
+    x -> x <> '' AND length(x) <= 255)) AS x(term)
+),
+{fa_norm_ctes},
+tok_f AS (
+  SELECT doc_id, term FROM tok_nm WHERE NOT list_contains({fa_stops}, term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(fa_terms, "text_fa").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

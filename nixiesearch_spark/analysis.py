@@ -283,6 +283,15 @@ LANG_STOPWORDS = {
         "بعد", "قبل", "بين", "حتى", "إذا", "كما", "أي", "عند", "منذ",
         "غير", "أيضا", "و",
     ],
+    # NORMALIZED forms (ي not ی, ك not ک): the persian chain's stop filter
+    # runs AFTER Arabic+Persian normalization, matching Lucene's
+    # PersianAnalyzer filter order
+    "persian": [
+        "از", "به", "با", "در", "كه", "را", "اين", "آن", "است", "بود",
+        "شد", "شود", "مي", "ها", "هاي", "براي", "تا", "هم", "نيز",
+        "يك", "او", "ما", "شما", "من", "تو", "بر", "يا", "اگر", "هر",
+        "چه", "اما", "و", "هستند", "كرد", "كند", "دارد", "باشد", "بي",
+    ],
     # stopword-only chains over the unicode tokenizer (no stemmer yet —
     # the documented pre-stemmer stage for the reference's el analyzer)
     "russian": [
@@ -427,6 +436,61 @@ def _danish_stem(t: str) -> str:
     return danish_py(t)
 
 
+def _persian_norm(t: str) -> str:
+    from nixiesearch_spark.light import persian_py
+
+    return persian_py(t)
+
+
+# norm-then-stop chain (persian): every token is normalized, THEN the stop
+# filter compares against the (already-normalized) stop set — the reverse
+# of _stem_py/_stem_col's stop-then-stem order
+def _norm_stop_py(stops: list[str], norm_fn, tok_fn):
+    sset = {norm_fn(t) for t in stops}
+
+    def py_fn(text: str | None) -> list[str]:
+        out = []
+        for t in tok_fn(text):
+            n = norm_fn(t)
+            if n not in sset:
+                out.append(n)
+        return out
+
+    return py_fn
+
+
+def _norm_stop_col(stops: list[str], norm_fn, tok_fn):
+    sset = {norm_fn(t) for t in stops}
+
+    def col_fn(col: Column) -> Column:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        @pandas_udf(ArrayType(StringType()))
+        def _udf(s: pd.Series) -> pd.Series:
+            memo: dict = {}
+
+            def norm(t: str) -> str:
+                v = memo.get(t)
+                if v is None:
+                    memo[t] = v = norm_fn(t)
+                return v
+
+            def run(x):
+                out = []
+                for t in tok_fn(x):
+                    n = norm(t)
+                    if n not in sset:
+                        out.append(n)
+                return out
+
+            return s.map(run)
+
+        return _udf(col)
+
+    return col_fn
+
+
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
@@ -535,6 +599,12 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["bulgarian"], _bulgarian_stem, tokenize_unicode_py),
         _stem_py(LANG_STOPWORDS["bulgarian"], _bulgarian_stem, tokenize_unicode_py),
     ),
+    # Lucene PersianAnalyzer analog: normalize (Arabic + Persian folds)
+    # then stop — no stemmer exists for fa in Lucene either
+    "persian": (
+        _norm_stop_col(LANG_STOPWORDS["persian"], _persian_norm, tokenize_unicode_py),
+        _norm_stop_py(LANG_STOPWORDS["persian"], _persian_norm, tokenize_unicode_py),
+    ),
 }
 
 
@@ -543,7 +613,7 @@ ANALYZERS = {
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
-    "arabic", "bulgarian", "czech",
+    "arabic", "bulgarian", "czech", "persian",
 }
 
 

@@ -347,3 +347,44 @@ def czech_sql_ctes(src: str, out: str, p: str = "cz_") -> str:
 {p}po AS MATERIALIZED (SELECT doc_id, {_cz_poss_sql("term")} AS term FROM {p}cs),
 {out} AS MATERIALIZED (SELECT doc_id, {_cz_norm_sql("term")} AS term FROM {p}po)
 """
+
+
+# ----------------------------------------------------------------- persian
+# Lucene's PersianAnalyzer analog (reference config/mapping/Language.scala
+# fa binding): there is NO stemmer — the chain is tokenize (ZWNJ U+200C is
+# a delimiter, standing in for Lucene's PersianCharFilter ZWNJ→space) →
+# lowercase → ARABIC normalization → PERSIAN normalization → stop filter.
+# Note the stop filter runs AFTER normalization (opposite of the arabic
+# chain), so the stop set is compared in normalized form. The Persian
+# normalizer folds the Farsi letter forms to their Arabic counterparts:
+# ی (U+06CC) and ے (U+06D2) → ي; ک (U+06A9) → ك; ہ (U+06C1) and
+# ۀ (U+06C0) → ه; the hamza-above mark (U+0654) is deleted.
+
+_FA_FOLD = {"ی": "ي", "ے": "ي", "ک": "ك", "ہ": "ه", "ۀ": "ه"}
+_FA_NORM_TRANS = {ord(k): v for k, v in _FA_FOLD.items()}
+_FA_NORM_TRANS[0x0654] = None  # hamza above
+
+
+def persian_norm_py(w: str) -> str:
+    return w.translate(_FA_NORM_TRANS)
+
+
+def persian_py(word: str) -> str:
+    """Arabic normalization then Persian normalization (the analyzer's
+    per-token form; filter order matches Lucene's PersianAnalyzer)."""
+    return persian_norm_py(arabic_norm_py(word))
+
+
+def _fa_norm_sql(x: str) -> str:
+    folded = _ar_norm_sql(x)
+    for k, v in _FA_FOLD.items():
+        folded = f"replace({folded}, '{k}', '{v}')"
+    return f"translate({folded}, 'ٔ', '')"
+
+
+def persian_sql_ctes(src: str, out: str, p: str = "fa_") -> str:
+    """Normalization only — the caller applies the (normalized-form) stop
+    filter AFTER this fragment, matching the analyzer's filter order."""
+    return f"""
+{out} AS MATERIALIZED (SELECT doc_id, {_fa_norm_sql("term")} AS term FROM {src})
+"""

@@ -171,3 +171,43 @@ def test_czech_two_form_identity_random(words):
     got = _sql_stem(words, czech_sql_ctes)
     want = [czech_py(w) for w in words]
     assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
+
+
+from nixiesearch_spark.light import persian_py, persian_sql_ctes
+
+PERSIAN_CASES = {
+    # Farsi letter folds to Arabic counterparts
+    "کتاب": "كتاب", "سیستم": "سيستم", "می": "مي", "های": "هاي",
+    "ۀ": "ه",
+    # Arabic normalization also applies (diacritics, alef forms)
+    "كِتاب": "كتاب", "آب": "اب",
+    # untouched
+    "داده": "داده", "پردازش": "پردازش", "": "",
+}
+
+
+def test_persian_spec_cases():
+    bad = {
+        w: (persian_py(w), want)
+        for w, want in PERSIAN_CASES.items()
+        if persian_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_persian_sql_equals_python():
+    words = list(PERSIAN_CASES) + ["جستجو", "فهرست", "ۀٔ", "ے", "ہمارا", "spark"]
+    got = _sql_stem(words, persian_sql_ctes)
+    want = [persian_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
+
+
+def test_persian_analyzer_chain():
+    from nixiesearch_spark.analysis import analyzer_py
+
+    # ZWNJ splits می‌نویسد into two tokens, of which می is a stopword
+    # (dropped POST-normalization, as is از); output tokens are
+    # normalized (ی -> ي)
+    assert analyzer_py("persian")("کتاب از سیستم می‌نویسد") == [
+        "كتاب", "سيستم", "نويسد",
+    ]

@@ -199,6 +199,10 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
     s_auto = Searcher(reader)
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     qv = emb.limit(1).collect()[0]["embedding"]
+    from nixiesearch_spark.pipeline import hnsw
+
+    hnsw_dir = tempfile.mkdtemp(prefix="bench_hnsw_")
+    hnsw.build_hnsw(emb, "vec_id", "embedding", hnsw_dir, n_shards=8)
 
     def flat(q, **kw):
         return lambda: s.search(q, mode="flat", **kw).collect()
@@ -259,6 +263,11 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
             MatchQuery("text", "spark"), size=15, sort=[("n_chars", "desc", "last")]
         ).collect(),
         "ann_cosine_topk": lambda: similarity.cosine_topk(emb, "vec_id", "embedding", qv, 10).collect(),
+        # search-head HNSW serve (pyarrow graph reads, zero Spark jobs);
+        # graph built once outside timing
+        "ann_hnsw_served": lambda: hnsw.hnsw_topk(
+            spark, qv, k=10, ef_search=64, graph_dir=hnsw_dir
+        ).collect(),
     }
     qreps = max(int(os.environ.get("BENCH_QUERY_REPEATS", "5")), 3)
     out, p95s, all_times = {}, {}, []

@@ -330,6 +330,124 @@ def insert_hnsw(
     return touched
 
 
+def _beam_search_shard(
+    q: np.ndarray, g: pd.DataFrame, k: int, ef: int
+) -> pd.DataFrame:
+    """One shard's greedy-descent + layer-0 ef-beam: (id, cosine) pandas
+    frame of the shard top-k. Shared verbatim by the distributed serve path
+    and the driver mode, so both produce identical candidates."""
+    ids = g["id"].to_numpy(dtype=np.int64)
+    vecs = np.stack(g["vec"].to_list()).astype(np.float64)
+    pos = {int(i): p for p, i in enumerate(ids)}
+    links = {int(i): lk for i, lk in zip(ids, g["links"].to_list())}
+    levels = g["level"].to_numpy()
+    # entry = max level, min id tiebreak (same rule as build order)
+    top = levels.max()
+    entry = int(ids[levels == top].min())
+
+    def dq(b: int) -> float:
+        return 1.0 - float(q @ vecs[pos[b]])
+
+    import bisect
+
+    eps = [entry]
+    for layer in range(int(top), 0, -1):
+        changed = True
+        while changed:
+            changed = False
+            for nb in links[eps[0]][layer] if layer < len(links[eps[0]]) else []:
+                if dq(int(nb)) < dq(eps[0]):
+                    eps = [int(nb)]
+                    changed = True
+    visited = set(eps)
+    cand = [(dq(e), e) for e in eps]
+    best = list(cand)
+    while cand:
+        d, c = cand.pop(0)
+        if len(best) >= ef and d > best[-1][0]:
+            break
+        for nb in links[c][0] if len(links[c]) else []:
+            nb = int(nb)
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = dq(nb)
+            if len(best) < ef or dn < best[-1][0]:
+                bisect.insort(cand, (dn, nb))
+                bisect.insort(best, (dn, nb))
+                if len(best) > ef:
+                    best.pop()
+    out = sorted(best)[:k]
+    return pd.DataFrame(
+        {
+            "id": np.array([b for _, b in out], dtype=np.int64),
+            "cosine": np.array([1.0 - d for d, _ in out], dtype=np.float64),
+        }
+    )
+
+
+# driver mode refuses graphs beyond this many nodes (loads per-shard
+# frames on the search head; above it, stay distributed)
+DRIVER_MAX_GRAPH_ROWS = 5_000_000
+
+
+def hnsw_topk_driver(
+    spark,
+    query_vec: list[float],
+    k: int = 10,
+    ef_search: int = 64,
+    graph_dir: str | None = None,
+) -> DataFrame | None:
+    """Search-head HNSW serve: read the per-shard graph parquet directly
+    with pyarrow (zero Spark jobs — the shard=* hive dirs ARE the shard
+    routing) and run the same beam kernel in-process. Returns None when the
+    dir isn't local-listable or the graph exceeds DRIVER_MAX_GRAPH_ROWS
+    (callers fall back to the distributed path). Same kernel + same final
+    round/order plan → results identical to hnsw_topk."""
+    import glob
+    import os
+
+    if graph_dir is None:
+        return None
+    shard_dirs = sorted(glob.glob(os.path.join(graph_dir, "shard=*")))
+    if not shard_dirs:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(d, f)
+            for d in shard_dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if total > DRIVER_MAX_GRAPH_ROWS:
+            return None
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        q = q / (qn if qn else 1.0)
+        ef = max(int(ef_search), k)
+        parts = []
+        for d in shard_dirs:
+            g = pq.read_table(d, columns=["id", "vec", "level", "links"]).to_pandas()
+            if len(g):
+                parts.append(_beam_search_shard(q, g, k, ef))
+    except OSError:
+        return None
+    if not parts:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    cand = pd.concat(parts, ignore_index=True)
+    local = spark.createDataFrame(cand, TOPK_SCHEMA)
+    # identical final plan to hnsw_topk (same F.round semantics/ordering),
+    # over a LocalRelation of <= k*n_shards rows
+    return (
+        local.select("id", F.round(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def hnsw_topk(
     spark_or_graph,
     query_vec: list[float],
@@ -337,13 +455,22 @@ def hnsw_topk(
     ef_search: int = 64,
     graph_dir: str | None = None,
     n_shards: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """ANN top-k over the per-shard graphs: (id, cosine) DataFrame.
 
     Pass either a SparkSession + ``graph_dir`` or an already-loaded (ideally
-    persisted) graph DataFrame. Each shard's beam search runs where its
+    persisted) graph DataFrame. mode="auto" serves small local graphs from
+    the search head (hnsw_topk_driver — zero Spark jobs); "cluster" pins the
+    distributed path. Each distributed shard's beam search runs where its
     graph rows are; only k rows per shard cross the wire."""
     if graph_dir is not None:
+        if mode == "auto":
+            out = hnsw_topk_driver(
+                spark_or_graph, query_vec, k, ef_search, graph_dir
+            )
+            if out is not None:
+                return out
         graph = spark_or_graph.read.parquet(graph_dir)
     else:
         graph = spark_or_graph
@@ -358,54 +485,7 @@ def hnsw_topk(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         for _, g in pdf.groupby("shard", sort=False):
-            ids = g["id"].to_numpy(dtype=np.int64)
-            vecs = np.stack(g["vec"].to_list()).astype(np.float64)
-            pos = {int(i): p for p, i in enumerate(ids)}
-            links = {int(i): lk for i, lk in zip(ids, g["links"].to_list())}
-            levels = g["level"].to_numpy()
-            # entry = max level, min id tiebreak (same rule as build order)
-            top = levels.max()
-            entry = int(ids[levels == top].min())
-
-            def dq(b: int) -> float:
-                return 1.0 - float(q @ vecs[pos[b]])
-
-            import bisect
-
-            eps = [entry]
-            for layer in range(int(top), 0, -1):
-                changed = True
-                while changed:
-                    changed = False
-                    for nb in links[eps[0]][layer] if layer < len(links[eps[0]]) else []:
-                        if dq(int(nb)) < dq(eps[0]):
-                            eps = [int(nb)]
-                            changed = True
-            visited = set(eps)
-            cand = [(dq(e), e) for e in eps]
-            best = list(cand)
-            while cand:
-                d, c = cand.pop(0)
-                if len(best) >= ef and d > best[-1][0]:
-                    break
-                for nb in links[c][0] if len(links[c]) else []:
-                    nb = int(nb)
-                    if nb in visited:
-                        continue
-                    visited.add(nb)
-                    dn = dq(nb)
-                    if len(best) < ef or dn < best[-1][0]:
-                        bisect.insort(cand, (dn, nb))
-                        bisect.insort(best, (dn, nb))
-                        if len(best) > ef:
-                            best.pop()
-            out = sorted(best)[:k]
-            yield pd.DataFrame(
-                {
-                    "id": np.array([b for _, b in out], dtype=np.int64),
-                    "cosine": np.array([1.0 - d for d, _ in out], dtype=np.float64),
-                }
-            )
+            yield _beam_search_shard(q, g, k, ef)
 
     if n_shards is not None:
         nsh = int(n_shards)

@@ -295,6 +295,25 @@ def test_hnsw_recall_and_determinism(spark, tmp_path):
     assert recall >= 0.9, (recall, ids, exact)
 
 
+def test_hnsw_driver_matches_cluster(spark, tmp_path):
+    """The search-head pyarrow serve path returns exactly the distributed
+    path's rows (shared beam kernel, same final round/order plan)."""
+    from nixiesearch_spark.pipeline import hnsw
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = e.where(F.col("vec_id") == 11).first()["embedding"]
+    d = str(tmp_path / "g")
+    hnsw.build_hnsw(e, "vec_id", "embedding", d, n_shards=4)
+    drv = hnsw.hnsw_topk_driver(spark, qv, k=10, ef_search=64, graph_dir=d)
+    assert drv is not None  # local dir, small graph: driver mode engages
+    got_d = [(r["id"], r["cosine"]) for r in drv.collect()]
+    got_c = [
+        (r["id"], r["cosine"])
+        for r in hnsw.hnsw_topk(spark, qv, k=10, graph_dir=d, mode="cluster").collect()
+    ]
+    assert got_d == got_c, (got_d, got_c)
+
+
 def test_hnsw_incremental_insert(spark, tmp_path):
     """insert_hnsw appends a batch into existing shard graphs: recall holds
     vs the exact scan over the grown corpus, untouched shards' partition

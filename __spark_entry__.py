@@ -451,6 +451,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(F.col("docid").alias("doc_id"), "n_chars")
 
+    def q_facet_served(spark, sf):
+        # search-head facet serving over the quantized packed index: full
+        # match set decoded driver-side, facet column via the pyarrow LUT
+        s = _index(spark, sf, ("text",), True)
+        out = s.facet_term(MatchQuery("text", "spark"), "lang", 5)
+        return out.withColumnRenamed("count", "cnt")
+
+    def q_sort_served(spark, sf):
+        # search-head sort-by-field serving (driver LUT path); scores are
+        # quantized so only (doc_id, n_chars) are compared
+        s = _index(spark, sf, ("text",), True)
+        out = s.search(
+            MatchQuery("text", "spark"), size=15, sort=[("n_chars", "desc", "last")],
+            fields=["n_chars"],
+        )
+        return out.select(F.col("docid").alias("doc_id"), "n_chars")
+
     def q_rrf(spark, sf):
         s = _index(spark, sf, ("text",), False)
         b1 = s.score(MatchQuery("text", "spark join"))
@@ -974,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ce_rerank": q_ce_rerank,
         "match_all_filtered": q_match_all_filtered,
         "facet_term_lang": q_facet_term,
+        "facet_term_served": q_facet_served,
+        "sort_served": q_sort_served,
         "facet_range_nchars": q_facet_range,
         "sort_by_nchars": q_sort,
         "rrf_fusion": q_rrf,
@@ -1489,6 +1508,37 @@ WITH {_bm25_full(["spark"])}
 SELECT sc.doc_id, d.n_chars
 FROM sc JOIN documents d USING(doc_id)
 ORDER BY d.n_chars DESC NULLS LAST, sc.doc_id ASC
+LIMIT 15
+"""
+
+    # served facet/sort: membership-only oracles (facet counts and field
+    # sort don't depend on the scoring mode, so the quantized served paths
+    # compare against the plain token-membership match set)
+    sql["facet_term_served"] = f"""
+WITH m AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(list_filter(
+    regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
+    x -> x <> '' AND length(x) <= 255), 'spark')
+)
+SELECT d.lang AS term, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING(doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang
+ORDER BY count(*) DESC, d.lang ASC
+LIMIT 5
+"""
+
+    sql["sort_served"] = f"""
+WITH m AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(list_filter(
+    regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
+    x -> x <> '' AND length(x) <= 255), 'spark')
+)
+SELECT m.doc_id, d.n_chars
+FROM m JOIN documents d USING(doc_id)
+ORDER BY d.n_chars DESC NULLS LAST, m.doc_id ASC
 LIMIT 15
 """
 

@@ -249,6 +249,14 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
         "facet_term": lambda: term_agg(
             s.score(MatchQuery("text", "spark")), reader.docs, "lang", 5
         ).collect(),
+        # search-head facet/sort (driver match-set decode + pyarrow field
+        # LUT — zero Spark jobs after warmup)
+        "facet_served": lambda: s_auto.facet_term(
+            MatchQuery("text", "spark"), "lang", 5
+        ).collect(),
+        "sort_served": lambda: s_auto.search(
+            MatchQuery("text", "spark"), size=15, sort=[("n_chars", "desc", "last")]
+        ).collect(),
         # the engine's rrf serving path (search-head fused kernel since r4;
         # BENCH.md r4 §1 records the path change)
         "rrf_fusion": lambda: s_auto.search(rrf_dsl, size=10).collect(),

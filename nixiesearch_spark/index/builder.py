@@ -1089,6 +1089,38 @@ class IndexReader:
                 out[(s, o)] = int(docids[p])
         return out
 
+    def field_lut(self, field: str):
+        """docid → stored-field value arrays for driver-side facet/sort
+        serving: a pyarrow local read of just (docid, field) from the docs
+        table, sorted by docid, memoized per field. Returns
+        (docids int64 ndarray, values pandas Series aligned) or None when
+        the docs dir isn't locally readable or the corpus exceeds 5M docs
+        (the search-head memory trade — callers fall back to the cluster
+        plan, same deal as ordinal_lookup's 50M bound; the value column is
+        wider than an 8-byte docid, hence the smaller cap)."""
+        if getattr(self, "_flut", None) is None:
+            self._flut = {}
+        if field not in self._flut:
+            lut = None
+            doc_count = max(
+                (f.get("doc_count", 0) for f in self.stats.get("fields", {}).values()),
+                default=0,
+            )
+            ds = self._local_dataset("docs") if doc_count <= 5_000_000 else None
+            if ds is not None:
+                try:
+                    import numpy as np
+
+                    tbl = ds.to_table(columns=["docid", field])
+                    pdf = tbl.to_pandas()
+                    order = np.argsort(pdf["docid"].to_numpy(np.int64), kind="stable")
+                    pdf = pdf.iloc[order].reset_index(drop=True)
+                    lut = (pdf["docid"].to_numpy(np.int64), pdf[field])
+                except Exception:
+                    lut = None
+            self._flut[field] = lut
+        return self._flut[field]
+
     def persist_hot(self):
         """Pin serving tables in memory (warm-searcher mode for latency
         benchmarks — the analog of the reference's always-open reader)."""

@@ -205,6 +205,19 @@ class Searcher:
             for item in sort:
                 if item[0] not in ("_score", "_doc"):
                     self.mapping.require(item[0], "sort")
+        if (
+            mode == "auto"
+            and sort is not None
+            and filters is None
+            and self.reader.tombstones is None
+            and isinstance(query, ast.MatchQuery)
+            and self._wand_routable(query)
+        ):
+            topk = self._sort_search_driver(query, sort, size)
+            if topk is not None:  # driver declined → fall through to flat
+                if fields:
+                    return self.fetch(topk, fields), False
+                return topk.drop("_rank"), False
         if mode == "auto" and sort is None and self._wand_routable(query):
             topk = self._wand_search(query, filters, size)
             if fields:
@@ -613,6 +626,135 @@ class Searcher:
         if self.mapping is not None:
             self.mapping.require(field, "facet")
         return range_agg(match_set, self.reader.docs, field, ranges)
+
+    def facet_term(
+        self,
+        query: ast.Query | dict,
+        field: str,
+        size: int | str = 10,
+        filters: dict | None = None,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Query-level term facet: counts over the FULL match set (reference
+        FacetsCollector semantics, core/aggregate/TermAggregator.scala).
+        mode="auto" serves unfiltered match queries on a fresh packed index
+        from the search head: the full match set decodes driver-side
+        (wand.match_scores_driver — facet membership needs no top-k) and the
+        facet column rides a pyarrow docid LUT (IndexReader.field_lut), so
+        the whole facet costs zero Spark jobs. Identical (term, count) rows
+        to the cluster plan (tests/test_serving_facet.py); declines (large
+        corpus, remote dir, filters, tombstones) fall back to term_agg over
+        score()."""
+        if isinstance(query, dict) or query is None:
+            query = ast.parse_query(query)
+        if self.mapping is not None:
+            self.mapping.require(field, "facet")
+        if (
+            mode == "auto"
+            and filters is None
+            and isinstance(query, ast.MatchQuery)
+            and self.reader.tombstones is None
+            and self._wand_routable(query)
+        ):
+            out = self._facet_term_driver(query, field, size)
+            if out is not None:
+                return out
+        from nixiesearch_spark.query.aggs import term_agg
+
+        return term_agg(self.score(query, filters), self.reader.docs, field, size)
+
+    def _facet_term_driver(self, q: ast.MatchQuery, field: str, size) -> DataFrame | None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from nixiesearch_spark.query.aggs import MAX_TERM_FACETS
+        from nixiesearch_spark.query.wand import match_scores_driver
+
+        lut = self.reader.field_lut(field)
+        if lut is None:
+            return None
+        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        if ms is None:
+            return None
+        n = MAX_TERM_FACETS if size == "all" else int(size)
+        docids, vals = lut
+        ftype = next(
+            f.dataType for f in self.reader.docs.schema.fields if f.name == field
+        )
+        schema = StructType(
+            [StructField("term", ftype), StructField("count", LongType(), False)]
+        )
+        mdoc = ms["docid"].to_numpy(np.int64)
+        if len(mdoc):
+            pos = np.searchsorted(docids, mdoc)
+            sel = vals.iloc[pos]
+            vc = sel.value_counts(dropna=True)  # matches the isNotNull filter
+            pdf = vc.rename_axis("term").reset_index(name="count")
+            # same tie order as the cluster plan: count desc, term asc
+            pdf = pdf.sort_values(
+                ["count", "term"], ascending=[False, True], kind="stable"
+            ).head(n)
+        else:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({"term": [], "count": []})
+        return self.reader.spark.createDataFrame(pdf, schema)
+
+    def _sort_search_driver(self, q: ast.MatchQuery, sort: list, size: int) -> DataFrame | None:
+        """Search-head sort-by-field: full match set decoded driver-side,
+        sort columns via the pyarrow docid LUT, the multi-key order applied
+        as reversed stable pandas sorts (docid-asc tiebreak first) — the
+        exact TakeOrderedAndProject semantics including per-key
+        missing-first/last. Declines (None) on geo items, float sort
+        columns (their pandas form conflates null and NaN, which Spark
+        orders differently), or columns whose LUT/match-set can't serve
+        driver-side."""
+        import pandas as pd
+
+        from nixiesearch_spark.query.wand import match_scores_driver
+
+        items = []
+        for item in sort:
+            fld, direction = item[0], item[1]
+            if isinstance(fld, dict):
+                return None
+            missing = item[2] if len(item) > 2 else ("last" if direction == "asc" else "first")
+            items.append((fld, direction, missing))
+        luts = {}
+        for fld, _, _ in items:
+            if fld in ("_score", "_doc"):
+                continue
+            lut = self.reader.field_lut(fld)
+            if lut is None:
+                return None
+            if lut[1].dtype.kind == "f":
+                return None
+            luts[fld] = lut
+        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        if ms is None:
+            return None
+        df = ms.copy()
+        mdoc = df["docid"].to_numpy(np.int64)
+        for fld, (docids, vals) in luts.items():
+            pos = np.searchsorted(docids, mdoc)
+            df[fld] = vals.iloc[pos].reset_index(drop=True)
+        df = df.sort_values("docid", ascending=True, kind="stable")
+        for fld, direction, missing in reversed(items):
+            col = "score" if fld == "_score" else ("docid" if fld == "_doc" else fld)
+            df = df.sort_values(
+                col,
+                ascending=(direction == "asc"),
+                na_position=("first" if missing == "first" else "last"),
+                kind="stable",
+            )
+        top = df.head(size).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "docid": top["docid"].to_numpy(np.int64),
+                "score": top["score"].to_numpy(np.float32),
+                "_rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            }
+        )
+        return self.reader.spark.createDataFrame(out, "docid long, score float, _rank long")
 
     # ---------- score compilation ----------
 

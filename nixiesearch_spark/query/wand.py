@@ -329,6 +329,46 @@ def _wand_topk_driver(
     return spark.createDataFrame(out, FINAL_SCHEMA)
 
 
+def match_scores_driver(
+    reader: IndexReader, field: str, text: str, operator: str = "or"
+) -> "pd.DataFrame | None":
+    """FULL match-set (docid, score float32) decoded on the search head —
+    the driver analog of engine.score() for a match query, feeding facet
+    and sort-by-field serving. Reuses _shard_topk with an unreachable k
+    (no theta ever set, single stripe → plain decode-all), so the float32
+    score chain is the exact WAND/flat chain. Returns None when the packed
+    path or the driver ordinal LUT is unavailable (callers fall back to
+    the cluster plan); tombstones must be handled by the caller (decline)."""
+    if not packed_ready(reader):
+        return None
+    plan = _match_plan(reader, field, text, operator)
+    if plan is None:
+        return pd.DataFrame({"docid": np.empty(0, np.int64), "score": np.empty(0, np.float32)})
+    pdf = reader.fetch_packed(field, plan["present"])
+    if pdf.empty:
+        return pd.DataFrame({"docid": np.empty(0, np.int64), "score": np.empty(0, np.float32)})
+    parts = [
+        _shard_topk(
+            g, plan["weights"], plan["mults"], plan["cache"], 1 << 60, 1,
+            plan["n_required"], None, None, plan["bound_scale"],
+        )
+        for _, g in pdf.groupby("shard", sort=False)
+    ]
+    cand = pd.concat(parts, ignore_index=True)
+    if not len(cand):
+        return pd.DataFrame({"docid": np.empty(0, np.int64), "score": np.empty(0, np.float32)})
+    pairs = [(int(s), int(o)) for s, o in zip(cand["shard"], cand["ordinal"])]
+    omap = reader.ordinal_lookup(pairs)
+    if omap is None:  # corpus too big for the driver map → cluster plan
+        return None
+    return pd.DataFrame(
+        {
+            "docid": np.array([omap[p] for p in pairs], dtype=np.int64),
+            "score": cand["score"].to_numpy(np.float32),
+        }
+    )
+
+
 def _match_plan(reader: IndexReader, field: str, text: str, operator: str = "or"):
     """Resolve a match query's terms/weights/bounds against the dictionary
     (driver-side, zero jobs on a local index). None = provably-empty query

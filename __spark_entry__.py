@@ -458,6 +458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = s.facet_term(MatchQuery("text", "spark"), "lang", 5)
         return out.withColumnRenamed("count", "cnt")
 
+    def q_facet_range_served(spark, sf):
+        # search-head range facet over the quantized packed index
+        s = _index(spark, sf, ("text",), True)
+        out = s.facet_range(
+            MatchQuery("text", "spark"), "n_chars",
+            [{"lt": 200}, {"gte": 200, "lt": 400}, {"gte": 400}],
+        )
+        return out.withColumnRenamed("count", "cnt")
+
     def q_sort_served(spark, sf):
         # search-head sort-by-field serving (driver LUT path); scores are
         # quantized so only (doc_id, n_chars) are compared
@@ -992,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all_filtered": q_match_all_filtered,
         "facet_term_lang": q_facet_term,
         "facet_term_served": q_facet_served,
+        "facet_range_served": q_facet_range_served,
         "sort_served": q_sort_served,
         "facet_range_nchars": q_facet_range,
         "sort_by_nchars": q_sort,
@@ -1527,6 +1537,25 @@ WHERE d.lang IS NOT NULL
 GROUP BY d.lang
 ORDER BY count(*) DESC, d.lang ASC
 LIMIT 5
+"""
+
+    sql["facet_range_served"] = f"""
+WITH m AS (
+  SELECT d.n_chars FROM documents d
+  WHERE list_contains(list_filter(
+    regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
+    x -> x <> '' AND length(x) <= 255), 'spark')
+)
+SELECT * FROM (
+  SELECT NULL::DOUBLE AS range_from, 200.0 AS range_to,
+         (SELECT count(*) FROM m WHERE n_chars IS NOT NULL AND n_chars < 200)::BIGINT AS cnt
+  UNION ALL
+  SELECT 200.0, 400.0,
+         (SELECT count(*) FROM m WHERE n_chars >= 200 AND n_chars < 400)::BIGINT
+  UNION ALL
+  SELECT 400.0, NULL::DOUBLE,
+         (SELECT count(*) FROM m WHERE n_chars >= 400)::BIGINT
+) t
 """
 
     sql["sort_served"] = f"""

@@ -699,6 +699,75 @@ class Searcher:
             pdf = _pd.DataFrame({"term": [], "count": []})
         return self.reader.spark.createDataFrame(pdf, schema)
 
+    def facet_range(
+        self,
+        query: ast.Query | dict,
+        field: str,
+        ranges: list,
+        filters: dict | None = None,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Query-level range facet with the same driver route as
+        facet_term (bucket counts need only match-set membership +
+        the numeric LUT column). Integer columns only on the fast path —
+        other dtypes fall back to the cluster plan."""
+        if isinstance(query, dict) or query is None:
+            query = ast.parse_query(query)
+        if self.mapping is not None:
+            self.mapping.require(field, "facet")
+        if (
+            mode == "auto"
+            and filters is None
+            and isinstance(query, ast.MatchQuery)
+            and self.reader.tombstones is None
+            and self._wand_routable(query)
+        ):
+            out = self._facet_range_driver(query, field, ranges)
+            if out is not None:
+                return out
+        from nixiesearch_spark.query.aggs import range_agg
+
+        return range_agg(self.score(query, filters), self.reader.docs, field, ranges)
+
+    def _facet_range_driver(self, q: ast.MatchQuery, field: str, ranges: list) -> DataFrame | None:
+        import pandas as pd
+
+        from nixiesearch_spark.query.wand import match_scores_driver
+
+        lut = self.reader.field_lut(field)
+        if lut is None or lut[1].dtype.kind not in "iu":
+            return None
+        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        if ms is None:
+            return None
+        docids, vals = lut
+        mdoc = ms["docid"].to_numpy(np.int64)
+        v = vals.to_numpy()[np.searchsorted(docids, mdoc)] if len(mdoc) else vals.to_numpy()[:0]
+        rows = []
+        for r in ranges:
+            mask = np.ones(len(v), dtype=bool)
+            if "gt" in r:
+                mask &= v > r["gt"]
+            if "gte" in r:
+                mask &= v >= r["gte"]
+            if "lt" in r:
+                mask &= v < r["lt"]
+            if "lte" in r:
+                mask &= v <= r["lte"]
+            lo = r.get("gt", r.get("gte"))
+            hi = r.get("lt", r.get("lte"))
+            rows.append(
+                (
+                    float(lo) if lo is not None else None,
+                    float(hi) if hi is not None else None,
+                    int(mask.sum()),
+                )
+            )
+        pdf = pd.DataFrame(rows, columns=["range_from", "range_to", "count"])
+        return self.reader.spark.createDataFrame(
+            pdf, "range_from double, range_to double, count long"
+        )
+
     def _sort_search_driver(self, q: ast.MatchQuery, sort: list, size: int) -> DataFrame | None:
         """Search-head sort-by-field: full match set decoded driver-side,
         sort columns via the pyarrow docid LUT, the multi-key order applied

@@ -108,3 +108,13 @@ def test_sort_driver_declines_geo_and_floats(built, spark, tmp_path, tiny_corpus
     assert [(r["docid"], r["score"]) for r in out.collect()] == [
         (r["docid"], r["score"]) for r in flat.collect()
     ]
+
+
+def test_facet_range_driver_equals_cluster(built):
+    s = Searcher(built)
+    q = MatchQuery("content", "def import")
+    ranges = [{"lt": 400}, {"gte": 400, "lt": 800}, {"gte": 800}]
+    auto = s.facet_range(q, "nlen", ranges)
+    assert _is_local(auto), auto._jdf.queryExecution().executedPlan().toString()
+    flat = s.range_facet(s.score(q), "nlen", ranges)
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in flat.collect()]

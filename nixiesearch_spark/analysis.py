@@ -287,7 +287,7 @@ LANG_STOPWORDS = {
     # runs AFTER Arabic+Persian normalization, matching Lucene's
     # PersianAnalyzer filter order
     "persian": [
-        "از", "به", "با", "در", "كه", "را", "اين", "آن", "است", "بود",
+        "از", "به", "با", "در", "كه", "را", "اين", "ان", "است", "بود",
         "شد", "شود", "مي", "ها", "هاي", "براي", "تا", "هم", "نيز",
         "يك", "او", "ما", "شما", "من", "تو", "بر", "يا", "اگر", "هر",
         "چه", "اما", "و", "هستند", "كرد", "كند", "دارد", "باشد", "بي",

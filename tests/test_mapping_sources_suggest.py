@@ -256,17 +256,30 @@ def test_stopword_entries_survive_tokenizer():
         lang: tokenize_latin_py
         for lang in (
             "german", "french", "spanish", "italian", "portuguese",
-            "dutch", "swedish", "norwegian", "danish",
+            "dutch", "swedish", "norwegian", "danish", "romanian", "czech",
         )
     }
-    # russian/greek chains run the unicode tokenizer — entries must survive
-    # it VERBATIM (incl. the ς→σ normalization: "της" would be dead)
-    toks["russian"] = tokenize_unicode_py
-    toks["greek"] = tokenize_unicode_py
+    # russian/greek/arabic/bulgarian/persian chains run the unicode
+    # tokenizer — entries must survive it VERBATIM (incl. the ς→σ
+    # normalization: "της" would be dead). persian is special again: its
+    # stop set is compared POST-normalization, so each (normalized) entry
+    # must equal the normalization of SOME tokenizer token — checked below.
+    for lang in ("russian", "greek", "arabic", "bulgarian"):
+        toks[lang] = tokenize_unicode_py
     for lang, words in LANG_STOPWORDS.items():
+        if lang == "persian":
+            continue
         tok = toks.get(lang, tokenize_py)
         for w in words:
             assert tok(w) == [w], f"{lang} stopword {w!r} not a tokenizer token"
+    # persian: every listed entry must be tokenizer-survivable and a fixed
+    # point of the chain's normalizer (the registry normalizes the set, so
+    # a non-normalized entry would silently change spelling)
+    from nixiesearch_spark.light import persian_py
+
+    for w in LANG_STOPWORDS["persian"]:
+        assert tokenize_unicode_py(w) == [w], f"persian stopword {w!r} not a token"
+        assert persian_py(w) == w, f"persian stopword {w!r} not in normalized form"
 
 
 def test_language_analyzers(spark, tmp_path):

@@ -41,6 +41,10 @@ BG_VOCAB = ["Ð´Ð°Ð½Ð½Ð¸Ñ‚Ðµ", "Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð°Ñ‚Ð°", "Ð¿Ð¾Ñ‚Ð¾ÐºÑŠÑ‚", "Ð·Ð°ÑÐ²Ð
 # Ú©/ÛŒ exercise the Persianâ†’Arabic normalization folds)
 FA_VOCAB = ["Ø¯Ø§Ø¯Ù‡", "ÙÙ‡Ø±Ø³Øª", "Ø¬Ø³ØªØ¬Ùˆ", "Ú©ØªØ§Ø¨", "Ø³ÛŒØ³ØªÙ…", "Ø§Ø²", "Ù¾Ø±Ø¯Ø§Ø²Ø´"]
 
+# deterministic Hindi vocab ("à¤®à¥‡à¤‚" is a stopword; nukta/ending forms
+# exercise normalization + the light-stemmer tiers)
+HI_VOCAB = ["à¤†à¤‚à¤•à¤¡à¤¼à¥‹à¤‚", "à¤¤à¤¾à¤²à¤¿à¤•à¤¾", "à¤–à¥‹à¤œà¥‡à¤‚", "à¤ªà¥à¤¸à¥à¤¤à¤•à¥‡à¤‚", "à¤¸à¥‚à¤šà¤•à¤¾à¤‚à¤•", "à¤®à¥‡à¤‚", "à¤ªà¥à¤°à¤¶à¥à¤¨"]
+
 # ---------------------------------------------------------------- index cache
 
 _CACHE: dict = {}
@@ -58,6 +62,7 @@ def _index(
     derive_ar: bool = False,
     derive_bg: bool = False,
     derive_fa: bool = False,
+    derive_hi: bool = False,
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
@@ -65,6 +70,7 @@ def _index(
     key = (
         sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
         derive_ts, derive_emb, derive_ru, derive_ar, derive_bg, derive_fa,
+        derive_hi,
     )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
@@ -142,6 +148,23 @@ def _index(
             n = len(FA_VOCAB)
             df = df.withColumn(
                 "text_fa",
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
+                    ),
+                    F.element_at(
+                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
+                    ),
+                ),
+            )
+        if derive_hi:
+            # deterministic synthetic Hindi column, same keying as text_ru
+            arr = F.array(*[F.lit(w) for w in HI_VOCAB])
+            n = len(HI_VOCAB)
+            df = df.withColumn(
+                "text_hi",
                 F.concat_ws(
                     " ",
                     F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
@@ -383,6 +406,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_fa": "persian"}, derive_fa=True,
         )
         return _as_docid(s.search(MatchQuery("text_fa", "Ú©ØªØ§Ø¨ Ø§Ø² Ø³ÛŒØ³ØªÙ…"), size=10))
+
+    def q_match_hindi(spark, sf):
+        # hindi chain = Devanagari tokenizer + normalization + stop filter
+        # (normalized forms) + Ramanathan-Rao light stemmer
+        s = _index(
+            spark, sf, ("text_hi",), False,
+            analyzers={"text_hi": "hindi"}, derive_hi=True,
+        )
+        return _as_docid(s.search(MatchQuery("text_hi", "à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ"), size=10))
 
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
@@ -992,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_czech": q_match_czech,
         "bm25_match_bulgarian": q_match_bulgarian,
         "bm25_match_persian": q_match_persian,
+        "bm25_match_hindi": q_match_hindi,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
         "bm25_match_danish": q_match_danish,
@@ -1403,6 +1436,41 @@ tok_f AS (
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(fa_terms, "text_fa").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.light import hindi_norm_py, hindi_sql_ctes
+
+    hi_terms = analyzer_py("hindi")("à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ")
+    hi_vocab = "[" + ",".join(f"'{w}'" for w in HI_VOCAB) + "]"
+    # stop comparison happens post-normalization: normalize the configured
+    # list exactly like the analyzer registry does
+    hi_stops = [hindi_norm_py(w) for w in LANG_STOPWORDS["hindi"]]
+    hi_stem_ctes = hindi_sql_ctes(
+        "tok_raw", "tok_f", "hisb_", stops=hi_stops
+    ).strip().rstrip(",").strip()
+    nvoc_hi = len(HI_VOCAB)
+    sql["bm25_match_hindi"] = f"""
+WITH base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({hi_vocab})[(doc_id % {nvoc_hi}) + 1],
+    ({hi_vocab})[((doc_id * 3 + 1) % {nvoc_hi}) + 1],
+    ({hi_vocab})[((doc_id * 5 + 2) % {nvoc_hi}) + 1]) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT doc_id, x.term
+  FROM base, unnest(list_filter(
+    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
+    x -> x <> '' AND length(x) <= 255)) AS x(term)
+),
+{hi_stem_ctes},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(hi_terms, "text_hi").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

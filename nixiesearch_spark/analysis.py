@@ -94,7 +94,10 @@ TOKEN_SPLIT_UNICODE = (
     # marks (U+0621–U+0652 contiguous) — diacritics are WORD chars so
     # vocalized words stay whole (the arabic analyzer's normalizer strips
     # them); plus the Persian letters پ چ ژ گ ک ی
-    "ء-ْپچژگکی]+"
+    "ء-ْپچژگکی"
+    # Devanagari signs/letters/matras/virama (U+0901–U+0963); the danda
+    # punctuation U+0964/0965 and digits stay delimiters
+    "ँ-ॣ]+"
 )
 _SPLIT_UNICODE_RE = re.compile(TOKEN_SPLIT_UNICODE)
 
@@ -283,6 +286,16 @@ LANG_STOPWORDS = {
         "بعد", "قبل", "بين", "حتى", "إذا", "كما", "أي", "عند", "منذ",
         "غير", "أيضا", "و",
     ],
+    # NORMALIZED forms (post Hindi-normalization): the hindi chain's stop
+    # filter runs after the normalizer, before the stemmer (Lucene
+    # HindiAnalyzer filter order)
+    "hindi": [
+        "के", "का", "की", "को", "में", "है", "हैं", "से", "और", "पर",
+        "ही", "भी", "यह", "वह", "जो", "कि", "ने", "हो", "था", "थी",
+        "थे", "इस", "उस", "एक", "नहीं", "तो", "कर", "रहा", "रही",
+        "रहे", "अपने", "लिए", "साथ", "बाद", "हम", "आप", "वे", "कुछ",
+        "गया", "हुआ", "हुई", "या", "होता", "होती", "बहुत",
+    ],
     # NORMALIZED forms (ي not ی, ك not ک): the persian chain's stop filter
     # runs AFTER Arabic+Persian normalization, matching Lucene's
     # PersianAnalyzer filter order
@@ -440,6 +453,65 @@ def _persian_norm(t: str) -> str:
     from nixiesearch_spark.light import persian_py
 
     return persian_py(t)
+
+
+def _hindi_norm(t: str) -> str:
+    from nixiesearch_spark.light import hindi_norm_py
+
+    return hindi_norm_py(t)
+
+
+def _hindi_stem(t: str) -> str:
+    from nixiesearch_spark.light import hindi_stem_py
+
+    return hindi_stem_py(t)
+
+
+# norm → stop → stem chain (hindi): normalization first, the stop filter
+# compares normalized tokens, survivors are stemmed (Lucene HindiAnalyzer
+# filter order)
+def _norm_stop_stem_py(stops: list[str], norm_fn, stem_fn, tok_fn):
+    sset = {norm_fn(t) for t in stops}
+
+    def py_fn(text: str | None) -> list[str]:
+        out = []
+        for t in tok_fn(text):
+            n = norm_fn(t)
+            if n not in sset:
+                out.append(stem_fn(n))
+        return out
+
+    return py_fn
+
+
+def _norm_stop_stem_col(stops: list[str], norm_fn, stem_fn, tok_fn):
+    sset = {norm_fn(t) for t in stops}
+
+    def col_fn(col: Column) -> Column:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        @pandas_udf(ArrayType(StringType()))
+        def _udf(s: pd.Series) -> pd.Series:
+            memo: dict = {}
+
+            def run(x):
+                out = []
+                for t in tok_fn(x):
+                    v = memo.get(t)
+                    if v is None:
+                        n = norm_fn(t)
+                        memo[t] = v = ("", True) if n in sset else (stem_fn(n), False)
+                    stem, stop = v
+                    if not stop:
+                        out.append(stem)
+                return out
+
+            return s.map(run)
+
+        return _udf(col)
+
+    return col_fn
 
 
 # norm-then-stop chain (persian): every token is normalized, THEN the stop
@@ -605,6 +677,16 @@ ANALYZERS = {
         _norm_stop_col(LANG_STOPWORDS["persian"], _persian_norm, tokenize_unicode_py),
         _norm_stop_py(LANG_STOPWORDS["persian"], _persian_norm, tokenize_unicode_py),
     ),
+    # Lucene HindiAnalyzer analog: Devanagari tokenize → Hindi
+    # normalization → stop (normalized forms) → Ramanathan-Rao light stem
+    "hindi": (
+        _norm_stop_stem_col(
+            LANG_STOPWORDS["hindi"], _hindi_norm, _hindi_stem, tokenize_unicode_py
+        ),
+        _norm_stop_stem_py(
+            LANG_STOPWORDS["hindi"], _hindi_norm, _hindi_stem, tokenize_unicode_py
+        ),
+    ),
 }
 
 
@@ -613,7 +695,7 @@ ANALYZERS = {
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
-    "arabic", "bulgarian", "czech", "persian",
+    "arabic", "bulgarian", "czech", "persian", "hindi",
 }
 
 

@@ -388,3 +388,93 @@ def persian_sql_ctes(src: str, out: str, p: str = "fa_") -> str:
     return f"""
 {out} AS MATERIALIZED (SELECT doc_id, {_fa_norm_sql("term")} AS term FROM {src})
 """
+
+
+# ------------------------------------------------------------------- hindi
+# Lucene's HindiAnalyzer analog (reference config/mapping/Language.scala hi
+# binding): unicode (Devanagari-aware) tokenize → stop → Hindi
+# normalization → the Ramanathan & Rao (2003) light stemmer that Lucene's
+# HindiStemmer binds. Normalization here is the high-frequency subset of
+# Lucene's HindiNormalizer: the eight consonant+nukta precomposed forms
+# fold to their base consonants, chandrabindu folds to anusvara, the
+# combining nukta and virama are deleted (the rare candra-vowel foldings
+# are intentionally omitted — documented deviation). Stemming strips ONE
+# suffix from the longest applicable tier (5→1 chars), each tier guarded
+# by a minimum word length, mirroring the published suffix families.
+
+# PRECOMPOSED nukta consonants (U+0929/0931/0934, U+0958–095F) fold to
+# their base letters; the same letters typed DECOMPOSED (base + combining
+# nukta U+093C) reduce identically via the nukta deletion below.
+_HI_FOLD = {
+    "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+    "क़": "क", "ख़": "ख", "ग़": "ग",
+    "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+    "फ़": "फ", "य़": "य",
+    "ँ": "ं",  # chandrabindu → anusvara
+}
+_HI_DELETE = "़्"  # nukta + virama
+
+_HI_NORM_TRANS = {ord(k): v for k, v in _HI_FOLD.items()}
+_HI_NORM_TRANS.update({ord(c): None for c in _HI_DELETE})
+
+# tiers: (min surviving length guard, strip count, suffixes)
+_HI_TIERS = [
+    (6, 5, ["ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां"]),
+    (5, 4, ["ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+            "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+            "ियों", "ियां"]),
+    (4, 3, ["ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+            "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+            "ुआं"]),
+    (3, 2, ["कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+            "ती", "ता", "ाँ", "ां", "ों", "ें"]),
+    (2, 1, ["ो", "े", "ू", "ु", "ी", "ि", "ा"]),
+]
+
+
+def hindi_norm_py(w: str) -> str:
+    return w.translate(_HI_NORM_TRANS)
+
+
+def hindi_stem_py(w: str) -> str:
+    for min_len, n, sufs in _HI_TIERS:
+        if len(w) > min_len and any(w.endswith(s) for s in sufs):
+            return w[:-n]
+    return w
+
+
+def hindi_py(word: str) -> str:
+    return hindi_stem_py(hindi_norm_py(word))
+
+
+def _hi_norm_sql(x: str) -> str:
+    folded = x
+    for k, v in _HI_FOLD.items():
+        folded = f"replace({folded}, '{k}', '{v}')"
+    return f"translate({folded}, '{_HI_DELETE}', '')"
+
+
+def _hi_stem_sql(x: str) -> str:
+    cases = []
+    for min_len, n, sufs in _HI_TIERS:
+        ends = " OR ".join(f"ends_with({x}, '{s}')" for s in sufs)
+        cases.append(f"WHEN length({x}) > {min_len} AND ({ends}) THEN {_chop(x, n)}")
+    return "CASE " + " ".join(cases) + f" ELSE {x} END"
+
+
+def hindi_sql_ctes(src: str, out: str, p: str = "hi_", stops: list[str] | None = None) -> str:
+    """norm → (optional stop filter on NORMALIZED terms — the analyzer's
+    filter order) → stem."""
+    mid = f"{p}nm"
+    stop_cte = ""
+    if stops:
+        lst = "[" + ",".join(f"'{w}'" for w in stops) + "]"
+        stop_cte = (
+            f"{p}st AS MATERIALIZED (SELECT doc_id, term FROM {p}nm "
+            f"WHERE NOT list_contains({lst}, term)),\n"
+        )
+        mid = f"{p}st"
+    return f"""
+{p}nm AS MATERIALIZED (SELECT doc_id, {_hi_norm_sql("term")} AS term FROM {src}),
+{stop_cte}{out} AS MATERIALIZED (SELECT doc_id, {_hi_stem_sql("term")} AS term FROM {mid})
+"""

@@ -211,3 +211,46 @@ def test_persian_analyzer_chain():
     assert analyzer_py("persian")("کتاب از سیستم می‌نویسد") == [
         "كتاب", "سيستم", "نويسد",
     ]
+
+
+from nixiesearch_spark.light import hindi_py, hindi_sql_ctes
+
+HINDI_CASES = {
+    # normalization: nukta deletion / precomposed folds, then tier strips
+    "लड़कियाँ": "लडक", "लड़का": "लडक", "क़िताब": "किताब",
+    "किताबें": "किताब", "करेंगे": "कर", "बनाया": "बन",
+    "पुस्तकों": "पुसतक", "लिखकर": "लिख", "खोजें": "खोज",
+    # single-vowel tier with its len>2 guard
+    "बड़ी": "बड", "की": "की",
+    # tier guard: ाएगी needs len>5, जाएगी is 5 → only the ी strips
+    "जाएगी": "जाएग",
+    "खोज": "खोज", "": "",
+}
+
+
+def test_hindi_spec_cases():
+    bad = {
+        w: (hindi_py(w), want)
+        for w, want in HINDI_CASES.items()
+        if hindi_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_hindi_sql_equals_python():
+    words = list(HINDI_CASES) + [
+        "आंकड़ों", "तालिकाओं", "हिन्दी", "खाना", "सूचकांक", "ियाँ",
+        "ाएंगीा", "spark",
+    ]
+    got = _sql_stem(words, hindi_sql_ctes)
+    want = [hindi_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
+
+
+def test_hindi_analyzer_chain():
+    from nixiesearch_spark.analysis import analyzer_py
+
+    # में is a stopword (compared post-normalization); survivors stem
+    assert analyzer_py("hindi")("आंकड़ा तालिका में खोजें") == [
+        "आंकड", "तालिक", "खोज",
+    ]

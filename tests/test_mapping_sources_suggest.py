@@ -267,7 +267,7 @@ def test_stopword_entries_survive_tokenizer():
     for lang in ("russian", "greek", "arabic", "bulgarian"):
         toks[lang] = tokenize_unicode_py
     for lang, words in LANG_STOPWORDS.items():
-        if lang == "persian":
+        if lang in ("persian", "hindi"):
             continue
         tok = toks.get(lang, tokenize_py)
         for w in words:
@@ -280,6 +280,12 @@ def test_stopword_entries_survive_tokenizer():
     for w in LANG_STOPWORDS["persian"]:
         assert tokenize_unicode_py(w) == [w], f"persian stopword {w!r} not a token"
         assert persian_py(w) == w, f"persian stopword {w!r} not in normalized form"
+    # hindi compares post-normalization too (norm → stop → stem)
+    from nixiesearch_spark.light import hindi_norm_py
+
+    for w in LANG_STOPWORDS["hindi"]:
+        assert tokenize_unicode_py(w) == [w], f"hindi stopword {w!r} not a token"
+        assert hindi_norm_py(w) == w, f"hindi stopword {w!r} not in normalized form"
 
 
 def test_language_analyzers(spark, tmp_path):

@@ -45,6 +45,17 @@ FA_VOCAB = ["Ø¯Ø§Ø¯Ù‡", "ÙÙ‡Ø±Ø³Øª", "Ø¬Ø³ØªØ¬Ùˆ", "Ú©ØªØ§Ø¨", "Ø³ÛŒØ³ØªÙ…", "Ø
 # exercise normalization + the light-stemmer tiers)
 HI_VOCAB = ["à¤†à¤‚à¤•à¤¡à¤¼à¥‹à¤‚", "à¤¤à¤¾à¤²à¤¿à¤•à¤¾", "à¤–à¥‹à¤œà¥‡à¤‚", "à¤ªà¥à¤¸à¥à¤¤à¤•à¥‡à¤‚", "à¤¸à¥‚à¤šà¤•à¤¾à¤‚à¤•", "à¤®à¥‡à¤‚", "à¤ªà¥à¤°à¤¶à¥à¤¨"]
 
+
+# derived synthetic language columns: three doc_id-keyed vocab words per doc
+# (one table drives the Spark derivation AND the oracle SQL below)
+DERIVED_VOCABS = {
+    "text_ru": RU_VOCAB,
+    "text_ar": AR_VOCAB,
+    "text_bg": BG_VOCAB,
+    "text_fa": FA_VOCAB,
+    "text_hi": HI_VOCAB,
+}
+
 # ---------------------------------------------------------------- index cache
 
 _CACHE: dict = {}
@@ -58,19 +69,14 @@ def _index(
     analyzers: dict | None = None,
     derive_ts: bool = False,
     derive_emb: bool = False,
-    derive_ru: bool = False,
-    derive_ar: bool = False,
-    derive_bg: bool = False,
-    derive_fa: bool = False,
-    derive_hi: bool = False,
+    derive_langs: tuple = (),  # column names from DERIVED_VOCABS
 ):
     from nixiesearch_spark.index import IndexBuilder, IndexConfig, IndexReader
     from nixiesearch_spark.query import Searcher
 
     key = (
         sf_dir, fields, quantize, tuple(sorted((analyzers or {}).items())),
-        derive_ts, derive_emb, derive_ru, derive_ar, derive_bg, derive_fa,
-        derive_hi,
+        derive_ts, derive_emb, tuple(sorted(derive_langs)),
     )
     if key not in _CACHE:
         d = tempfile.mkdtemp(prefix="nsentry_idx_")
@@ -89,82 +95,15 @@ def _index(
                     "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, doc_id % 720, 0, 0)"
                 ),
             )
-        if derive_ru:
-            # deterministic synthetic Cyrillic column (testdata is ASCII):
-            # three vocab words keyed off doc_id â€” stopword "Ð¸" included so
-            # the russian chain's stop filter is exercised end-to-end
-            arr = F.array(*[F.lit(w) for w in RU_VOCAB])
-            n = len(RU_VOCAB)
+        for _dcol in derive_langs:
+            # deterministic synthetic language column: three vocab words
+            # keyed off doc_id (stopword included so each chain's stop
+            # filter is exercised end-to-end)
+            _voc = DERIVED_VOCABS[_dcol]
+            arr = F.array(*[F.lit(w) for w in _voc])
+            n = len(_voc)
             df = df.withColumn(
-                "text_ru",
-                F.concat_ws(
-                    " ",
-                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
-                    ),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
-                    ),
-                ),
-            )
-        if derive_ar:
-            # deterministic synthetic Arabic column, same keying as text_ru
-            arr = F.array(*[F.lit(w) for w in AR_VOCAB])
-            n = len(AR_VOCAB)
-            df = df.withColumn(
-                "text_ar",
-                F.concat_ws(
-                    " ",
-                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
-                    ),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
-                    ),
-                ),
-            )
-        if derive_bg:
-            # deterministic synthetic Bulgarian column, same keying as text_ru
-            arr = F.array(*[F.lit(w) for w in BG_VOCAB])
-            n = len(BG_VOCAB)
-            df = df.withColumn(
-                "text_bg",
-                F.concat_ws(
-                    " ",
-                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
-                    ),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
-                    ),
-                ),
-            )
-        if derive_fa:
-            # deterministic synthetic Persian column, same keying as text_ru
-            arr = F.array(*[F.lit(w) for w in FA_VOCAB])
-            n = len(FA_VOCAB)
-            df = df.withColumn(
-                "text_fa",
-                F.concat_ws(
-                    " ",
-                    F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 3 + 1, F.lit(n)) + 1).cast("int")
-                    ),
-                    F.element_at(
-                        arr, (F.pmod(F.col("doc_id") * 5 + 2, F.lit(n)) + 1).cast("int")
-                    ),
-                ),
-            )
-        if derive_hi:
-            # deterministic synthetic Hindi column, same keying as text_ru
-            arr = F.array(*[F.lit(w) for w in HI_VOCAB])
-            n = len(HI_VOCAB)
-            df = df.withColumn(
-                "text_hi",
+                _dcol,
                 F.concat_ws(
                     " ",
                     F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int")),
@@ -369,7 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pandas-UDF column form like the other language chains)
         s = _index(
             spark, sf, ("text_ru",), False,
-            analyzers={"text_ru": "russian"}, derive_ru=True,
+            analyzers={"text_ru": "russian"}, derive_langs=("text_ru",),
         )
         return _as_docid(s.search(MatchQuery("text_ru", "Ð´Ð°Ð½Ð½Ñ‹Ðµ Ð¸ Ð¸Ð½Ð´ÐµÐºÑ"), size=10))
 
@@ -384,7 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # definite-article/plural cascade, stop filter on "Ð¸"
         s = _index(
             spark, sf, ("text_bg",), False,
-            analyzers={"text_bg": "bulgarian"}, derive_bg=True,
+            analyzers={"text_bg": "bulgarian"}, derive_langs=("text_bg",),
         )
         return _as_docid(s.search(MatchQuery("text_bg", "Ð´Ð°Ð½Ð½Ð¸ Ð¸ Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð° Ð¸Ð½Ð´ÐµÐºÑÐ¸"), size=10))
 
@@ -393,7 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # normalization + light10 stemmer (the Lucene ArabicAnalyzer analog)
         s = _index(
             spark, sf, ("text_ar",), False,
-            analyzers={"text_ar": "arabic"}, derive_ar=True,
+            analyzers={"text_ar": "arabic"}, derive_langs=("text_ar",),
         )
         return _as_docid(s.search(MatchQuery("text_ar", "Ø¨ÙŠØ§Ù†Ø§Øª ÙÙŠ Ø§Ù„ÙƒØªØ§Ø¨"), size=10))
 
@@ -403,7 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analog â€” no stemmer exists for fa in Lucene either)
         s = _index(
             spark, sf, ("text_fa",), False,
-            analyzers={"text_fa": "persian"}, derive_fa=True,
+            analyzers={"text_fa": "persian"}, derive_langs=("text_fa",),
         )
         return _as_docid(s.search(MatchQuery("text_fa", "Ú©ØªØ§Ø¨ Ø§Ø² Ø³ÛŒØ³ØªÙ…"), size=10))
 
@@ -412,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (normalized forms) + Ramanathan-Rao light stemmer
         s = _index(
             spark, sf, ("text_hi",), False,
-            analyzers={"text_hi": "hindi"}, derive_hi=True,
+            analyzers={"text_hi": "hindi"}, derive_langs=("text_hi",),
         )
         return _as_docid(s.search(MatchQuery("text_hi", "à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ"), size=10))
 
@@ -609,6 +548,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the beam wide margin; if a future graph change ever breaks the
         # gate, the failure is recall at the k-th boundary, not scoring.
         # Recall >= 0.9 at other scales stays pinned by tests.
+        from nixiesearch_spark.pipeline import hnsw
+
+        e = _emb(spark, sf)
+        key = (sf, "hnsw_index")
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="nsentry_hnsw_")
+            hnsw.build_hnsw(e, "vec_id", "embedding", d, n_shards=4)
+            _CACHE[key] = d
+        qv = _query_vec(spark, sf)
+        # mode="cluster" pins the distributed mapInPandas serve path this
+        # entry was written to verify (auto would take the driver mode)
+        return hnsw.hnsw_topk(
+            spark, qv, k=10, ef_search=256, graph_dir=_CACHE[key], mode="cluster"
+        )
+
+    def q_ann_hnsw_served(spark, sf):
+        # the search-head (pyarrow graph read) serve path â€” same beam
+        # kernel, same oracle as the cluster entry
         from nixiesearch_spark.pipeline import hnsw
 
         e = _emb(spark, sf)
@@ -1051,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "ann_hnsw_topk": q_ann_hnsw,
+        "ann_hnsw_served": q_ann_hnsw_served,
         "semantic_knn": q_semantic_knn,
         "knn_parent_block": q_knn_parent_block,
         "knn_query_dsl": q_knn_dsl,
@@ -1076,6 +1034,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+
+
+
+def _derived_tok_sql(vocab: list[str], stops: str | None) -> str:
+    """base + tok_raw CTEs over a derived vocab column (the SQL mirror of
+    _index's derive_langs loop â€” ONE keying expression for both sides).
+    ``stops`` is a DuckDB list literal filtered inside tok_raw, or None
+    for chains whose stop filter runs later (post-normalization)."""
+    from nixiesearch_spark.analysis import TOKEN_SPLIT_UNICODE as _TSU
+
+    voc = "[" + ",".join(f"'{w}'" for w in vocab) + "]"
+    n = len(vocab)
+    filt = f" AND NOT list_contains({stops}, x)" if stops else ""
+    return f"""base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({voc})[(doc_id % {n}) + 1],
+    ({voc})[((doc_id * 3 + 1) % {n}) + 1],
+    ({voc})[((doc_id * 5 + 2) % {n}) + 1]) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT doc_id, x.term
+  FROM base, unnest(list_filter(
+    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{_TSU}'),
+    x -> x <> '' AND length(x) <= 255{filt})) AS x(term)
+)"""
 
 
 def _bm25_cte(terms: list[str], field: str = "text", prefix: str = "") -> str:
@@ -1343,24 +1327,10 @@ LIMIT 10
     from nixiesearch_spark.snowball import russian_sql_ctes
 
     ru_terms = analyzer_py("russian")("Ð´Ð°Ð½Ð½Ñ‹Ðµ Ð¸ Ð¸Ð½Ð´ÐµÐºÑ")
-    ru_vocab = "[" + ",".join(f"'{w}'" for w in RU_VOCAB) + "]"
     ru_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["russian"]) + "]"
     ru_stem_ctes = russian_sql_ctes("tok_raw", "tok_f", "rusb_").strip().rstrip(",").strip()
-    nvoc = len(RU_VOCAB)
     sql["bm25_match_russian"] = f"""
-WITH base AS (
-  SELECT doc_id, concat_ws(' ',
-    ({ru_vocab})[(doc_id % {nvoc}) + 1],
-    ({ru_vocab})[((doc_id * 3 + 1) % {nvoc}) + 1],
-    ({ru_vocab})[((doc_id * 5 + 2) % {nvoc}) + 1]) AS t
-  FROM documents
-),
-tok_raw AS (
-  SELECT doc_id, x.term
-  FROM base, unnest(list_filter(
-    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
-    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({ru_stops}, x))) AS x(term)
-),
+WITH {_derived_tok_sql(RU_VOCAB, ru_stops)},
 {ru_stem_ctes},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -1374,24 +1344,10 @@ LIMIT 10
     from nixiesearch_spark.light import arabic_sql_ctes, bulgarian_sql_ctes
 
     bg_terms = analyzer_py("bulgarian")("Ð´Ð°Ð½Ð½Ð¸ Ð¸ Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð° Ð¸Ð½Ð´ÐµÐºÑÐ¸")
-    bg_vocab = "[" + ",".join(f"'{w}'" for w in BG_VOCAB) + "]"
     bg_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["bulgarian"]) + "]"
     bg_stem_ctes = bulgarian_sql_ctes("tok_raw", "tok_f", "bgsb_").strip().rstrip(",").strip()
-    nvoc_bg = len(BG_VOCAB)
     sql["bm25_match_bulgarian"] = f"""
-WITH base AS (
-  SELECT doc_id, concat_ws(' ',
-    ({bg_vocab})[(doc_id % {nvoc_bg}) + 1],
-    ({bg_vocab})[((doc_id * 3 + 1) % {nvoc_bg}) + 1],
-    ({bg_vocab})[((doc_id * 5 + 2) % {nvoc_bg}) + 1]) AS t
-  FROM documents
-),
-tok_raw AS (
-  SELECT doc_id, x.term
-  FROM base, unnest(list_filter(
-    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
-    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({bg_stops}, x))) AS x(term)
-),
+WITH {_derived_tok_sql(BG_VOCAB, bg_stops)},
 {bg_stem_ctes},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -1405,7 +1361,6 @@ LIMIT 10
     from nixiesearch_spark.light import persian_sql_ctes
 
     fa_terms = analyzer_py("persian")("Ú©ØªØ§Ø¨ Ø§Ø² Ø³ÛŒØ³ØªÙ…")
-    fa_vocab = "[" + ",".join(f"'{w}'" for w in FA_VOCAB) + "]"
     # the persian stop set is compared POST-normalization (filter order of
     # the analyzer) â€” normalize the configured list the same way here
     from nixiesearch_spark.light import persian_py as _fa_norm
@@ -1414,21 +1369,8 @@ LIMIT 10
         f"'{_fa_norm(w)}'" for w in LANG_STOPWORDS["persian"]
     ) + "]"
     fa_norm_ctes = persian_sql_ctes("tok_raw", "tok_nm", "fasb_").strip().rstrip(",").strip()
-    nvoc_fa = len(FA_VOCAB)
     sql["bm25_match_persian"] = f"""
-WITH base AS (
-  SELECT doc_id, concat_ws(' ',
-    ({fa_vocab})[(doc_id % {nvoc_fa}) + 1],
-    ({fa_vocab})[((doc_id * 3 + 1) % {nvoc_fa}) + 1],
-    ({fa_vocab})[((doc_id * 5 + 2) % {nvoc_fa}) + 1]) AS t
-  FROM documents
-),
-tok_raw AS (
-  SELECT doc_id, x.term
-  FROM base, unnest(list_filter(
-    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
-    x -> x <> '' AND length(x) <= 255)) AS x(term)
-),
+WITH {_derived_tok_sql(FA_VOCAB, None)},
 {fa_norm_ctes},
 tok_f AS (
   SELECT doc_id, term FROM tok_nm WHERE NOT list_contains({fa_stops}, term)
@@ -1445,28 +1387,14 @@ LIMIT 10
     from nixiesearch_spark.light import hindi_norm_py, hindi_sql_ctes
 
     hi_terms = analyzer_py("hindi")("à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ")
-    hi_vocab = "[" + ",".join(f"'{w}'" for w in HI_VOCAB) + "]"
     # stop comparison happens post-normalization: normalize the configured
     # list exactly like the analyzer registry does
     hi_stops = [hindi_norm_py(w) for w in LANG_STOPWORDS["hindi"]]
     hi_stem_ctes = hindi_sql_ctes(
         "tok_raw", "tok_f", "hisb_", stops=hi_stops
     ).strip().rstrip(",").strip()
-    nvoc_hi = len(HI_VOCAB)
     sql["bm25_match_hindi"] = f"""
-WITH base AS (
-  SELECT doc_id, concat_ws(' ',
-    ({hi_vocab})[(doc_id % {nvoc_hi}) + 1],
-    ({hi_vocab})[((doc_id * 3 + 1) % {nvoc_hi}) + 1],
-    ({hi_vocab})[((doc_id * 5 + 2) % {nvoc_hi}) + 1]) AS t
-  FROM documents
-),
-tok_raw AS (
-  SELECT doc_id, x.term
-  FROM base, unnest(list_filter(
-    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
-    x -> x <> '' AND length(x) <= 255)) AS x(term)
-),
+WITH {_derived_tok_sql(HI_VOCAB, None)},
 {hi_stem_ctes},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -1478,24 +1406,10 @@ LIMIT 10
 """
 
     ar_terms = analyzer_py("arabic")("Ø¨ÙŠØ§Ù†Ø§Øª ÙÙŠ Ø§Ù„ÙƒØªØ§Ø¨")
-    ar_vocab = "[" + ",".join(f"'{w}'" for w in AR_VOCAB) + "]"
     ar_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["arabic"]) + "]"
     ar_stem_ctes = arabic_sql_ctes("tok_raw", "tok_f", "arsb_").strip().rstrip(",").strip()
-    nvoc_ar = len(AR_VOCAB)
     sql["bm25_match_arabic"] = f"""
-WITH base AS (
-  SELECT doc_id, concat_ws(' ',
-    ({ar_vocab})[(doc_id % {nvoc_ar}) + 1],
-    ({ar_vocab})[((doc_id * 3 + 1) % {nvoc_ar}) + 1],
-    ({ar_vocab})[((doc_id * 5 + 2) % {nvoc_ar}) + 1]) AS t
-  FROM documents
-),
-tok_raw AS (
-  SELECT doc_id, x.term
-  FROM base, unnest(list_filter(
-    regexp_split_to_array(translate(lower(substr(t,1,32000)), 'Ï‚', 'Ïƒ'), '{TOKEN_SPLIT_UNICODE}'),
-    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({ar_stops}, x))) AS x(term)
-),
+WITH {_derived_tok_sql(AR_VOCAB, ar_stops)},
 {ar_stem_ctes},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -1767,6 +1681,26 @@ LIMIT 10
     # therefore serves as the oracle; recall at larger scale is covered by
     # the recall >= 0.9 pytest, not this gate.
     sql["ann_hnsw_topk"] = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+qx AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT vec_id, sum(v * qv) AS dot, sum(v * v) AS na, sum(qv * qv) AS nb
+  FROM x JOIN qx USING(i) GROUP BY vec_id
+)
+SELECT vec_id AS id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM d
+ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC
+LIMIT 10
+"""
+
+    # same oracle for the search-head served entry (identical kernel)
+    sql["ann_hnsw_served"] = """
 WITH x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
   FROM embeddings

@@ -93,8 +93,10 @@ TOKEN_SPLIT_UNICODE = (
     # Arabic: hamza..yeh letters + tatweel + the harakat/tanween combining
     # marks (U+0621–U+0652 contiguous) — diacritics are WORD chars so
     # vocalized words stay whole (the arabic analyzer's normalizer strips
-    # them); plus the Persian letters پ چ ژ گ ک ی
-    "ء-ْپچژگکی"
+    # them); the hamza-above mark U+0654 and the Persian/Urdu letters
+    # پ چ ژ گ ک ی ۀ ہ ے (all folded by the persian normalizer) are word
+    # chars too, so the folds are reachable
+    "ء-ْٔپچژگکیۀہے"
     # Devanagari signs/letters/matras/virama (U+0901–U+0963); the danda
     # punctuation U+0964/0965 and digits stay delimiters
     "ँ-ॣ]+"
@@ -514,55 +516,6 @@ def _norm_stop_stem_col(stops: list[str], norm_fn, stem_fn, tok_fn):
     return col_fn
 
 
-# norm-then-stop chain (persian): every token is normalized, THEN the stop
-# filter compares against the (already-normalized) stop set — the reverse
-# of _stem_py/_stem_col's stop-then-stem order
-def _norm_stop_py(stops: list[str], norm_fn, tok_fn):
-    sset = {norm_fn(t) for t in stops}
-
-    def py_fn(text: str | None) -> list[str]:
-        out = []
-        for t in tok_fn(text):
-            n = norm_fn(t)
-            if n not in sset:
-                out.append(n)
-        return out
-
-    return py_fn
-
-
-def _norm_stop_col(stops: list[str], norm_fn, tok_fn):
-    sset = {norm_fn(t) for t in stops}
-
-    def col_fn(col: Column) -> Column:
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import ArrayType, StringType
-
-        @pandas_udf(ArrayType(StringType()))
-        def _udf(s: pd.Series) -> pd.Series:
-            memo: dict = {}
-
-            def norm(t: str) -> str:
-                v = memo.get(t)
-                if v is None:
-                    memo[t] = v = norm_fn(t)
-                return v
-
-            def run(x):
-                out = []
-                for t in tok_fn(x):
-                    n = norm(t)
-                    if n not in sset:
-                        out.append(n)
-                return out
-
-            return s.map(run)
-
-        return _udf(col)
-
-    return col_fn
-
-
 def _stem_py(stops: list[str], stem_fn=_porter_stem, tok_fn=tokenize_py):
     sset = set(stops)
 
@@ -674,8 +627,12 @@ ANALYZERS = {
     # Lucene PersianAnalyzer analog: normalize (Arabic + Persian folds)
     # then stop — no stemmer exists for fa in Lucene either
     "persian": (
-        _norm_stop_col(LANG_STOPWORDS["persian"], _persian_norm, tokenize_unicode_py),
-        _norm_stop_py(LANG_STOPWORDS["persian"], _persian_norm, tokenize_unicode_py),
+        _norm_stop_stem_col(
+            LANG_STOPWORDS["persian"], _persian_norm, lambda t: t, tokenize_unicode_py
+        ),
+        _norm_stop_stem_py(
+            LANG_STOPWORDS["persian"], _persian_norm, lambda t: t, tokenize_unicode_py
+        ),
     ),
     # Lucene HindiAnalyzer analog: Devanagari tokenize → Hindi
     # normalization → stop (normalized forms) → Ramanathan-Rao light stem

@@ -61,7 +61,12 @@ def range_agg(
             c = c & (F.col(field) < F.lit(r["lt"]))
         if "lte" in r:
             c = c & (F.col(field) <= F.lit(r["lte"]))
-        aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"_r{i}"))
+        # coalesce: F.sum over an EMPTY match set is NULL, but a bucket
+        # over zero matching docs counts 0 (and the driver-served route
+        # already returns 0 — routes must agree)
+        aggs.append(
+            F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0)).alias(f"_r{i}")
+        )
     row = joined.agg(*aggs)
     # unpivot to one row per range with bucket bounds as literals
     selects = []

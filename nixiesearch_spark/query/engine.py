@@ -42,6 +42,21 @@ B = 0.75
 SCORE_SCHEMA = "docid long, score float"
 
 
+def _lut_positions(docids, mdoc):
+    """Positions of match-set docids inside the sorted field-LUT docids —
+    None unless EVERY docid is present (a packed/docs drift would otherwise
+    silently read a neighboring doc's value; callers decline to the
+    cluster plan instead, mirroring ordinal_lookup's membership check)."""
+    if len(mdoc) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(docids) == 0:
+        return None
+    pos = np.minimum(np.searchsorted(docids, mdoc), len(docids) - 1)
+    if not np.array_equal(docids[pos], mdoc):
+        return None
+    return pos
+
+
 class Searcher:
     def __init__(
         self, reader: IndexReader, mapping=None, embedder=None, plan_cache: bool = True
@@ -72,6 +87,7 @@ class Searcher:
         self._persisted: list[DataFrame] = []  # searcher-lifetime cached frames
         self._plan_cache_on = plan_cache
         self._plan_cache: dict = {}
+        self._ms_cache: dict = {}
         self._ann: dict = {}  # field -> attached ANN index (attach_ann)
         # quantized mode scores are float32 (Lucene parity); unquantized mode
         # keeps full double precision (SQL-oracle parity)
@@ -663,16 +679,36 @@ class Searcher:
 
         return term_agg(self.score(query, filters), self.reader.docs, field, size)
 
+    MATCH_SET_CACHE_MAX = 8
+
+    def _match_set_driver(self, q: ast.MatchQuery):
+        """Version-keyed memo around wand.match_scores_driver: a request
+        serving hits + facets (+ a sorted page) for the same query decodes
+        the full match set ONCE instead of per consumer. Small FIFO cap —
+        the frames are match-set-sized, not top-k-sized."""
+        from nixiesearch_spark.query.wand import match_scores_driver
+
+        key = self._plan_key("matchset", q.field, q.query, q.operator)
+        if key is not None:
+            hit = self._ms_cache.get(key)
+            if hit is not None:
+                return hit
+        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        if ms is not None and key is not None:
+            if key not in self._ms_cache and len(self._ms_cache) >= self.MATCH_SET_CACHE_MAX:
+                self._ms_cache.pop(next(iter(self._ms_cache)))
+            self._ms_cache[key] = ms
+        return ms
+
     def _facet_term_driver(self, q: ast.MatchQuery, field: str, size) -> DataFrame | None:
         from pyspark.sql.types import LongType, StructField, StructType
 
         from nixiesearch_spark.query.aggs import MAX_TERM_FACETS
-        from nixiesearch_spark.query.wand import match_scores_driver
 
         lut = self.reader.field_lut(field)
         if lut is None:
             return None
-        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        ms = self._match_set_driver(q)
         if ms is None:
             return None
         n = MAX_TERM_FACETS if size == "all" else int(size)
@@ -684,8 +720,10 @@ class Searcher:
             [StructField("term", ftype), StructField("count", LongType(), False)]
         )
         mdoc = ms["docid"].to_numpy(np.int64)
+        pos = _lut_positions(docids, mdoc)
+        if pos is None:
+            return None
         if len(mdoc):
-            pos = np.searchsorted(docids, mdoc)
             sel = vals.iloc[pos]
             vc = sel.value_counts(dropna=True)  # matches the isNotNull filter
             pdf = vc.rename_axis("term").reset_index(name="count")
@@ -732,17 +770,18 @@ class Searcher:
     def _facet_range_driver(self, q: ast.MatchQuery, field: str, ranges: list) -> DataFrame | None:
         import pandas as pd
 
-        from nixiesearch_spark.query.wand import match_scores_driver
-
         lut = self.reader.field_lut(field)
         if lut is None or lut[1].dtype.kind not in "iu":
             return None
-        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        ms = self._match_set_driver(q)
         if ms is None:
             return None
         docids, vals = lut
         mdoc = ms["docid"].to_numpy(np.int64)
-        v = vals.to_numpy()[np.searchsorted(docids, mdoc)] if len(mdoc) else vals.to_numpy()[:0]
+        pos = _lut_positions(docids, mdoc)
+        if pos is None:
+            return None
+        v = vals.to_numpy()[pos] if len(mdoc) else vals.to_numpy()[:0]
         rows = []
         for r in ranges:
             mask = np.ones(len(v), dtype=bool)
@@ -779,8 +818,6 @@ class Searcher:
         driver-side."""
         import pandas as pd
 
-        from nixiesearch_spark.query.wand import match_scores_driver
-
         items = []
         for item in sort:
             fld, direction = item[0], item[1]
@@ -798,13 +835,15 @@ class Searcher:
             if lut[1].dtype.kind == "f":
                 return None
             luts[fld] = lut
-        ms = match_scores_driver(self.reader, q.field, q.query, q.operator)
+        ms = self._match_set_driver(q)
         if ms is None:
             return None
         df = ms.copy()
         mdoc = df["docid"].to_numpy(np.int64)
         for fld, (docids, vals) in luts.items():
-            pos = np.searchsorted(docids, mdoc)
+            pos = _lut_positions(docids, mdoc)
+            if pos is None:
+                return None
             df[fld] = vals.iloc[pos].reset_index(drop=True)
         df = df.sort_values("docid", ascending=True, kind="stable")
         for fld, direction, missing in reversed(items):

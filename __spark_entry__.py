@@ -658,6 +658,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "suggestion", F.round(F.col("score").cast("double"), 6).alias("score")
         )
 
+    def q_suggest_served(spark, sf):
+        # search-head suggest: pyarrow read of the slen-pruned table, all
+        # four branches + RRF fused driver-side (zero Spark jobs)
+        from nixiesearch_spark.query.suggest import build_suggest, suggest_driver
+
+        d = _CACHE.get((sf, "sugg_dir"))
+        if d is None:
+            d = tempfile.mkdtemp(prefix="nsentry_sugg2_")
+            build_suggest(spark, _docs(spark, sf), "text", d, "text")
+            _CACHE[(sf, "sugg_dir")] = d
+        out = suggest_driver(spark, d, "text", "spark j", count=10)
+        assert out is not None  # local tempdir within the driver bound
+        return out.select(
+            "suggestion", F.round(F.col("score").cast("double"), 6).alias("score")
+        )
+
     def q_facet_rrf_merged(spark, sf):
         from nixiesearch_spark.query.aggs import merged_match_set
 
@@ -1022,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": q_events_sessionized,
         "events_sliding": q_events_sliding,
         "suggest_rrf": q_suggest,
+        "suggest_served": q_suggest_served,
         "facet_rrf_merged": q_facet_rrf_merged,
         "geo_sort": q_geo_sort,
         "index_stats": q_index_stats,
@@ -1758,6 +1775,49 @@ FROM w GROUP BY window_start, event_type
 """
 
     sql["suggest_rrf"] = f"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
+                     x -> x <> '' AND length(x) <= 255) AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 1
+      THEN list_transform(range(1, len(toks) + 1), i -> array_to_string(toks[i:i], ' '))
+      ELSE [] END
+    || CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+      ELSE [] END
+    || CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      ELSE [] END) AS suggestion
+  FROM t
+), freq AS (SELECT suggestion, count(*) AS freq FROM g GROUP BY suggestion),
+b_prefix AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE suggestion LIKE 'spark j%' ORDER BY freq DESC, suggestion ASC LIMIT 50
+), b_f1 AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE length(suggestion) BETWEEN 6 AND 8 AND levenshtein(suggestion, 'spark j') <= 1
+  ORDER BY freq DESC, suggestion ASC LIMIT 50
+), b_f2 AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE length(suggestion) BETWEEN 5 AND 9 AND levenshtein(suggestion, 'spark j') <= 2
+  ORDER BY freq DESC, suggestion ASC LIMIT 50
+), b_in AS (
+  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
+  FROM freq WHERE contains(suggestion, 'spark j') ORDER BY freq DESC, suggestion ASC LIMIT 50
+), u AS (
+  SELECT * FROM b_prefix UNION ALL SELECT * FROM b_f1
+  UNION ALL SELECT * FROM b_f2 UNION ALL SELECT * FROM b_in
+)
+SELECT suggestion, round(sum(1.0 / (60 + rank)), 6) AS score
+FROM u GROUP BY suggestion
+ORDER BY sum(1.0 / (60 + rank)) DESC, suggestion ASC
+LIMIT 10
+"""
+
+    # same oracle for the search-head served path (identical branches/fusion)
+    sql["suggest_served"] = f"""
 WITH t AS (
   SELECT list_filter(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
                      x -> x <> '' AND length(x) <= 255) AS toks

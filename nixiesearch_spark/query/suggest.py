@@ -129,3 +129,117 @@ def suggest(
         F.sum(1.0 / (F.lit(RRF_SCALE) + F.col("rank"))).alias("score")
     )
     return fused.orderBy(F.desc("score"), F.asc("suggestion")).limit(count)
+
+
+# ---------------------------------------------------------------------------
+# Search-head suggest serving: same four branches + RRF fusion computed
+# from a direct pyarrow read of the slen-partitioned suggest table — the
+# directory prune that bounds the cluster plan's fuzzy branches bounds the
+# driver read identically, and the whole request costs zero Spark jobs.
+
+DRIVER_MAX_SUGG_ROWS = 2_000_000  # per-request read bound (post slen-prune)
+
+
+def _lev_vec(q: str, cands: "list[str]", cap: int):
+    """Vectorized unweighted Levenshtein (classic DP, same semantics as
+    Spark's levenshtein expression) of ``q`` against every candidate.
+    Rows = DP columns over a (ncand, maxlen) codepoint matrix; the inner
+    loops are maxlen*len(q) numpy ops over ncand-wide vectors."""
+    import numpy as np
+
+    if not cands:
+        return np.empty(0, dtype=np.int32)
+    lens = np.array([len(c) for c in cands], dtype=np.int32)
+    maxlen = int(lens.max())
+    mat = np.zeros((len(cands), maxlen), dtype=np.int32)
+    for i, c in enumerate(cands):
+        mat[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)[
+            : len(c)
+        ].astype(np.int32)
+    prev = np.tile(np.arange(maxlen + 1, dtype=np.int32), (len(cands), 1))
+    for i, ch in enumerate(q, start=1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (mat != ord(ch)).astype(np.int32)
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
+                prev[:, j - 1] + sub[:, j - 1],
+            )
+        prev = cur
+    return prev[np.arange(len(cands)), lens]
+
+
+def suggest_driver(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    text: str,
+    count: int = 10,
+    window: int = 50,
+) -> DataFrame | None:
+    """Driver-mode suggest: returns None when the table isn't locally
+    readable or the pruned read exceeds DRIVER_MAX_SUGG_ROWS (callers fall
+    back to the cluster plan). Branch ranks, RRF fusion and tie order
+    replicate suggest() exactly."""
+    import glob
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+
+    base = _os.path.join(index_dir, "suggest", f"field={field}")
+    part_dirs = glob.glob(_os.path.join(base, "slen=*"))
+    if not part_dirs:
+        return None
+    q = text.lower().strip()
+    lenq = len(q)
+    lo = min(max(lenq - 2, 1), LEN_CAP)  # widest band any branch needs
+    try:
+        import pyarrow.parquet as pq
+
+        frames = []
+        for d in sorted(part_dirs):
+            slen = int(_os.path.basename(d).split("=", 1)[1])
+            if slen < lo:
+                continue
+            t = pq.read_table(d, columns=["suggestion", "freq"])
+            f = t.to_pandas()
+            f["slen"] = slen
+            frames.append(f)
+            if sum(len(x) for x in frames) > DRIVER_MAX_SUGG_ROWS:
+                return None
+    except OSError:
+        return None
+    if not frames:
+        pdf = pd.DataFrame({"suggestion": [], "freq": [], "slen": []})
+    else:
+        pdf = pd.concat(frames, ignore_index=True)
+
+    s = pdf["suggestion"]
+    slens = s.str.len()
+    prefix = pdf[s.str.startswith(q)]
+    infix = pdf[s.str.contains(q, regex=False)]
+    fuzzy_pool = pdf[slens.between(lenq - 2, lenq + 2)]
+    if len(fuzzy_pool):
+        d = _lev_vec(q, fuzzy_pool["suggestion"].tolist(), 2)
+        fuzzy1 = fuzzy_pool[(d <= 1) & slens[fuzzy_pool.index].between(lenq - 1, lenq + 1)]
+        fuzzy2 = fuzzy_pool[d <= 2]
+    else:
+        fuzzy1 = fuzzy2 = fuzzy_pool
+
+    scores: dict[str, float] = {}
+    for branch in (prefix, fuzzy1, fuzzy2, infix):
+        top = branch.sort_values(
+            ["freq", "suggestion"], ascending=[False, True], kind="stable"
+        ).head(window)
+        for rank, sug in enumerate(top["suggestion"]):
+            scores[sug] = scores.get(sug, 0.0) + 1.0 / (RRF_SCALE + rank)
+    rows = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:count]
+    out = pd.DataFrame(
+        {
+            "suggestion": [r[0] for r in rows],
+            "score": np.array([r[1] for r in rows], dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(out, "suggestion string, score double")

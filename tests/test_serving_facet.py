@@ -118,3 +118,27 @@ def test_facet_range_driver_equals_cluster(built):
     assert _is_local(auto), auto._jdf.queryExecution().executedPlan().toString()
     flat = s.range_facet(s.score(q), "nlen", ranges)
     assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_suggest_driver_equals_cluster(spark, tmp_path, tiny_corpus_pd):
+    from nixiesearch_spark.query.suggest import (
+        build_suggest,
+        load_suggest,
+        suggest,
+        suggest_driver,
+    )
+
+    d = str(tmp_path / "sugg")
+    df = spark.createDataFrame(tiny_corpus_pd)
+    build_suggest(spark, df, "content", d, "content")
+    for q in ("def imp", "return", "xyzzy", "d"):
+        drv = suggest_driver(spark, d, "content", q, count=10)
+        assert drv is not None
+        got = [
+            (r["suggestion"], round(r["score"], 6)) for r in drv.collect()
+        ]
+        want = [
+            (r["suggestion"], round(r["score"], 6))
+            for r in suggest(load_suggest(spark, d, "content"), q, count=10).collect()
+        ]
+        assert got == want, (q, got, want)

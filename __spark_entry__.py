@@ -346,6 +346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _as_docid(s.search(MatchQuery("text_fa", "کتاب از سیستم"), size=10))
 
+    def q_match_indonesian(spark, sf):
+        # Tala stemmer: datanya/tablenya/indexnya drop the possessive to
+        # data/table/index, matching corpus tokens (which stem to
+        # themselves — two syllables keeps the stemmer off)
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "indonesian"})
+        return _as_docid(s.search(MatchQuery("text", "datanya tablenya indexnya"), size=10))
+
     def q_match_hindi(spark, sf):
         # hindi chain = Devanagari tokenizer + normalization + stop filter
         # (normalized forms) + Ramanathan-Rao light stemmer
@@ -998,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_bulgarian": q_match_bulgarian,
         "bm25_match_persian": q_match_persian,
         "bm25_match_hindi": q_match_hindi,
+        "bm25_match_indonesian": q_match_indonesian,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
         "bm25_match_danish": q_match_danish,
@@ -1395,6 +1403,30 @@ tok_f AS (
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(fa_terms, "text_fa").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.light import indonesian_sql_ctes
+
+    # indonesian runs the ASCII standard tokenizer (like english), so its
+    # oracle tokenizes with TOKSPLIT, not the Latin class
+    ind_terms = analyzer_py("indonesian")("datanya tablenya indexnya")
+    ind_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["indonesian"]) + "]"
+    ind_ctes = indonesian_sql_ctes("tok_raw", "tok_f", "idsb_").strip().rstrip(",").strip()
+    sql["bm25_match_indonesian"] = f"""
+WITH tok_raw AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_filter(
+    regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
+    x -> x <> '' AND length(x) <= 255 AND NOT list_contains({ind_stops}, x))) AS t(term)
+),
+{ind_ctes},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(ind_terms, "text").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

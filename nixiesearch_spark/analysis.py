@@ -288,6 +288,14 @@ LANG_STOPWORDS = {
         "بعد", "قبل", "بين", "حتى", "إذا", "كما", "أي", "عند", "منذ",
         "غير", "أيضا", "و",
     ],
+    "indonesian": [
+        "yang", "dan", "di", "ke", "dari", "untuk", "pada", "dengan",
+        "dalam", "adalah", "ini", "itu", "tidak", "akan", "juga", "atau",
+        "saya", "kami", "kita", "mereka", "dia", "ada", "sudah", "telah",
+        "bisa", "dapat", "karena", "oleh", "seperti", "jika", "maka",
+        "lebih", "hanya", "masih", "harus", "saat", "ketika", "secara",
+        "antara", "tersebut", "serta", "bahwa", "ia", "itu",
+    ],
     # NORMALIZED forms (post Hindi-normalization): the hindi chain's stop
     # filter runs after the normalizer, before the stemmer (Lucene
     # HindiAnalyzer filter order)
@@ -457,6 +465,12 @@ def _persian_norm(t: str) -> str:
     return persian_py(t)
 
 
+def _indonesian_stem(t: str) -> str:
+    from nixiesearch_spark.light import indonesian_py
+
+    return indonesian_py(t)
+
+
 def _hindi_norm(t: str) -> str:
     from nixiesearch_spark.light import hindi_norm_py
 
@@ -596,6 +610,12 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
     ),
+    # Tala-stemmer Indonesian over the ASCII standard tokenizer (the
+    # language is plain Latin, like english)
+    "indonesian": (
+        _stem_col(LANG_STOPWORDS["indonesian"], _indonesian_stem),
+        _stem_py(LANG_STOPWORDS["indonesian"], _indonesian_stem),
+    ),
     # Dolamic & Savoy Czech light stemmer over the Unicode-Latin tokenizer
     "czech": (
         _stem_col(LANG_STOPWORDS["czech"], _czech_stem, tokenize_latin_py),
@@ -652,7 +672,7 @@ ANALYZERS = {
 UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
-    "arabic", "bulgarian", "czech", "persian", "hindi",
+    "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
 }
 
 

@@ -478,3 +478,284 @@ def hindi_sql_ctes(src: str, out: str, p: str = "hi_", stops: list[str] | None =
 {p}nm AS MATERIALIZED (SELECT doc_id, {_hi_norm_sql("term")} AS term FROM {src}),
 {stop_cte}{out} AS MATERIALIZED (SELECT doc_id, {_hi_stem_sql("term")} AS term FROM {mid})
 """
+
+
+# -------------------------------------------------------------- indonesian
+# Tala's (2003) Indonesian stemmer family as bound by Lucene's
+# IndonesianAnalyzer (reference config/mapping/Language.scala id binding):
+# inflectional particles (-kah/-lah/-pun) and possessives (-ku/-mu/-nya),
+# then the derivational layer — ONE first-order prefix (meng-/meny-/men-/
+# mem-/me-/peng-/peny-/pen-/pem-/di-/ter-/ke-, with the sound-restoring
+# recodings meny|peny+V → s, mem|pem+V → p, pen+V → t), ONE second-order
+# prefix (ber-/be..er/per-/pe- + the bel-/pel- ajar specials), and ONE
+# suffix (-kan/-an/-i) whose legality depends on which prefix fired
+# (flag-gated illegal combinations, e.g. ke- ... -kan). Control flow: if a
+# first-order prefix fired, try the suffix, and only if THAT fired try a
+# second-order prefix; otherwise second-order prefix first, then suffix.
+# Every removal decrements the syllable (vowel) count and each step is
+# guarded by "more than 2 syllables remain". Where Tala's paper and
+# Lucene's binding differ in recoding details, this module follows the
+# table above and the two executable forms stay rule-identical.
+
+_ID_VOWELS = "aeiou"
+
+# flag bits (which prefix fired gates which suffix is legal)
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64,
+)
+
+
+def _id_ns(w: str) -> int:
+    return sum(1 for c in w if c in _ID_VOWELS)
+
+
+def _id_first_order(w: str):
+    """→ (new_word, flag, fired)."""
+    V = _ID_VOWELS
+    if w.startswith("meng"):
+        return w[4:], _ID_MENG, True
+    if w.startswith("meny") and len(w) > 4 and w[4] in V:
+        return "s" + w[4:], _ID_MENG, True
+    if w.startswith("men"):
+        return w[3:], _ID_MENG, True
+    if w.startswith("mem") and len(w) > 3 and w[3] in V:
+        return "p" + w[3:], _ID_MENG, True
+    if w.startswith("mem"):
+        return w[3:], _ID_MENG, True
+    if w.startswith("me"):
+        return w[2:], _ID_MENG, True
+    if w.startswith("peng"):
+        return w[4:], _ID_PENG, True
+    if w.startswith("peny") and len(w) > 4 and w[4] in V:
+        return "s" + w[4:], _ID_PENG, True
+    if w.startswith("peny"):
+        return w[4:], _ID_PENG, True
+    if w.startswith("pen") and len(w) > 3 and w[3] in V:
+        return "t" + w[3:], _ID_PENG, True
+    if w.startswith("pen"):
+        return w[3:], _ID_PENG, True
+    if w.startswith("pem") and len(w) > 3 and w[3] in V:
+        return "p" + w[3:], _ID_PENG, True
+    if w.startswith("pem"):
+        return w[3:], _ID_PENG, True
+    if w.startswith("di"):
+        return w[2:], _ID_DI, True
+    if w.startswith("ter"):
+        return w[3:], _ID_TER, True
+    if w.startswith("ke"):
+        return w[2:], _ID_KE, True
+    return w, 0, False
+
+
+def _id_second_order(w: str):
+    if w.startswith("ber"):
+        return w[3:], _ID_BER, True
+    if w == "belajar":
+        return w[3:], _ID_BER, True
+    if (
+        w.startswith("be") and len(w) > 4
+        and w[2] not in _ID_VOWELS and w[3] == "e" and w[4] == "r"
+    ):
+        return w[2:], _ID_BER, True
+    if w.startswith("per"):
+        return w[3:], 0, True
+    if w == "pelajar":
+        return w[3:], 0, True
+    if w.startswith("pe"):
+        return w[2:], _ID_PE, True
+    return w, 0, False
+
+
+def _id_suffix(w: str, flags: int):
+    if w.endswith("kan") and not flags & (_ID_KE | _ID_PENG | _ID_PE):
+        return w[:-3], True
+    if w.endswith("an") and not flags & (_ID_DI | _ID_MENG | _ID_TER):
+        return w[:-2], True
+    if (
+        w.endswith("i") and not w.endswith("si")
+        and not flags & (_ID_BER | _ID_KE | _ID_PENG)
+    ):
+        return w[:-1], True
+    return w, False
+
+
+def indonesian_py(word: str) -> str:
+    w = word
+    ns = _id_ns(w)
+
+    # inflectional: particle then possessive
+    if ns > 2 and (w.endswith("kah") or w.endswith("lah") or w.endswith("pun")):
+        w, ns = w[:-3], ns - 1
+    if ns > 2:
+        if w.endswith("ku") or w.endswith("mu"):
+            w, ns = w[:-2], ns - 1
+        elif w.endswith("nya"):
+            w, ns = w[:-3], ns - 1
+
+    # derivational
+    flags = 0
+    fo = False
+    if ns > 2:
+        w2, flag, fo = _id_first_order(w)
+        if fo:
+            w, flags, ns = w2, flags | flag, ns - 1
+    if not fo:
+        if ns > 2:
+            w2, flag, so = _id_second_order(w)
+            if so:
+                w, flags, ns = w2, flags | flag, ns - 1
+        if ns > 2:
+            w2, sf = _id_suffix(w, flags)
+            if sf:
+                w, ns = w2, ns - 1
+    else:
+        if ns > 2:
+            w2, sf = _id_suffix(w, flags)
+            if sf:
+                w, ns = w2, ns - 1
+                if ns > 2:
+                    w2, flag, so = _id_second_order(w)
+                    if so:
+                        w, flags, ns = w2, flags | flag, ns - 1
+    return w
+
+
+# ---- indonesian SQL form: one rule table drives the term/flag/fired CASE
+# projections so the three stay consistent by construction; the ns
+# (syllable) and flags columns thread the python control flow through the
+# CTE chain.
+
+def _id_fo_rules():
+    V = _ID_VOWELS
+
+    def v_at(x, i):  # 1-based char position i is a vowel
+        return f"contains('{V}', substr({x}, {i}, 1))"
+
+    return [
+        (lambda x: f"starts_with({x}, 'meng')",
+         lambda x: f"substr({x}, 5)", _ID_MENG),
+        (lambda x: f"starts_with({x}, 'meny') AND length({x}) > 4 AND {v_at(x, 5)}",
+         lambda x: f"'s' || substr({x}, 5)", _ID_MENG),
+        (lambda x: f"starts_with({x}, 'men')",
+         lambda x: f"substr({x}, 4)", _ID_MENG),
+        (lambda x: f"starts_with({x}, 'mem') AND length({x}) > 3 AND {v_at(x, 4)}",
+         lambda x: f"'p' || substr({x}, 4)", _ID_MENG),
+        (lambda x: f"starts_with({x}, 'mem')",
+         lambda x: f"substr({x}, 4)", _ID_MENG),
+        (lambda x: f"starts_with({x}, 'me')",
+         lambda x: f"substr({x}, 3)", _ID_MENG),
+        (lambda x: f"starts_with({x}, 'peng')",
+         lambda x: f"substr({x}, 5)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'peny') AND length({x}) > 4 AND {v_at(x, 5)}",
+         lambda x: f"'s' || substr({x}, 5)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'peny')",
+         lambda x: f"substr({x}, 5)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'pen') AND length({x}) > 3 AND {v_at(x, 4)}",
+         lambda x: f"'t' || substr({x}, 4)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'pen')",
+         lambda x: f"substr({x}, 4)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'pem') AND length({x}) > 3 AND {v_at(x, 4)}",
+         lambda x: f"'p' || substr({x}, 4)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'pem')",
+         lambda x: f"substr({x}, 4)", _ID_PENG),
+        (lambda x: f"starts_with({x}, 'di')",
+         lambda x: f"substr({x}, 3)", _ID_DI),
+        (lambda x: f"starts_with({x}, 'ter')",
+         lambda x: f"substr({x}, 4)", _ID_TER),
+        (lambda x: f"starts_with({x}, 'ke')",
+         lambda x: f"substr({x}, 3)", _ID_KE),
+    ]
+
+
+def _id_so_rules():
+    V = _ID_VOWELS
+    beer = (
+        lambda x: f"starts_with({x}, 'be') AND length({x}) > 4 "
+        f"AND NOT contains('{V}', substr({x}, 3, 1)) "
+        f"AND substr({x}, 4, 1) = 'e' AND substr({x}, 5, 1) = 'r'"
+    )
+    return [
+        (lambda x: f"starts_with({x}, 'ber')", lambda x: f"substr({x}, 4)", _ID_BER),
+        (lambda x: f"{x} = 'belajar'", lambda x: f"substr({x}, 4)", _ID_BER),
+        (beer, lambda x: f"substr({x}, 3)", _ID_BER),
+        (lambda x: f"starts_with({x}, 'per')", lambda x: f"substr({x}, 4)", 0),
+        (lambda x: f"{x} = 'pelajar'", lambda x: f"substr({x}, 4)", 0),
+        (lambda x: f"starts_with({x}, 'pe')", lambda x: f"substr({x}, 3)", _ID_PE),
+    ]
+
+
+def _id_cascade_sql(rules, x: str):
+    """(term CASE, flag CASE, fired CASE) from one rule table."""
+    val, flg, fired = [], [], []
+    for cond, res, flag in rules:
+        c = cond(x)
+        val.append(f"WHEN {c} THEN {res(x)}")
+        flg.append(f"WHEN {c} THEN {flag}")
+        fired.append(f"WHEN {c} THEN TRUE")
+    return (
+        "CASE " + " ".join(val) + f" ELSE {x} END",
+        "CASE " + " ".join(flg) + " ELSE 0 END",
+        "CASE " + " ".join(fired) + " ELSE FALSE END",
+    )
+
+
+def _id_suffix_sql(x: str, flags: str):
+    kan_bad = _ID_KE | _ID_PENG | _ID_PE
+    an_bad = _ID_DI | _ID_MENG | _ID_TER
+    i_bad = _ID_BER | _ID_KE | _ID_PENG
+    cases = [
+        (f"ends_with({x}, 'kan') AND ({flags} & {kan_bad}) = 0", _chop(x, 3)),
+        (f"ends_with({x}, 'an') AND ({flags} & {an_bad}) = 0", _chop(x, 2)),
+        (
+            f"ends_with({x}, 'i') AND NOT ends_with({x}, 'si') "
+            f"AND ({flags} & {i_bad}) = 0",
+            _chop(x, 1),
+        ),
+    ]
+    val = "CASE " + " ".join(f"WHEN {c} THEN {r}" for c, r in cases) + f" ELSE {x} END"
+    fired = "CASE " + " ".join(f"WHEN {c} THEN TRUE" for c, _ in cases) + " ELSE FALSE END"
+    return val, fired
+
+
+def indonesian_sql_ctes(src: str, out: str, p: str = "id_") -> str:
+    ns0 = f"length(regexp_replace(term, '[^{_ID_VOWELS}]', '', 'g'))"
+    part = (
+        "CASE WHEN ns > 2 AND (ends_with(term, 'kah') OR ends_with(term, 'lah') "
+        f"OR ends_with(term, 'pun')) THEN {_chop('term', 3)} ELSE term END"
+    )
+    part_f = (
+        "CASE WHEN ns > 2 AND (ends_with(term, 'kah') OR ends_with(term, 'lah') "
+        "OR ends_with(term, 'pun')) THEN 1 ELSE 0 END"
+    )
+    poss = (
+        "CASE WHEN ns > 2 AND (ends_with(term, 'ku') OR ends_with(term, 'mu')) "
+        f"THEN {_chop('term', 2)} "
+        f"WHEN ns > 2 AND ends_with(term, 'nya') THEN {_chop('term', 3)} ELSE term END"
+    )
+    poss_f = (
+        "CASE WHEN ns > 2 AND (ends_with(term, 'ku') OR ends_with(term, 'mu') "
+        "OR ends_with(term, 'nya')) THEN 1 ELSE 0 END"
+    )
+    fo_v, fo_fl, fo_fd = _id_cascade_sql(_id_fo_rules(), "term")
+    so_v, so_fl, so_fd = _id_cascade_sql(_id_so_rules(), "term")
+    sf_v, sf_fd = _id_suffix_sql("term", "flags")
+    return f"""
+{p}b AS MATERIALIZED (SELECT doc_id, term, {ns0} AS ns FROM {src}),
+{p}pt AS MATERIALIZED (SELECT doc_id, {part} AS term, ns - ({part_f}) AS ns FROM {p}b),
+{p}ps AS MATERIALIZED (SELECT doc_id, {poss} AS term, ns - ({poss_f}) AS ns FROM {p}pt),
+{p}fo AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN ns > 2 THEN {fo_v} ELSE term END AS term,
+  CASE WHEN ns > 2 THEN {fo_fl} ELSE 0 END AS flags,
+  (ns > 2 AND {fo_fd}) AS fof,
+  ns - (CASE WHEN ns > 2 AND {fo_fd} THEN 1 ELSE 0 END) AS ns FROM {p}ps),
+{p}so1 AS MATERIALIZED (SELECT doc_id, fof,
+  CASE WHEN NOT fof AND ns > 2 THEN {so_v} ELSE term END AS term,
+  flags | (CASE WHEN NOT fof AND ns > 2 THEN {so_fl} ELSE 0 END) AS flags,
+  ns - (CASE WHEN NOT fof AND ns > 2 AND {so_fd} THEN 1 ELSE 0 END) AS ns FROM {p}fo),
+{p}sf AS MATERIALIZED (SELECT doc_id, fof, flags,
+  CASE WHEN ns > 2 THEN {sf_v} ELSE term END AS term,
+  (ns > 2 AND {sf_fd}) AS sff,
+  ns - (CASE WHEN ns > 2 AND {sf_fd} THEN 1 ELSE 0 END) AS ns FROM {p}so1),
+{out} AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN fof AND sff AND ns > 2 THEN {so_v} ELSE term END AS term FROM {p}sf)
+"""

@@ -254,3 +254,52 @@ def test_hindi_analyzer_chain():
     assert analyzer_py("hindi")("आंकड़ा तालिका में खोजें") == [
         "आंकड", "तालिक", "खोज",
     ]
+
+
+from nixiesearch_spark.light import indonesian_py, indonesian_sql_ctes
+
+INDONESIAN_CASES = {
+    # inflectional layer
+    "bukunya": "buku", "bukulah": "buku", "bukupun": "buku",
+    # first-order prefixes with sound restoration
+    "membaca": "baca", "menyapu": "sapu", "penulis": "tulis",
+    "penyapu": "sapu", "mengambil": "ambil", "dibaca": "baca",
+    "terbaik": "baik", "pembangunan": "bangun",
+    # second-order prefixes + specials
+    "berlari": "lari", "belajar": "ajar", "pelajar": "ajar",
+    # prefix/suffix interplay: fo fired -> suffix -> second-order
+    "mempermainkan": "main", "keberhasilan": "hasil", "diperbaiki": "baik",
+    "kemampuan": "mampu", "keadilan": "adil",
+    # two-syllable words are never stemmed
+    "data": "data", "ini": "ini", "besi": "besi", "": "",
+}
+
+
+def test_indonesian_spec_cases():
+    bad = {
+        w: (indonesian_py(w), want)
+        for w, want in INDONESIAN_CASES.items()
+        if indonesian_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_indonesian_sql_equals_python():
+    words = list(INDONESIAN_CASES) + [
+        "makanan", "minuman", "berkemampuan", "memakankah", "seri",
+        "beserta", "perbaikan", "si", "kesi", "mesi", "pensi", "spark",
+    ]
+    got = _sql_stem(words, indonesian_sql_ctes)
+    want = [indonesian_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
+
+
+ID_ALPHA = "abcdefghijklmnoprstuwy_01"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet=ID_ALPHA, min_size=0, max_size=12), min_size=1, max_size=25))
+def test_indonesian_two_form_identity_random(words):
+    got = _sql_stem(words, indonesian_sql_ctes)
+    want = [indonesian_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]

@@ -675,9 +675,43 @@ class Searcher:
             out = self._facet_term_driver(query, field, size)
             if out is not None:
                 return out
+        # RRF facet = union of per-branch match sets then one aggregate
+        # (reference MergedFacetCollector, core/search/
+        # MergedFacetCollector.scala:17-33); all-match-branch RRF rides the
+        # same driver route with the branch match-set memo
+        if isinstance(query, ast.RRFQuery):
+            if (
+                mode == "auto"
+                and filters is None
+                and self.reader.tombstones is None
+                and query.retrieve
+                and all(isinstance(b, ast.MatchQuery) for b in query.retrieve)
+                and all(self._wand_routable(b) for b in query.retrieve)
+            ):
+                out = self._facet_term_rrf_driver(query, field, size)
+                if out is not None:
+                    return out
+            from nixiesearch_spark.query.aggs import merged_match_set, term_agg
+
+            merged = merged_match_set(
+                [self.score(b, filters) for b in query.retrieve]
+            )
+            return term_agg(merged, self.reader.docs, field, size)
         from nixiesearch_spark.query.aggs import term_agg
 
         return term_agg(self.score(query, filters), self.reader.docs, field, size)
+
+    def _facet_term_rrf_driver(self, q: ast.RRFQuery, field: str, size) -> DataFrame | None:
+        import pandas as pd
+
+        parts = []
+        for b in q.retrieve:
+            ms = self._match_set_driver(b)
+            if ms is None:
+                return None
+            parts.append(ms[["docid"]])
+        union = pd.concat(parts, ignore_index=True).drop_duplicates("docid")
+        return self._facet_values_local(union, field, size)
 
     MATCH_SET_CACHE_MAX = 8
 
@@ -701,15 +735,21 @@ class Searcher:
         return ms
 
     def _facet_term_driver(self, q: ast.MatchQuery, field: str, size) -> DataFrame | None:
+        ms = self._match_set_driver(q)
+        if ms is None:
+            return None
+        return self._facet_values_local(ms, field, size)
+
+    def _facet_values_local(self, ms, field: str, size) -> DataFrame | None:
+        """Term-facet counting over a driver-side match frame (docid col):
+        facet values via the field LUT, count-desc/term-asc ties like the
+        cluster agg, output typed from the docs schema."""
         from pyspark.sql.types import LongType, StructField, StructType
 
         from nixiesearch_spark.query.aggs import MAX_TERM_FACETS
 
         lut = self.reader.field_lut(field)
         if lut is None:
-            return None
-        ms = self._match_set_driver(q)
-        if ms is None:
             return None
         n = MAX_TERM_FACETS if size == "all" else int(size)
         docids, vals = lut

@@ -142,3 +142,32 @@ def test_suggest_driver_equals_cluster(spark, tmp_path, tiny_corpus_pd):
             for r in suggest(load_suggest(spark, d, "content"), q, count=10).collect()
         ]
         assert got == want, (q, got, want)
+
+
+def test_facet_term_rrf_driver_equals_cluster(built):
+    from nixiesearch_spark.query import ast as qast
+    from nixiesearch_spark.query.aggs import merged_match_set, term_agg
+
+    s = Searcher(built)
+    rrf = qast.parse_query(
+        {
+            "rrf": {
+                "retrieve": [
+                    {"match": {"content": "def import"}},
+                    {"match": {"content": "return else"}},
+                ]
+            }
+        }
+    )
+    auto = s.facet_term(rrf, "lang", 4)
+    assert _is_local(auto), auto._jdf.queryExecution().executedPlan().toString()
+    merged = merged_match_set(
+        [
+            s.score(qast.MatchQuery("content", "def import")),
+            s.score(qast.MatchQuery("content", "return else")),
+        ]
+    )
+    flat = term_agg(merged, built.docs, "lang", 4)
+    assert [(r["term"], r["count"]) for r in auto.collect()] == [
+        (r["term"], r["count"]) for r in flat.collect()
+    ]

@@ -303,7 +303,30 @@ def main():
     t_total = time.time()
     tmp = tempfile.mkdtemp(prefix="nsbench_")
     results: dict = {"sf": SF_DIR, "unit": "sec"}
+    only_scaling = os.environ.get("BENCH_ONLY_SCALING", "") == "1"
     try:
+        if only_scaling:
+            # evidence reruns of the scaling phase alone (the query/build
+            # phases are minutes of load that would dirty the probe window)
+            pre = machine_ceiling(LEVELS)
+            scaling = scaling_phase(tmp)
+            post = machine_ceiling(LEVELS)
+            machine = {
+                **{f"{k}_pre": v for k, v in pre.items()},
+                **{f"{k}_post": v for k, v in post.items()},
+                **{k: round((pre[k] + post[k]) / 2, 3) for k in pre},
+            }
+            results.update(
+                {
+                    "metric": "scaling-only rerun",
+                    "value": scaling.get("efficiency_vs_linear", 0),
+                    "queries": {},
+                    "scaling": scaling,
+                    "machine": machine,
+                }
+            )
+            print(json.dumps(results))
+            return
         idx = os.path.join(tmp, "idx")
         b = build_index(CPUS, idx, n_shards=32)
         queries, queries_p95, all_times = run_queries(idx)

@@ -1848,48 +1848,9 @@ ORDER BY sum(1.0 / (60 + rank)) DESC, suggestion ASC
 LIMIT 10
 """
 
-    # same oracle for the search-head served path (identical branches/fusion)
-    sql["suggest_served"] = f"""
-WITH t AS (
-  SELECT list_filter(regexp_split_to_array(lower(substr(text,1,32000)), '{TOKSPLIT}'),
-                     x -> x <> '' AND length(x) <= 255) AS toks
-  FROM documents
-), g AS (
-  SELECT unnest(
-    CASE WHEN len(toks) >= 1
-      THEN list_transform(range(1, len(toks) + 1), i -> array_to_string(toks[i:i], ' '))
-      ELSE [] END
-    || CASE WHEN len(toks) >= 2
-      THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
-      ELSE [] END
-    || CASE WHEN len(toks) >= 3
-      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-      ELSE [] END) AS suggestion
-  FROM t
-), freq AS (SELECT suggestion, count(*) AS freq FROM g GROUP BY suggestion),
-b_prefix AS (
-  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
-  FROM freq WHERE suggestion LIKE 'spark j%' ORDER BY freq DESC, suggestion ASC LIMIT 50
-), b_f1 AS (
-  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
-  FROM freq WHERE length(suggestion) BETWEEN 6 AND 8 AND levenshtein(suggestion, 'spark j') <= 1
-  ORDER BY freq DESC, suggestion ASC LIMIT 50
-), b_f2 AS (
-  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
-  FROM freq WHERE length(suggestion) BETWEEN 5 AND 9 AND levenshtein(suggestion, 'spark j') <= 2
-  ORDER BY freq DESC, suggestion ASC LIMIT 50
-), b_in AS (
-  SELECT suggestion, row_number() OVER (ORDER BY freq DESC, suggestion ASC) - 1 AS rank
-  FROM freq WHERE contains(suggestion, 'spark j') ORDER BY freq DESC, suggestion ASC LIMIT 50
-), u AS (
-  SELECT * FROM b_prefix UNION ALL SELECT * FROM b_f1
-  UNION ALL SELECT * FROM b_f2 UNION ALL SELECT * FROM b_in
-)
-SELECT suggestion, round(sum(1.0 / (60 + rank)), 6) AS score
-FROM u GROUP BY suggestion
-ORDER BY sum(1.0 / (60 + rank)) DESC, suggestion ASC
-LIMIT 10
-"""
+    # identical branches/fusion -> literally the same oracle
+    sql["suggest_served"] = sql["suggest_rrf"]
+
 
     sql["facet_rrf_merged"] = f"""
 WITH {_bm25_full(["spark", "join"], "text", "a_")},

@@ -294,7 +294,7 @@ LANG_STOPWORDS = {
         "saya", "kami", "kita", "mereka", "dia", "ada", "sudah", "telah",
         "bisa", "dapat", "karena", "oleh", "seperti", "jika", "maka",
         "lebih", "hanya", "masih", "harus", "saat", "ketika", "secara",
-        "antara", "tersebut", "serta", "bahwa", "ia", "itu",
+        "antara", "tersebut", "serta", "bahwa", "ia", "pun",
     ],
     # NORMALIZED forms (post Hindi-normalization): the hindi chain's stop
     # filter runs after the normalizer, before the stemmer (Lucene

@@ -680,11 +680,12 @@ class Searcher:
         # MergedFacetCollector.scala:17-33); all-match-branch RRF rides the
         # same driver route with the branch match-set memo
         if isinstance(query, ast.RRFQuery):
+            if not query.retrieve:  # same error the retrieve path raises
+                raise ValueError("rrf requires at least one retrieve query")
             if (
                 mode == "auto"
                 and filters is None
                 and self.reader.tombstones is None
-                and query.retrieve
                 and all(isinstance(b, ast.MatchQuery) for b in query.retrieve)
                 and all(self._wand_routable(b) for b in query.retrieve)
             ):
@@ -704,6 +705,8 @@ class Searcher:
     def _facet_term_rrf_driver(self, q: ast.RRFQuery, field: str, size) -> DataFrame | None:
         import pandas as pd
 
+        if self.reader.field_lut(field) is None:  # cheap gate first
+            return None
         parts = []
         for b in q.retrieve:
             ms = self._match_set_driver(b)
@@ -735,6 +738,10 @@ class Searcher:
         return ms
 
     def _facet_term_driver(self, q: ast.MatchQuery, field: str, size) -> DataFrame | None:
+        # cheap gate FIRST: no LUT means the cluster plan runs anyway, so
+        # don't pay the full match-set decode just to find that out
+        if self.reader.field_lut(field) is None:
+            return None
         ms = self._match_set_driver(q)
         if ms is None:
             return None

@@ -140,7 +140,7 @@ def suggest(
 DRIVER_MAX_SUGG_ROWS = 2_000_000  # per-request read bound (post slen-prune)
 
 
-def _lev_vec(q: str, cands: "list[str]", cap: int):
+def _lev_vec(q: str, cands: "list[str]"):
     """Vectorized unweighted Levenshtein (classic DP, same semantics as
     Spark's levenshtein expression) of ``q`` against every candidate.
     Rows = DP columns over a (ncand, maxlen) codepoint matrix; the inner
@@ -204,15 +204,16 @@ def suggest_driver(
             if slen < lo:
                 continue
             t = pq.read_table(d, columns=["suggestion", "freq"])
-            f = t.to_pandas()
-            f["slen"] = slen
-            frames.append(f)
+            frames.append(t.to_pandas())
             if sum(len(x) for x in frames) > DRIVER_MAX_SUGG_ROWS:
                 return None
     except OSError:
         return None
     if not frames:
-        pdf = pd.DataFrame({"suggestion": [], "freq": [], "slen": []})
+        # dtype-correct empty frame — float64 default columns would break
+        # the .str accessors below
+        pdf = pd.DataFrame({"suggestion": pd.Series([], dtype="object"),
+                            "freq": pd.Series([], dtype="int64")})
     else:
         pdf = pd.concat(frames, ignore_index=True)
 
@@ -222,7 +223,7 @@ def suggest_driver(
     infix = pdf[s.str.contains(q, regex=False)]
     fuzzy_pool = pdf[slens.between(lenq - 2, lenq + 2)]
     if len(fuzzy_pool):
-        d = _lev_vec(q, fuzzy_pool["suggestion"].tolist(), 2)
+        d = _lev_vec(q, fuzzy_pool["suggestion"].tolist())
         fuzzy1 = fuzzy_pool[(d <= 1) & slens[fuzzy_pool.index].between(lenq - 1, lenq + 1)]
         fuzzy2 = fuzzy_pool[d <= 2]
     else:

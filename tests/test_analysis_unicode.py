@@ -22,6 +22,13 @@ SAMPLES = [
     "ёлки Ёлки ЙОД йод",
     "ὅτ᾽ἦλθε ῥᾴδιος",  # koronis U+1FBD is a delimiter; polytonic letters survive
     "сло҂во зна҃ки",  # Cyrillic thousands sign + titlo are delimiters
+    # Arabic: diacritized word stays whole (harakat are word chars);
+    # tatweel-stretched word stays whole; ؟ and ، are delimiters
+    "البيانات كِتَاب مـكتب؟ فهرس، بحث",
+    # Persian/Urdu letters incl. the ezafe ۀ and ZWNJ as a delimiter
+    "کتابِ سیستم نامۀ می‌نویسد",
+    # Devanagari: matras/virama/nukta are word chars; danda । is not
+    "लड़कियाँ पुस्तकें। हिन्दी",
     "",
     "!!! £€ ---",
     None,

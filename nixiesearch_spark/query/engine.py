@@ -703,17 +703,11 @@ class Searcher:
         return term_agg(self.score(query, filters), self.reader.docs, field, size)
 
     def _facet_term_rrf_driver(self, q: ast.RRFQuery, field: str, size) -> DataFrame | None:
-        import pandas as pd
-
         if self.reader.field_lut(field) is None:  # cheap gate first
             return None
-        parts = []
-        for b in q.retrieve:
-            ms = self._match_set_driver(b)
-            if ms is None:
-                return None
-            parts.append(ms[["docid"]])
-        union = pd.concat(parts, ignore_index=True).drop_duplicates("docid")
+        union = self._union_match_sets_driver(q.retrieve)
+        if union is None:
+            return None
         return self._facet_values_local(union, field, size)
 
     MATCH_SET_CACHE_MAX = 8
@@ -810,18 +804,58 @@ class Searcher:
             out = self._facet_range_driver(query, field, ranges)
             if out is not None:
                 return out
+        # RRF range facet: union of branch match sets, one bucket count
+        # (MergedFacetCollector semantics, same as facet_term)
+        if isinstance(query, ast.RRFQuery):
+            if not query.retrieve:
+                raise ValueError("rrf requires at least one retrieve query")
+            if (
+                mode == "auto"
+                and filters is None
+                and self.reader.tombstones is None
+                and all(isinstance(b, ast.MatchQuery) for b in query.retrieve)
+                and all(self._wand_routable(b) for b in query.retrieve)
+            ):
+                union = self._union_match_sets_driver(query.retrieve)
+                if union is not None:
+                    out = self._range_values_local(union, field, ranges)
+                    if out is not None:
+                        return out
+            from nixiesearch_spark.query.aggs import merged_match_set, range_agg
+
+            merged = merged_match_set(
+                [self.score(b, filters) for b in query.retrieve]
+            )
+            return range_agg(merged, self.reader.docs, field, ranges)
         from nixiesearch_spark.query.aggs import range_agg
 
         return range_agg(self.score(query, filters), self.reader.docs, field, ranges)
 
+    def _union_match_sets_driver(self, branches: list):
+        """Driver-side union of branch match sets (docid frame) or None."""
+        import pandas as pd
+
+        parts = []
+        for b in branches:
+            ms = self._match_set_driver(b)
+            if ms is None:
+                return None
+            parts.append(ms[["docid"]])
+        return pd.concat(parts, ignore_index=True).drop_duplicates("docid")
+
     def _facet_range_driver(self, q: ast.MatchQuery, field: str, ranges: list) -> DataFrame | None:
+        if self.reader.field_lut(field) is None:  # cheap gate first
+            return None
+        ms = self._match_set_driver(q)
+        if ms is None:
+            return None
+        return self._range_values_local(ms, field, ranges)
+
+    def _range_values_local(self, ms, field: str, ranges: list) -> DataFrame | None:
         import pandas as pd
 
         lut = self.reader.field_lut(field)
         if lut is None or lut[1].dtype.kind not in "iu":
-            return None
-        ms = self._match_set_driver(q)
-        if ms is None:
             return None
         docids, vals = lut
         mdoc = ms["docid"].to_numpy(np.int64)

@@ -171,3 +171,41 @@ def test_facet_term_rrf_driver_equals_cluster(built):
     assert [(r["term"], r["count"]) for r in auto.collect()] == [
         (r["term"], r["count"]) for r in flat.collect()
     ]
+
+
+def test_facet_range_rrf_driver_equals_cluster(built):
+    from nixiesearch_spark.query import ast as qast
+    from nixiesearch_spark.query.aggs import merged_match_set, range_agg
+
+    s = Searcher(built)
+    rrf = qast.parse_query(
+        {
+            "rrf": {
+                "retrieve": [
+                    {"match": {"content": "def import"}},
+                    {"match": {"content": "return else"}},
+                ]
+            }
+        }
+    )
+    ranges = [{"lt": 500}, {"gte": 500}]
+    auto = s.facet_range(rrf, "nlen", ranges)
+    assert _is_local(auto), auto._jdf.queryExecution().executedPlan().toString()
+    merged = merged_match_set(
+        [
+            s.score(qast.MatchQuery("content", "def import")),
+            s.score(qast.MatchQuery("content", "return else")),
+        ]
+    )
+    flat = range_agg(merged, built.docs, "nlen", ranges)
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_facet_rrf_empty_retrieve_raises(built):
+    import pytest as _pytest
+
+    s = Searcher(built)
+    with _pytest.raises(ValueError):
+        s.facet_term({"rrf": {"retrieve": []}}, "lang", 5)
+    with _pytest.raises(ValueError):
+        s.facet_range({"rrf": {"retrieve": []}}, "nlen", [{"lt": 1}])

@@ -203,6 +203,10 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
 
     hnsw_dir = tempfile.mkdtemp(prefix="bench_hnsw_")
     hnsw.build_hnsw(emb, "vec_id", "embedding", hnsw_dir, n_shards=8)
+    from nixiesearch_spark.query.suggest import build_suggest, suggest_driver
+
+    sugg_dir = tempfile.mkdtemp(prefix="bench_sugg_")
+    build_suggest(spark, reader.docs, "text", sugg_dir, "text")
 
     def flat(q, **kw):
         return lambda: s.search(q, mode="flat", **kw).collect()
@@ -275,6 +279,10 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
         # graph built once outside timing
         "ann_hnsw_served": lambda: hnsw.hnsw_topk(
             spark, qv, k=10, ef_search=64, graph_dir=hnsw_dir
+        ).collect(),
+        # search-head suggest (pyarrow slen-pruned read + 4-branch fusion)
+        "suggest_served": lambda: suggest_driver(
+            spark, sugg_dir, "text", "spark j", count=10
         ).collect(),
     }
     qreps = max(int(os.environ.get("BENCH_QUERY_REPEATS", "5")), 3)

@@ -209,3 +209,63 @@ def test_facet_rrf_empty_retrieve_raises(built):
         s.facet_term({"rrf": {"retrieve": []}}, "lang", 5)
     with _pytest.raises(ValueError):
         s.facet_range({"rrf": {"retrieve": []}}, "nlen", [{"lt": 1}])
+
+
+def test_driver_bounds_force_cluster_fallback(built, monkeypatch):
+    """The scale guards are real: shrinking each driver bound to zero must
+    route the same queries back to the cluster plans (results unchanged)."""
+    import nixiesearch_spark.index.builder as bmod
+    from nixiesearch_spark.query import wand as wmod
+
+    s = Searcher(built, plan_cache=False)
+    q = MatchQuery("content", "def import")
+
+    # field LUT refused (docs "too big") → facet + sort fall back
+    real_flut = built.field_lut
+    monkeypatch.setattr(
+        type(built), "field_lut", lambda self, f: None, raising=True
+    )
+    out = s.facet_term(q, "lang", 3)
+    assert not _is_local(out)
+    flat = s.term_facet(s.score(q), "lang", 3)
+    assert [(r["term"], r["count"]) for r in out.collect()] == [
+        (r["term"], r["count"]) for r in flat.collect()
+    ]
+    sorted_out = s.search(q, size=5, sort=[("nlen", "desc")])
+    assert not _is_local(sorted_out)
+    monkeypatch.undo()
+
+    # ordinal LUT refused (corpus "too big") → match-set decode falls back
+    monkeypatch.setattr(
+        type(built), "ordinal_lookup", lambda self, pairs: None, raising=True
+    )
+    s2 = Searcher(built, plan_cache=False)
+    out2 = s2.facet_term(q, "lang", 3)
+    assert not _is_local(out2)
+    assert [(r["term"], r["count"]) for r in out2.collect()] == [
+        (r["term"], r["count"]) for r in flat.collect()
+    ]
+
+
+def test_hnsw_driver_bound_declines(spark, tmp_path, monkeypatch):
+    from nixiesearch_spark.pipeline import hnsw
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = e.where(F.col("vec_id") == 3).first()["embedding"]
+    d = str(tmp_path / "g")
+    hnsw.build_hnsw(e, "vec_id", "embedding", d, n_shards=4)
+    monkeypatch.setattr(hnsw, "DRIVER_MAX_GRAPH_ROWS", 0)
+    assert hnsw.hnsw_topk_driver(spark, qv, k=5, graph_dir=d) is None
+    # auto mode transparently serves from the cluster path instead
+    got = [r["id"] for r in hnsw.hnsw_topk(spark, qv, k=5, graph_dir=d).collect()]
+    assert len(got) == 5
+
+
+def test_suggest_driver_bound_declines(spark, tmp_path, tiny_corpus_pd, monkeypatch):
+    from nixiesearch_spark.query import suggest as smod
+
+    d = str(tmp_path / "sugg")
+    build_df = spark.createDataFrame(tiny_corpus_pd)
+    smod.build_suggest(spark, build_df, "content", d, "content")
+    monkeypatch.setattr(smod, "DRIVER_MAX_SUGG_ROWS", 0)
+    assert smod.suggest_driver(spark, d, "content", "def", count=5) is None

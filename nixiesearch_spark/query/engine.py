@@ -88,6 +88,8 @@ class Searcher:
         self._plan_cache_on = plan_cache
         self._plan_cache: dict = {}
         self._ms_cache: dict = {}
+        # observability counters (metrics.export_prometheus renders them)
+        self.counters = {"searches": 0, "driver_served": 0, "plan_cache_hits": 0}
         self._ann: dict = {}  # field -> attached ANN index (attach_ann)
         # quantized mode scores are float32 (Lucene parity); unquantized mode
         # keeps full double precision (SQL-oracle parity)
@@ -188,13 +190,17 @@ class Searcher:
         pure-Catalyst plan everywhere."""
         if isinstance(query, dict) or query is None:
             query = ast.parse_query(query)
+        self.counters["searches"] += 1
         key = None
         if self._plan_cache_on:
             key = self._plan_key("search", query, filters, size, fields, sort, mode)
             hit = self._plan_cache.get(key)
             if hit is not None:
+                self.counters["plan_cache_hits"] += 1
                 return hit
         df, cacheable = self._search_impl(query, filters, size, fields, sort, mode)
+        if not cacheable:  # non-cacheable == materialized search-head response
+            self.counters["driver_served"] += 1
         if key is not None and cacheable:
             self._cache_plan(key, df)
         return df

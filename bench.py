@@ -203,7 +203,12 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
 
     hnsw_dir = tempfile.mkdtemp(prefix="bench_hnsw_")
     hnsw.build_hnsw(emb, "vec_id", "embedding", hnsw_dir, n_shards=8)
-    from nixiesearch_spark.query.suggest import build_suggest, suggest_driver
+    from nixiesearch_spark.query.suggest import (
+        build_suggest,
+        load_suggest,
+        suggest,
+        suggest_driver,
+    )
 
     sugg_dir = tempfile.mkdtemp(prefix="bench_sugg_")
     build_suggest(spark, reader.docs, "text", sugg_dir, "text")
@@ -280,10 +285,14 @@ def run_queries(index_dir: str) -> tuple[dict, list]:
         "ann_hnsw_served": lambda: hnsw.hnsw_topk(
             spark, qv, k=10, ef_search=64, graph_dir=hnsw_dir
         ).collect(),
-        # search-head suggest (pyarrow slen-pruned read + 4-branch fusion)
-        "suggest_served": lambda: suggest_driver(
-            spark, sugg_dir, "text", "spark j", count=10
-        ).collect(),
+        # search-head suggest (pyarrow slen-pruned read + 4-branch fusion);
+        # suggest_driver declines (None) over its row bound at larger SFs —
+        # fall back to the cluster path like the serving API would
+        "suggest_served": lambda: (
+            lambda out: out.collect()
+            if out is not None
+            else suggest(load_suggest(spark, sugg_dir, "text"), "spark j", count=10).collect()
+        )(suggest_driver(spark, sugg_dir, "text", "spark j", count=10)),
     }
     qreps = max(int(os.environ.get("BENCH_QUERY_REPEATS", "5")), 3)
     out, p95s, all_times = {}, {}, []

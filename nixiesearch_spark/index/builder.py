@@ -936,17 +936,22 @@ class IndexReader:
     def field_analyzer(self, field: str) -> str:
         return self.stats.get("analyzers", {}).get(field, "standard")
 
-    def index_stats(self) -> dict:
-        """Index statistics (reference GET /v1/index/{i}/stats,
-        ``api/StatsRoute.scala`` / ``index/IndexStats.scala``): doc counts,
-        per-field term stats, segment(=shard) layout, size on disk."""
+    def size_on_disk(self) -> int:
+        """Total index bytes on disk (driver-side walk, no Spark jobs) —
+        shared by index_stats() and metrics.export_prometheus."""
         import glob
 
-        size = sum(
+        return sum(
             os.path.getsize(f)
             for f in glob.glob(os.path.join(self.index_dir, "**", "*"), recursive=True)
             if os.path.isfile(f)
         )
+
+    def index_stats(self) -> dict:
+        """Index statistics (reference GET /v1/index/{i}/stats,
+        ``api/StatsRoute.scala`` / ``index/IndexStats.scala``): doc counts,
+        per-field term stats, segment(=shard) layout, size on disk."""
+        size = self.size_on_disk()
         lin = self.spark.read.parquet(os.path.join(self.index_dir, "lineage"))
         shards = lin.where(F.col("status") == "committed").select("shard").distinct().count()
         return {

@@ -56,18 +56,12 @@ def export_prometheus(reader, searcher=None) -> str:
     out.append("# TYPE nixiesearch_index_shards gauge")
     out.append(_line("nixiesearch_index_shards", reader.stats.get("n_shards", 0)))
 
-    import glob
     import os
 
     if os.path.isdir(reader.index_dir):
-        size = sum(
-            os.path.getsize(p)
-            for p in glob.glob(os.path.join(reader.index_dir, "**", "*"), recursive=True)
-            if os.path.isfile(p)
-        )
         out.append("# HELP nixiesearch_index_size_bytes index size on disk")
         out.append("# TYPE nixiesearch_index_size_bytes gauge")
-        out.append(_line("nixiesearch_index_size_bytes", size))
+        out.append(_line("nixiesearch_index_size_bytes", reader.size_on_disk()))
 
     if searcher is not None:
         c = getattr(searcher, "counters", {})
@@ -75,11 +69,12 @@ def export_prometheus(reader, searcher=None) -> str:
         out.append("# TYPE nixiesearch_searches_total counter")
         out.append(_line("nixiesearch_searches_total", c.get("searches", 0)))
         out.append(
-            "# HELP nixiesearch_driver_served_total requests answered by a "
-            "search-head (driver) fast path"
+            "# HELP nixiesearch_autorouted_total requests the auto physical "
+            "router served (search-head kernels or size-adaptive WAND) "
+            "instead of the plain Catalyst plan"
         )
-        out.append("# TYPE nixiesearch_driver_served_total counter")
-        out.append(_line("nixiesearch_driver_served_total", c.get("driver_served", 0)))
+        out.append("# TYPE nixiesearch_autorouted_total counter")
+        out.append(_line("nixiesearch_autorouted_total", c.get("autorouted", 0)))
         out.append("# HELP nixiesearch_plan_cache_hits_total compiled-plan cache hits")
         out.append("# TYPE nixiesearch_plan_cache_hits_total counter")
         out.append(_line("nixiesearch_plan_cache_hits_total", c.get("plan_cache_hits", 0)))

@@ -88,8 +88,12 @@ class Searcher:
         self._plan_cache_on = plan_cache
         self._plan_cache: dict = {}
         self._ms_cache: dict = {}
-        # observability counters (metrics.export_prometheus renders them)
-        self.counters = {"searches": 0, "driver_served": 0, "plan_cache_hits": 0}
+        # observability counters (metrics.export_prometheus renders them).
+        # "autorouted" counts requests the auto physical router took off
+        # the plain Catalyst plan — search-head kernels AND the
+        # size-adaptive distributed WAND both land here (the router's
+        # driver-vs-distributed choice is internal to wand_topk)
+        self.counters = {"searches": 0, "autorouted": 0, "plan_cache_hits": 0}
         self._ann: dict = {}  # field -> attached ANN index (attach_ann)
         # quantized mode scores are float32 (Lucene parity); unquantized mode
         # keeps full double precision (SQL-oracle parity)
@@ -199,8 +203,8 @@ class Searcher:
                 self.counters["plan_cache_hits"] += 1
                 return hit
         df, cacheable = self._search_impl(query, filters, size, fields, sort, mode)
-        if not cacheable:  # non-cacheable == materialized search-head response
-            self.counters["driver_served"] += 1
+        if not cacheable:  # non-cacheable == an auto-routed serving response
+            self.counters["autorouted"] += 1
         if key is not None and cacheable:
             self._cache_plan(key, df)
         return df
@@ -688,13 +692,7 @@ class Searcher:
         if isinstance(query, ast.RRFQuery):
             if not query.retrieve:  # same error the retrieve path raises
                 raise ValueError("rrf requires at least one retrieve query")
-            if (
-                mode == "auto"
-                and filters is None
-                and self.reader.tombstones is None
-                and all(isinstance(b, ast.MatchQuery) for b in query.retrieve)
-                and all(self._wand_routable(b) for b in query.retrieve)
-            ):
+            if self._facet_rrf_routable(query, filters, mode):
                 out = self._facet_term_rrf_driver(query, field, size)
                 if out is not None:
                     return out
@@ -815,13 +813,9 @@ class Searcher:
         if isinstance(query, ast.RRFQuery):
             if not query.retrieve:
                 raise ValueError("rrf requires at least one retrieve query")
-            if (
-                mode == "auto"
-                and filters is None
-                and self.reader.tombstones is None
-                and all(isinstance(b, ast.MatchQuery) for b in query.retrieve)
-                and all(self._wand_routable(b) for b in query.retrieve)
-            ):
+            # cheap gates FIRST (same discipline as every facet driver
+            # route): LUT+dtype before any branch decode
+            if self._facet_rrf_routable(query, filters, mode) and self._range_lut_ok(field):
                 union = self._union_match_sets_driver(query.retrieve)
                 if union is not None:
                     out = self._range_values_local(union, field, ranges)
@@ -837,6 +831,21 @@ class Searcher:
 
         return range_agg(self.score(query, filters), self.reader.docs, field, ranges)
 
+    def _facet_rrf_routable(self, q: ast.RRFQuery, filters, mode: str) -> bool:
+        """ONE spelling of the RRF facet driver-route guard (term and range
+        share it, so the conditions cannot diverge again)."""
+        return (
+            mode == "auto"
+            and filters is None
+            and self.reader.tombstones is None
+            and all(isinstance(b, ast.MatchQuery) for b in q.retrieve)
+            and all(self._wand_routable(b) for b in q.retrieve)
+        )
+
+    def _range_lut_ok(self, field: str) -> bool:
+        lut = self.reader.field_lut(field)
+        return lut is not None and lut[1].dtype.kind in "iu"
+
     def _union_match_sets_driver(self, branches: list):
         """Driver-side union of branch match sets (docid frame) or None."""
         import pandas as pd
@@ -850,7 +859,7 @@ class Searcher:
         return pd.concat(parts, ignore_index=True).drop_duplicates("docid")
 
     def _facet_range_driver(self, q: ast.MatchQuery, field: str, ranges: list) -> DataFrame | None:
-        if self.reader.field_lut(field) is None:  # cheap gate first
+        if not self._range_lut_ok(field):  # cheap gate (incl. dtype) first
             return None
         ms = self._match_set_driver(q)
         if ms is None:

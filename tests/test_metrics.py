@@ -21,7 +21,7 @@ def test_export_prometheus(spark, tmp_path, tiny_corpus_pd):
     assert "nixiesearch_index_seqnum" in text
     assert "nixiesearch_index_size_bytes" in text
     assert "nixiesearch_searches_total 3" in text
-    assert "nixiesearch_driver_served_total 1" in text
+    assert "nixiesearch_autorouted_total 1" in text
     assert "nixiesearch_plan_cache_hits_total 1" in text
     # exposition format: every non-comment line is "name{labels} value"
     for line in text.strip().splitlines():

@@ -197,6 +197,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_multi_match_best(spark, sf):
+        # best_fields = DisMax over per-field matches with tie_breaker
+        # (reference MultiMatchQuery.scala:17-29); both branches tokenize
+        # the FULL query string against their own field
+        s = _index(spark, sf, ("text", "source"), False)
+        return _as_docid(
+            s.search(
+                MultiMatchQuery(
+                    query="spark src3", fields=["text", "source"],
+                    type="best_fields", tie_breaker=0.25,
+                ),
+                size=10,
+            )
+        )
+
     def q_dis_max(spark, sf):
         s = _index(spark, sf, ("text", "source"), False)
         return _as_docid(
@@ -983,7 +998,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows, "field string, doc_count long, sum_ttf long")
 
+    # ORDER MATTERS: the driver's correctness gate samples the FIRST 50 keys
+    # (VERDICT r4 §wrong #1). Lead with the entries that have never been
+    # driver-attested, then the r3-only ones, then this round's new entries,
+    # then one representative per r4-green family; the tail (sliced off at
+    # 50) is r4-green language variants + secondary family members.
     return {
+        # --- never in any CORRECTNESS_r*.json ---
+        "knn_ivf_dsl": q_knn_ivf_dsl,
+        "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
+        "suggest_served": q_suggest_served,
+        "wand_tombstoned": q_wand_tombstoned,
+        "wand_after_compact": q_wand_after_compact,
+        # --- green in r3 only, not sampled in r4 ---
+        "wand_topk": q_wand_topk,
+        "wand_topk_and": q_wand_and,
+        "wand_filtered": q_wand_filtered,
+        "knn_query_dsl": q_knn_dsl,
+        "knn_nested_dsl": q_knn_nested_dsl,
+        "knn_parent_block": q_knn_parent_block,
+        "hybrid_rrf": q_hybrid_rrf,
+        "emb_near_dup": q_emb_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "events_sessionized": q_events_sessionized,
+        "events_sliding": q_events_sliding,
+        "suggest_rrf": q_suggest,
+        "facet_rrf_merged": q_facet_rrf_merged,
+        "geo_sort": q_geo_sort,
+        "index_stats": q_index_stats,
+        # --- new this round ---
+        "bm25_multi_match_best": q_multi_match_best,
+        # --- one representative per r4-green family ---
         "bm25_match_or": q_match_or,
         "bm25_match_and": q_match_and,
         "bm25_match_or_k100": q_match_or_k100,
@@ -991,7 +1037,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dis_max": q_dis_max,
         "bm25_bool": q_bool,
         "bm25_match_filtered": q_match_filtered,
+        "bm25_match_filtered_datetime": q_match_filtered_datetime,
+        "match_all_filtered": q_match_all_filtered,
+        "bm25_match_textlist": q_match_textlist,
+        "ce_rerank": q_ce_rerank,
+        "facet_term_lang": q_facet_term,
+        "facet_term_served": q_facet_served,
+        "facet_range_nchars": q_facet_range,
+        "sort_served": q_sort_served,
+        "rrf_fusion": q_rrf,
+        "topk_fetch_fields": q_topk_fetch,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_minhash_pairs,
+        "textstats": q_textstats,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_ivf_topk": q_ann_ivf,
+        "semantic_knn": q_semantic_knn,
+        "ann_hnsw_served": q_ann_hnsw_served,
         "bm25_match_english": q_match_english,
+        "bm25_match_russian": q_match_russian,
+        "bm25_match_arabic": q_match_arabic,
+        "bm25_match_hindi": q_match_hindi,
+        # ---------------- driver cutoff (first 50 sampled) ----------------
+        # everything below was green in CORRECTNESS_r04.json
         "bm25_match_german": q_match_german,
         "bm25_match_french": q_match_french,
         "bm25_match_spanish": q_match_spanish,
@@ -999,62 +1067,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_portuguese": q_match_portuguese,
         "bm25_match_dutch": q_match_dutch,
         "bm25_match_romanian": q_match_romanian,
-        "bm25_match_russian": q_match_russian,
-        "bm25_match_arabic": q_match_arabic,
         "bm25_match_czech": q_match_czech,
         "bm25_match_bulgarian": q_match_bulgarian,
         "bm25_match_persian": q_match_persian,
-        "bm25_match_hindi": q_match_hindi,
         "bm25_match_indonesian": q_match_indonesian,
         "bm25_match_swedish": q_match_swedish,
         "bm25_match_norwegian": q_match_norwegian,
         "bm25_match_danish": q_match_danish,
-        "bm25_match_filtered_datetime": q_match_filtered_datetime,
-        "bm25_match_textlist": q_match_textlist,
-        "ce_rerank": q_ce_rerank,
-        "match_all_filtered": q_match_all_filtered,
-        "facet_term_lang": q_facet_term,
-        "facet_term_served": q_facet_served,
         "facet_range_served": q_facet_range_served,
-        "sort_served": q_sort_served,
-        "facet_range_nchars": q_facet_range,
         "sort_by_nchars": q_sort,
-        "rrf_fusion": q_rrf,
-        "topk_fetch_fields": q_topk_fetch,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_minhash_lsh": q_minhash_pairs,
         "dedup_simhash": q_simhash_pairs,
-        "textstats": q_textstats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
-        "ann_ivf_topk": q_ann_ivf,
         "ann_hnsw_topk": q_ann_hnsw,
-        "ann_hnsw_served": q_ann_hnsw_served,
-        "semantic_knn": q_semantic_knn,
-        "knn_parent_block": q_knn_parent_block,
-        "knn_query_dsl": q_knn_dsl,
-        "knn_ivf_dsl": q_knn_ivf_dsl,
-        "knn_nested_dsl": q_knn_nested_dsl,
-        "hybrid_rrf": q_hybrid_rrf,
-        "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sessionized": q_events_sessionized,
-        "events_sliding": q_events_sliding,
-        "suggest_rrf": q_suggest,
-        "suggest_served": q_suggest_served,
-        "facet_rrf_merged": q_facet_rrf_merged,
-        "geo_sort": q_geo_sort,
-        "index_stats": q_index_stats,
-        "wand_topk": q_wand_topk,
-        "wand_topk_and": q_wand_and,
-        "wand_filtered": q_wand_filtered,
-        "wand_tombstoned": q_wand_tombstoned,
-        "wand_after_compact": q_wand_after_compact,
     }
 
 
@@ -1222,6 +1249,26 @@ SELECT COALESCE(asc_.doc_id, bsc_.doc_id) AS doc_id,
 FROM a_sc asc_ FULL OUTER JOIN b_sc bsc_
   ON asc_.doc_id = bsc_.doc_id
 ORDER BY COALESCE(asc_.score, 0) + COALESCE(bsc_.score, 0) DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sql["bm25_multi_match_best"] = f"""
+WITH {_bm25_full(["spark", "src3"], "text", "a_")},
+{_bm25_full(["spark", "src3"], "source", "b_")}
+, joined AS (
+  SELECT COALESCE(a2.doc_id, b2.doc_id) AS doc_id,
+         a2.score AS s1, b2.score AS s2
+  FROM a_sc a2 FULL OUTER JOIN b_sc b2
+    ON a2.doc_id = b2.doc_id
+)
+SELECT doc_id,
+       round(greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))
+             + 0.25 * (COALESCE(s1,0)+COALESCE(s2,0)
+                      - greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))), 4) AS score
+FROM joined
+ORDER BY greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))
+         + 0.25 * (COALESCE(s1,0)+COALESCE(s2,0)
+                  - greatest(COALESCE(s1,-1e300), COALESCE(s2,-1e300))) DESC, doc_id ASC
 LIMIT 10
 """
 

@@ -50,6 +50,27 @@ def _shingles(text_col: str, n: int):
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
 
 
+def derive_shingle_cap(shingle_df_hist, pair_budget: int) -> int:
+    """Largest df cap whose surviving shingles emit ≤ ``pair_budget``
+    candidate pairs (Σ over kept shingles of df·(df−1)/2) — the stated
+    100 TB policy for the quadratic in-bucket join: pick the budget from
+    the cluster's shuffle capacity, not the cap from folklore.
+
+    ``shingle_df_hist`` is [(df, n_shingles_at_df)] sorted any order.
+    Greedy from the smallest df up is exact-optimal for a df-threshold
+    rule: keeping any shingle at df' > cap while dropping one at df ≤ cap
+    can only increase the pair count."""
+    total = 0
+    cap = 1  # df=1 shingles emit no pairs; always safe
+    for dfv, n_sh in sorted(shingle_df_hist):
+        add = n_sh * (dfv * (dfv - 1) // 2)
+        if total + add > pair_budget:
+            break
+        total += add
+        cap = dfv
+    return cap
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -57,6 +78,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 500,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode distinct shingles → self-join on shingle → pair intersection
@@ -65,15 +87,30 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops ubiquitous shingles before the pair join (the
     classic prefix-filter guard). The boundary is QUADRATIC: a shingle at
     the cap generates ~cap²/2 candidate pairs in one join key, so the
-    default stays low (500 → ≤125k pairs per hot shingle); raise it only
-    with a corresponding shuffle budget, or switch to minhash_lsh_pairs —
-    the scale path — when corpora share heavy boilerplate. Dropping a
+    default stays low (500 → ≤125k pairs per hot shingle). Dropping a
     shingle can only lower a pair's computed Jaccard (both sides lose it),
     so the guard trades recall near the threshold, never precision.
+
+    ``pair_budget`` is the 100 TB policy knob and overrides
+    ``max_shingle_df``: the cap is DERIVED from the corpus's own shingle-df
+    histogram so the total candidate-pair count stays ≤ budget
+    (:func:`derive_shingle_cap`). The histogram is a two-level aggregate
+    (shingle→df, df→count) whose result is ≤ max(df) rows — a tiny
+    driver-side collect, independent of corpus size. Size the budget from
+    shuffle capacity (e.g. executors × a few 10⁸); corpora whose useful
+    recall needs a cap beyond any sane budget should route through
+    :func:`minhash_lsh_pairs` — the sub-quadratic scale path.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles(text_col, n)).alias("sh"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    if pair_budget is not None:
+        hist = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+            .groupBy("_df").agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        max_shingle_df = derive_shingle_cap([(r["_df"], r["_n"]) for r in hist], pair_budget)
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).where(
             F.col("_df") > max_shingle_df

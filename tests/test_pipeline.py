@@ -47,6 +47,55 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 4) not in got
 
 
+def test_ngram_jaccard_pair_budget(spark):
+    """100 TB policy guard: a synthetic hot-shingle corpus (boilerplate
+    shared by every doc) must stay within the candidate-pair budget — the
+    cap is derived from the shingle-df histogram, and the derived cap's
+    kept shingles emit ≤ budget pairs."""
+    # 40 docs all sharing one boilerplate sentence (hot shingles, df=40),
+    # each with a unique tail (df=1 shingles) + 3 pairs of true near-dups
+    # sharing a df=2 shingle run
+    rows = []
+    for i in range(40):
+        rows.append((i, f"shared boilerplate header for all documents here uniq{i} tail{i} word{i}"))
+    for j in range(3):
+        rows.append((100 + j, f"cluster {j} common run of tokens alpha beta gamma delta {j}"))
+        rows.append((200 + j, f"cluster {j} common run of tokens alpha beta gamma delta x{j}"))
+    docs = spark.createDataFrame(rows, "id long, text string")
+
+    # histogram math: derive_shingle_cap is exact on a known histogram
+    assert dedup.derive_shingle_cap([(1, 100), (2, 10), (40, 5)], 10) == 2
+    assert dedup.derive_shingle_cap([(1, 100), (2, 10), (40, 5)], 10_000) == 40
+    assert dedup.derive_shingle_cap([(5, 1)], 9) == 1  # even df=5 too hot
+
+    budget = 50  # far below the hot-shingle blowup (each df=40 shingle → 780 pairs)
+    sh = docs.select(
+        F.col("id").alias("_id"), F.explode(dedup._shingles("text", 3)).alias("sh")
+    )
+    hist = (
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        .groupBy("_df").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    cap = dedup.derive_shingle_cap([(r["_df"], r["_n"]) for r in hist], budget)
+    kept_pairs = sum(
+        r["_n"] * (r["_df"] * (r["_df"] - 1) // 2) for r in hist if r["_df"] <= cap
+    )
+    assert kept_pairs <= budget
+    assert cap < 40  # the hot boilerplate shingles are dropped
+
+    # end-to-end: budgeted run completes and still finds the df≤cap near-dups
+    out = dedup.ngram_jaccard_pairs(
+        docs, "id", "text", n=3, threshold=0.1, pair_budget=budget
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # threshold 0.1: capping drops the df=6 mid-run shingles too, leaving the
+    # cluster pair only its 2 df=2 shingles (jaccard ~0.125 of the PRE-cap sizes)
+    assert (100, 200) in got  # df=2 cluster pair survives the cap
+    # no pair is produced solely by hot shingles: the 40 boilerplate docs
+    # share ONLY df=40 shingles, so none of them may pair up
+    assert not any(a < 40 and b < 40 for a, b in got)
+
+
 def test_minhash_lsh(spark, docs):
     pairs = dedup.minhash_lsh_pairs(
         docs, "id", "text", n=3, num_hashes=32, bands=16, verify_threshold=0.4

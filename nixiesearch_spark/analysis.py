@@ -134,6 +134,24 @@ def tokenize_latin_py(text: str | None) -> list[str]:
     return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
 
 
+# Catalan tokenizer class: the Latin class plus U+00B7 (middle dot) as a
+# WORD char — UAX#29 classes it MidLetter, so Lucene's StandardTokenizer
+# keeps "col·legi" (ela geminada l·l) one token; the Snowball stemmer's
+# clean step then maps '·' → '.'. Apostrophes stay DELIMITERS: "l'índex"
+# splits into "l" + "índex", and the elided articles d/l/m/n/s/t sit in the
+# Catalan stopword list — the same net effect as Lucene CatalanAnalyzer's
+# ElisionFilter (article dropped, host word kept).
+TOKEN_SPLIT_CATALAN = "[^0-9A-Za-z_À-ÖØ-öø-ɏ·]+"
+_SPLIT_CATALAN_RE = re.compile(TOKEN_SPLIT_CATALAN)
+
+
+def tokenize_catalan_py(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    toks = _SPLIT_CATALAN_RE.split(text[:MAX_FIELD_SEARCH_SIZE].lower())
+    return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
+
+
 def tokenize_py(text: str | None) -> list[str]:
     """Oracle tokenizer (single string). Must match :func:`tokenize_col`."""
     if text is None:
@@ -263,6 +281,18 @@ LANG_STOPWORDS = {
         "să", "sã", "au", "a", "al", "ai", "ale", "lui", "ei", "lor",
         "că", "cã", "le", "pentru", "fi", "fost", "când", "acest",
         "această", "prin", "după", "ca", "până", "fără",
+    ],
+    # single letters d/l/m/n/s/t = the elided articles ("l'índex" tokenizes
+    # to "l" + "índex" under the apostrophe-splitting tokenizer; stopping
+    # the article half replicates Lucene CatalanAnalyzer's ElisionFilter)
+    "catalan": [
+        "de", "la", "el", "els", "les", "i", "a", "en", "per", "amb",
+        "un", "una", "uns", "unes", "que", "què", "qui", "es", "se",
+        "no", "com", "més", "o", "si", "ja", "hi", "ho", "aquest",
+        "aquesta", "aquests", "aquestes", "això", "seu", "seva", "sobre",
+        "entre", "fins", "des", "del", "dels", "al", "als", "també",
+        "però", "quan", "on", "tot", "ser", "és", "són", "ha", "han",
+        "d", "l", "m", "n", "s", "t",
     ],
     "czech": [
         "a", "aby", "ale", "ani", "až", "bez", "bude", "by", "byl",
@@ -415,6 +445,12 @@ def _romanian_stem(t: str) -> str:
     from nixiesearch_spark.snowball import romanian_py
 
     return romanian_py(t)
+
+
+def _catalan_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import catalan_py
+
+    return catalan_py(t)
 
 
 def _russian_stem(t: str) -> str:
@@ -610,6 +646,12 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["romanian"], _romanian_stem, tokenize_latin_py),
     ),
+    # Snowball Catalan over the Catalan tokenizer ('·' is a word char so
+    # l·l words stay whole; elision via apostrophe split + article stops)
+    "catalan": (
+        _stem_col(LANG_STOPWORDS["catalan"], _catalan_stem, tokenize_catalan_py),
+        _stem_py(LANG_STOPWORDS["catalan"], _catalan_stem, tokenize_catalan_py),
+    ),
     # Tala-stemmer Indonesian over the ASCII standard tokenizer (the
     # language is plain Latin, like english)
     "indonesian": (
@@ -673,6 +715,7 @@ UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
     "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
+    "catalan",
 }
 
 

@@ -247,6 +247,7 @@ def test_stopword_entries_survive_tokenizer():
     # accented entries are legal there.
     from nixiesearch_spark.analysis import (
         LANG_STOPWORDS,
+        tokenize_catalan_py,
         tokenize_latin_py,
         tokenize_py,
         tokenize_unicode_py,
@@ -259,6 +260,7 @@ def test_stopword_entries_survive_tokenizer():
             "dutch", "swedish", "norwegian", "danish", "romanian", "czech",
         )
     }
+    toks["catalan"] = tokenize_catalan_py
     # russian/greek/arabic/bulgarian/persian chains run the unicode
     # tokenizer — entries must survive it VERBATIM (incl. the ς→σ
     # normalization: "της" would be dead). persian is special again: its

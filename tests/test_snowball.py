@@ -15,6 +15,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from nixiesearch_spark.snowball import (
+    catalan_py,
+    catalan_sql_ctes,
     danish_py,
     danish_sql_ctes,
     dutch_py,
@@ -243,6 +245,62 @@ def test_romanian_two_form_identity_random(words):
     want = [romanian_py(w) for w in words]
     assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
 
+
+
+CATALAN_CASES = {
+    # standard suffixes: res-3 'log' / res-4 'ic' replacements in R2,
+    # -ment (R2 delete), plural/derivational chains
+    "lógicament": "logic", "tècniques": "tecn",
+    "aproximadament": "aproximad", "considerablement": "considerabl",
+    "filtres": "filtr", "filtre": "filt", "parts": "part",
+    "indexs": "index", "índexs": "index", "consultes": "consult",
+    "taules": "taul", "sistemes": "sistem",
+    "important": "import", "importants": "import",
+    # ela geminada: '·' → '.' in the clean step
+    "col·legi": "col.leg", "il·lusió": "il.lu",
+    # verb suffixes (standard failed → verb runs)
+    "cantar": "cant", "cantaria": "cant", "estudiàvem": "estud",
+    "cantant": "cant",
+    # attached pronouns (hyphen/apostrophe forms — stemmer-level; the
+    # tokenizer splits these in engine use)
+    "donar-me": "don", "donar's": "don",
+    # deaccent in clean, ü/qü handling
+    "anàlisi": "analis", "qüestió": "quest", "qüestions": "quest",
+    # untouched / short
+    "de": "de", "": "",
+}
+
+
+def test_catalan_spec_cases():
+    bad = {
+        w: (catalan_py(w), want)
+        for w, want in CATALAN_CASES.items()
+        if catalan_py(w) != want
+    }
+    assert not bad, bad
+
+
+def test_catalan_sql_equals_python():
+    words = list(CATALAN_CASES) + [
+        "a", "à", "iques", "àtiques", "lógic", "lógiques", "quíssim",
+        "issimes", "cantar-nos", "estudiar's", "ïs", "açò", "prreu",
+        "uería", "spark", "foo_bar", "batches", "·", "l·l",
+    ]
+    got = _sql_stem(words, catalan_sql_ctes)
+    want = [catalan_py(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+CA_ALPHA = "abcdefghijlmnopqrstuvxyzçàáèéìíïòóúü·'-_0123456789"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=CA_ALPHA, min_size=0, max_size=12), min_size=1, max_size=30))
+def test_catalan_two_form_identity_random(words):
+    got = _sql_stem(words, catalan_sql_ctes)
+    want = [catalan_py(w) for w in words]
+    assert got == want, [(w, g, p) for w, g, p in zip(words, got, want) if g != p]
 
 
 def test_scandinavian_spec_cases():

@@ -48,12 +48,19 @@ HI_VOCAB = ["à¤†à¤‚à¤•à¤¡à¤¼à¥‹à¤‚", "à¤¤à¤¾à¤²à¤¿à¤•à¤¾", "à¤–à¥‹à¤œà¥‡à¤‚", "à
 
 # derived synthetic language columns: three doc_id-keyed vocab words per doc
 # (one table drives the Spark derivation AND the oracle SQL below)
+# deterministic CJK vocab for the cjk-analyzer entry: Han compounds
+# exercise overlapping bigrams (å…¨æ–‡æ¤œç´¢ shares its æ¤œç´¢ bigram with the
+# standalone word), ãƒ‡ãƒ¼ã‚¿ exercises katakana, ì§ˆì˜ exercises Hangul, and
+# "the" exercises the post-bigram English stop set (CJKAnalyzer's order)
+CJK_VOCAB = ["å…¨æ–‡æ¤œç´¢", "åˆ†æ•£å‡¦ç†", "ç´¢å¼•", "ãƒ‡ãƒ¼ã‚¿", "æ¤œç´¢", "the", "ì§ˆì˜"]
+
 DERIVED_VOCABS = {
     "text_ru": RU_VOCAB,
     "text_ar": AR_VOCAB,
     "text_bg": BG_VOCAB,
     "text_fa": FA_VOCAB,
     "text_hi": HI_VOCAB,
+    "text_cjk": CJK_VOCAB,
 }
 
 # ---------------------------------------------------------------- index cache
@@ -383,6 +390,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_hi": "hindi"}, derive_langs=("text_hi",),
         )
         return _as_docid(s.search(MatchQuery("text_hi", "à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ"), size=10))
+
+    def q_match_cjk(spark, sf):
+        # cjk chain (Lucene CJKAnalyzer analog, reference Language.scala:64,
+        # 94,96): width fold + char-bigram tokenizer + English stop set â€”
+        # pure Catalyst, no UDF. The query bigrams to å…¨æ–‡/æ–‡æ¤œ/æ¤œç´¢/ãƒ‡ãƒ¼/ãƒ¼ã‚¿
+        # ("the" stopped), so æ¤œç´¢-only docs partially match the compound.
+        s = _index(
+            spark, sf, ("text_cjk",), False,
+            analyzers={"text_cjk": "cjk"}, derive_langs=("text_cjk",),
+        )
+        return _as_docid(s.search(MatchQuery("text_cjk", "å…¨æ–‡æ¤œç´¢ the ãƒ‡ãƒ¼ã‚¿"), size=10))
 
     def q_match_filtered_datetime(spark, sf):
         import datetime as dt
@@ -1012,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50) is r4-green language variants + secondary family members.
     return {
         # --- never in any CORRECTNESS_r*.json ---
+        # round-5 additions lead (never driver-attested yet)
+        "bm25_match_cjk": q_match_cjk,
         "knn_ivf_dsl": q_knn_ivf_dsl,
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
         "suggest_served": q_suggest_served,
@@ -1097,6 +1117,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
+def _derived_base_sql(vocab: list[str]) -> str:
+    """base(doc_id, t) CTE over a derived vocab column â€” the SQL mirror of
+    _index's derive_langs keying (ONE expression for both sides)."""
+    voc = "[" + ",".join(f"'{w}'" for w in vocab) + "]"
+    n = len(vocab)
+    return f"""base AS (
+  SELECT doc_id, concat_ws(' ',
+    ({voc})[(doc_id % {n}) + 1],
+    ({voc})[((doc_id * 3 + 1) % {n}) + 1],
+    ({voc})[((doc_id * 5 + 2) % {n}) + 1]) AS t
+  FROM documents
+)"""
+
+
 def _derived_tok_sql(vocab: list[str], stops: str | None) -> str:
     """base + tok_raw CTEs over a derived vocab column (the SQL mirror of
     _index's derive_langs loop â€” ONE keying expression for both sides).
@@ -1104,16 +1138,8 @@ def _derived_tok_sql(vocab: list[str], stops: str | None) -> str:
     for chains whose stop filter runs later (post-normalization)."""
     from nixiesearch_spark.analysis import TOKEN_SPLIT_UNICODE as _TSU
 
-    voc = "[" + ",".join(f"'{w}'" for w in vocab) + "]"
-    n = len(vocab)
     filt = f" AND NOT list_contains({stops}, x)" if stops else ""
-    return f"""base AS (
-  SELECT doc_id, concat_ws(' ',
-    ({voc})[(doc_id % {n}) + 1],
-    ({voc})[((doc_id * 3 + 1) % {n}) + 1],
-    ({voc})[((doc_id * 5 + 2) % {n}) + 1]) AS t
-  FROM documents
-),
+    return f"""{_derived_base_sql(vocab)},
 tok_raw AS (
   SELECT doc_id, x.term
   FROM base, unnest(list_filter(
@@ -1504,6 +1530,25 @@ WITH {_derived_tok_sql(HI_VOCAB, None)},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(hi_terms, "text_hi").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.analysis import cjk_tok_sql
+
+    cjk_terms = analyzer_py("cjk")("å…¨æ–‡æ¤œç´¢ the ãƒ‡ãƒ¼ã‚¿")
+    cjk_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["cjk"]) + "]"
+    sql["bm25_match_cjk"] = f"""
+WITH {_derived_base_sql(CJK_VOCAB)},
+tok_f AS (
+  SELECT doc_id, term FROM ({cjk_tok_sql("t", "base")}) ctk
+  WHERE NOT list_contains({cjk_stops}, term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(cjk_terms, "text_cjk").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

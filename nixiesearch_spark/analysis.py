@@ -134,6 +134,108 @@ def tokenize_latin_py(text: str | None) -> list[str]:
     return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
 
 
+# --------------------------------------------------------------- CJK bigram
+# Lucene CJKAnalyzer analog (reference maps zh/ja/ko to it,
+# config/mapping/Language.scala:64,94,96): StandardTokenizer +
+# CJKWidthFilter + LowerCaseFilter + CJKBigramFilter + StopFilter.
+# CJKBigramFilter buffers the CHARACTERS of consecutive CJK-typed tokens
+# and emits overlapping character bigrams over that buffer (a lone CJK
+# char with no CJK neighbour is emitted as a unigram), so the net effect
+# is: maximal runs of CJK codepoints → char bigrams, crossing Han/kana
+# sub-script boundaries. Non-CJK text tokenizes like the Latin class.
+#
+# Documented simplifications vs Lucene (both one-way narrowings, stated
+# here so the spec is the contract): (1) CJKWidthFilter is implemented as
+# the fullwidth-ASCII fold only (U+FF01–FF5E → U+0021–007E); halfwidth
+# katakana (U+FF66–FF9F) would need voiced-mark composition (ｶ+ﾞ → ガ) and
+# is left out — those codepoints are delimiters. (2) The Han class is the
+# URO + extension A (U+4E00–9FFF, U+3400–4DBF); compatibility ideographs
+# are delimiters. The English-style stop set (CJKAnalyzer's default) runs
+# AFTER bigramming, matching Lucene's filter order.
+_CJK_CLASS = (
+    "㐀-䶿一-鿿"  # Han: ext A + URO
+    "ぁ-ゖゝゞ"  # Hiragana + iteration marks
+    "ァ-ヺー-ヾ"  # Katakana + prolonged sound/iteration
+    "가-힣"  # Hangul syllables
+)
+# fullwidth ASCII fold (CJKWidthFilter's main mapping): ！-～ → !-~
+_CJK_FW = "".join(chr(0xFF01 + i) for i in range(94))
+_CJK_HW = "".join(chr(0x21 + i) for i in range(94))
+_CJK_FW_TRANS = str.maketrans(_CJK_FW, _CJK_HW)
+TOKEN_SPLIT_CJK = "[^0-9A-Za-z_À-ÖØ-öø-ɏ" + _CJK_CLASS + "]+"
+_CJK_RUN_RE = re.compile("([" + _CJK_CLASS + "]+)")
+_SPLIT_CJK_RE = re.compile(TOKEN_SPLIT_CJK)
+_CJK_HEAD_RE = re.compile("^[" + _CJK_CLASS + "]")
+
+
+def tokenize_cjk_py(text: str | None) -> list[str]:
+    """CJK bigram tokenizer (python form) — must match the Catalyst form
+    and the DuckDB RE2 spelling (tests/test_analysis_cjk.py)."""
+    if text is None:
+        return []
+    low = text[:MAX_FIELD_SEARCH_SIZE].translate(_CJK_FW_TRANS).lower()
+    out: list[str] = []
+    for tok in _SPLIT_CJK_RE.split(_CJK_RUN_RE.sub(r" \1 ", low)):
+        if not tok or len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        if len(tok) > 1 and _CJK_HEAD_RE.match(tok):
+            out.extend(tok[i : i + 2] for i in range(len(tok) - 1))
+        else:
+            out.append(tok)
+    return out
+
+
+def tokenize_cjk_col(col: Column) -> Column:
+    """Catalyst form — pure JVM: translate (width fold) + regexp pad +
+    split + nested higher-order bigram expansion. No UDF in the chain."""
+    low = F.lower(
+        F.translate(F.substring(col, 1, MAX_FIELD_SEARCH_SIZE), _CJK_FW, _CJK_HW)
+    )
+    padded = F.regexp_replace(low, "([" + _CJK_CLASS + "]+)", " $1 ")
+    toks = F.filter(
+        F.split(padded, TOKEN_SPLIT_CJK),
+        lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH),
+    )
+    expanded = F.transform(
+        toks,
+        lambda t: F.when(
+            (F.length(t) > 1) & t.rlike("^[" + _CJK_CLASS + "]"),
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: F.substr(t, i, F.lit(2)),
+            ),
+        ).otherwise(F.array(t)),
+    )
+    return F.flatten(expanded)
+
+
+def cjk_tok_sql(src_text: str, src: str = "src") -> str:
+    """DuckDB spelling of the CJK bigram tokenizer: SELECT fragment
+    producing (doc_id, term) from ``{src}`` rows (doc_id, {src_text}).
+    Same width fold (translate), pad (regexp_replace 'g'), split class and
+    bigram expansion (lateral generate_series) as the other two forms."""
+    cls = _CJK_CLASS
+    _CJK_HW_SQL = _CJK_HW.replace("'", "''")  # ASCII ' is in the fold target
+    return f"""
+  SELECT doc_id,
+         CASE WHEN length(term) > 1 AND regexp_matches(term, '^[{cls}]')
+              THEN substr(term, g.i, 2) ELSE term END AS term
+  FROM (
+    SELECT doc_id, x.term
+    FROM {src}, unnest(list_filter(
+      regexp_split_to_array(
+        regexp_replace(lower(translate(substr({src_text},1,{MAX_FIELD_SEARCH_SIZE}),
+                                       '{_CJK_FW}', '{_CJK_HW_SQL}')),
+                       '([{cls}]+)', ' \\1 ', 'g'),
+        '{TOKEN_SPLIT_CJK}'),
+      x -> x <> '' AND length(x) <= {MAX_TOKEN_LENGTH})) AS x(term)
+  ) tokw,
+  unnest(generate_series(1,
+    CASE WHEN length(term) > 1 AND regexp_matches(term, '^[{cls}]')
+         THEN length(term) - 1 ELSE 1 END)) AS g(i)
+"""
+
+
 # Catalan tokenizer class: the Latin class plus U+00B7 (middle dot) as a
 # WORD char — UAX#29 classes it MidLetter, so Lucene's StandardTokenizer
 # keeps "col·legi" (ela geminada l·l) one token; the Snowball stemmer's
@@ -360,6 +462,14 @@ LANG_STOPWORDS = {
         "ο", "η", "το", "οι", "τα", "του", "τησ", "των", "τον", "την",
         "και", "να", "με", "σε", "για", "είναι", "από", "δεν", "θα",
         "που", "αυτό", "στο", "στη", "ωσ", "αν", "ή",
+    ],
+    # CJKAnalyzer's default stop set (English function words + www/s/t) —
+    # applied AFTER bigramming, so only non-CJK tokens can ever match it
+    "cjk": [
+        "a", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+        "in", "into", "is", "it", "no", "not", "of", "on", "or", "s",
+        "such", "t", "that", "the", "their", "then", "there", "these",
+        "they", "this", "to", "was", "will", "with", "www",
     ],
 }
 
@@ -674,6 +784,12 @@ ANALYZERS = {
     "greek": (
         _stop_col(LANG_STOPWORDS["greek"], tokenize_unicode_col),
         _stop_py(LANG_STOPWORDS["greek"], tokenize_unicode_py),
+    ),
+    # CJKAnalyzer analog (zh/ja/ko): width fold + char bigrams + English
+    # stop set — pure Catalyst like standard_unicode/greek, no UDF
+    "cjk": (
+        _stop_col(LANG_STOPWORDS["cjk"], tokenize_cjk_col),
+        _stop_py(LANG_STOPWORDS["cjk"], tokenize_cjk_py),
     ),
     # full Lucene ArabicAnalyzer analog: unicode tokenize → stop (surface
     # forms) → normalization + light10 stem (light.py)

@@ -268,6 +268,11 @@ def test_stopword_entries_survive_tokenizer():
     # must equal the normalization of SOME tokenizer token — checked below.
     for lang in ("russian", "greek", "arabic", "bulgarian"):
         toks[lang] = tokenize_unicode_py
+    # the cjk chain's stop set is English words — they must survive the
+    # CJK tokenizer (ASCII runs pass through unbigrammed)
+    from nixiesearch_spark.analysis import tokenize_cjk_py
+
+    toks["cjk"] = tokenize_cjk_py
     for lang, words in LANG_STOPWORDS.items():
         if lang in ("persian", "hindi"):
             continue

@@ -48,6 +48,11 @@ HI_VOCAB = ["à¤†à¤‚à¤•à¤¡à¤¼à¥‹à¤‚", "à¤¤à¤¾à¤²à¤¿à¤•à¤¾", "à¤–à¥‹à¤œà¥‡à¤‚", "à
 
 # derived synthetic language columns: three doc_id-keyed vocab words per doc
 # (one table drives the Spark derivation AND the oracle SQL below)
+# deterministic Greek vocab ("ÎºÎ±Î¹" is a stopword; accented forms exercise
+# the accent fold; the query hits the vocab via nontrivial rule-21 stem
+# conflation: Î´ÎµÎ´Î¿Î¼Î­Î½Ï‰Î½â†’Î´ÎµÎ´Î¿Î¼ÎµÎ½==Î´ÎµÎ´Î¿Î¼Î­Î½Î±'s stem)
+GR_VOCAB = ["Î´ÎµÎ´Î¿Î¼Î­Î½Î±", "Î±Î½Î±Î¶Î®Ï„Î·ÏƒÎ·", "ÎµÏ…ÏÎµÏ„Î®ÏÎ¹Î¿", "Ï€Î¯Î½Î±ÎºÎ±Ï‚", "ÎµÏÏŽÏ„Î·Î¼Î±", "ÎºÎ±Î¹", "Î­Î³Î³ÏÎ±Ï†Î±"]
+
 # deterministic CJK vocab for the cjk-analyzer entry: Han compounds
 # exercise overlapping bigrams (å…¨æ–‡æ¤œç´¢ shares its æ¤œç´¢ bigram with the
 # standalone word), ãƒ‡ãƒ¼ã‚¿ exercises katakana, ì§ˆì˜ exercises Hangul, and
@@ -61,6 +66,7 @@ DERIVED_VOCABS = {
     "text_fa": FA_VOCAB,
     "text_hi": HI_VOCAB,
     "text_cjk": CJK_VOCAB,
+    "text_el": GR_VOCAB,
 }
 
 # ---------------------------------------------------------------- index cache
@@ -390,6 +396,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_hi": "hindi"}, derive_langs=("text_hi",),
         )
         return _as_docid(s.search(MatchQuery("text_hi", "à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ"), size=10))
+
+    def q_match_greek(spark, sf):
+        # greek chain = unicode tokenizer (lower + Ï‚â†’Ïƒ) â†’ accent fold â†’
+        # stop (post-norm forms) â†’ Ntais/Saroukos stemmer (the full Lucene
+        # GreekAnalyzer analog, greek.py)
+        s = _index(
+            spark, sf, ("text_el",), False,
+            analyzers={"text_el": "greek"}, derive_langs=("text_el",),
+        )
+        return _as_docid(
+            s.search(MatchQuery("text_el", "Î´ÎµÎ´Î¿Î¼Î­Î½Ï‰Î½ Î±Î½Î±Î¶Î·Ï„Î®ÏƒÎµÎ¹Ï‚ ÎºÎ±Î¹"), size=10)
+        )
 
     def q_match_cjk(spark, sf):
         # cjk chain (Lucene CJKAnalyzer analog, reference Language.scala:64,
@@ -1031,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never in any CORRECTNESS_r*.json ---
         # round-5 additions lead (never driver-attested yet)
+        "bm25_match_greek": q_match_greek,
         "bm25_match_cjk": q_match_cjk,
         "knn_ivf_dsl": q_knn_ivf_dsl,
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
@@ -1530,6 +1549,26 @@ WITH {_derived_tok_sql(HI_VOCAB, None)},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(hi_terms, "text_hi").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.greek import greek_sql_ctes
+
+    el_terms = analyzer_py("greek")("Î´ÎµÎ´Î¿Î¼Î­Î½Ï‰Î½ Î±Î½Î±Î¶Î·Ï„Î®ÏƒÎµÎ¹Ï‚ ÎºÎ±Î¹")
+    # norm â†’ stop â†’ stem: the stop filter runs INSIDE greek_sql_ctes on
+    # post-normalization forms (the configured list is already normalized)
+    el_ctes = greek_sql_ctes(
+        "tok_raw", "tok_f", "elsb_", stops=LANG_STOPWORDS["greek"]
+    ).strip().rstrip(",").strip()
+    sql["bm25_match_greek"] = f"""
+WITH {_derived_tok_sql(GR_VOCAB, None)},
+{el_ctes},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(el_terms, "text_el").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

@@ -455,13 +455,15 @@ LANG_STOPWORDS = {
         "у", "же", "вы", "за", "бы", "по", "только", "ее", "мне",
         "было", "вот", "от", "меня", "еще", "нет", "о", "из", "ему",
     ],
-    # stored SIGMA-NORMALIZED (τησ, ωσ — not της, ως): the stop filter
-    # runs after the tokenizer's ς→σ normalization, matching Lucene's
-    # GreekAnalyzer whose stop set is post-GreekLowerCaseFilter form
+    # stored fully POST-NORMALIZATION (σ-folded AND accent-free: τησ, ωσ,
+    # ειναι, απο): the stop filter runs after the tokenizer's ς→σ fold and
+    # the chain's accent fold, matching Lucene's GreekAnalyzer whose stop
+    # set is post-GreekLowerCaseFilter form ("ή" folds onto the article
+    # "η", so one entry covers both)
     "greek": [
         "ο", "η", "το", "οι", "τα", "του", "τησ", "των", "τον", "την",
-        "και", "να", "με", "σε", "για", "είναι", "από", "δεν", "θα",
-        "που", "αυτό", "στο", "στη", "ωσ", "αν", "ή",
+        "και", "να", "με", "σε", "για", "ειναι", "απο", "δεν", "θα",
+        "που", "αυτο", "στο", "στη", "ωσ", "αν",
     ],
     # CJKAnalyzer's default stop set (English function words + www/s/t) —
     # applied AFTER bigramming, so only non-CJK tokens can ever match it
@@ -629,6 +631,18 @@ def _hindi_stem(t: str) -> str:
     return hindi_stem_py(t)
 
 
+def _greek_norm(t: str) -> str:
+    from nixiesearch_spark.greek import greek_norm_py
+
+    return greek_norm_py(t)
+
+
+def _greek_stem(t: str) -> str:
+    from nixiesearch_spark.greek import greek_stem_py
+
+    return greek_stem_py(t)
+
+
 # norm → stop → stem chain (hindi): normalization first, the stop filter
 # compares normalized tokens, survivors are stemmed (Lucene HindiAnalyzer
 # filter order)
@@ -781,9 +795,16 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["russian"], _russian_stem, tokenize_unicode_py),
         _stem_py(LANG_STOPWORDS["russian"], _russian_stem, tokenize_unicode_py),
     ),
+    # full Lucene GreekAnalyzer analog: unicode tokenize (lower + ς→σ) →
+    # accent fold (GreekLowerCaseFilter's diacritic removal) → stop
+    # (post-norm forms) → Ntais/Saroukos stemmer (greek.py)
     "greek": (
-        _stop_col(LANG_STOPWORDS["greek"], tokenize_unicode_col),
-        _stop_py(LANG_STOPWORDS["greek"], tokenize_unicode_py),
+        _norm_stop_stem_col(
+            LANG_STOPWORDS["greek"], _greek_norm, _greek_stem, tokenize_unicode_py
+        ),
+        _norm_stop_stem_py(
+            LANG_STOPWORDS["greek"], _greek_norm, _greek_stem, tokenize_unicode_py
+        ),
     ),
     # CJKAnalyzer analog (zh/ja/ko): width fold + char bigrams + English
     # stop set — pure Catalyst like standard_unicode/greek, no UDF
@@ -831,7 +852,7 @@ UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
     "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
-    "catalan",
+    "catalan", "greek",
 }
 
 
@@ -851,6 +872,7 @@ try:
 
     from pyspark import cloudpickle as _cp
 
+    from nixiesearch_spark import greek as _greek_mod
     from nixiesearch_spark import light as _light_mod
     from nixiesearch_spark import snowball as _snowball_mod
     from nixiesearch_spark import stem as _stem_mod
@@ -858,6 +880,7 @@ try:
     _cp.register_pickle_by_value(_stem_mod)
     _cp.register_pickle_by_value(_snowball_mod)
     _cp.register_pickle_by_value(_light_mod)
+    _cp.register_pickle_by_value(_greek_mod)
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - best effort on older pyspark
     pass

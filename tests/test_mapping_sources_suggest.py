@@ -266,7 +266,7 @@ def test_stopword_entries_survive_tokenizer():
     # normalization: "της" would be dead). persian is special again: its
     # stop set is compared POST-normalization, so each (normalized) entry
     # must equal the normalization of SOME tokenizer token — checked below.
-    for lang in ("russian", "greek", "arabic", "bulgarian"):
+    for lang in ("russian", "arabic", "bulgarian"):
         toks[lang] = tokenize_unicode_py
     # the cjk chain's stop set is English words — they must survive the
     # CJK tokenizer (ASCII runs pass through unbigrammed)
@@ -274,7 +274,7 @@ def test_stopword_entries_survive_tokenizer():
 
     toks["cjk"] = tokenize_cjk_py
     for lang, words in LANG_STOPWORDS.items():
-        if lang in ("persian", "hindi"):
+        if lang in ("persian", "hindi", "greek"):
             continue
         tok = toks.get(lang, tokenize_py)
         for w in words:
@@ -293,6 +293,12 @@ def test_stopword_entries_survive_tokenizer():
     for w in LANG_STOPWORDS["hindi"]:
         assert tokenize_unicode_py(w) == [w], f"hindi stopword {w!r} not a token"
         assert hindi_norm_py(w) == w, f"hindi stopword {w!r} not in normalized form"
+    # greek compares post-normalization too (σ-folded + accent-free)
+    from nixiesearch_spark.greek import greek_norm_py
+
+    for w in LANG_STOPWORDS["greek"]:
+        assert tokenize_unicode_py(w) == [w], f"greek stopword {w!r} not a token"
+        assert greek_norm_py(w) == w, f"greek stopword {w!r} not in normalized form"
 
 
 def test_language_analyzers(spark, tmp_path):

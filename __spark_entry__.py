@@ -48,6 +48,11 @@ HI_VOCAB = ["à¤†à¤‚à¤•à¤¡à¤¼à¥‹à¤‚", "à¤¤à¤¾à¤²à¤¿à¤•à¤¾", "à¤–à¥‹à¤œà¥‡à¤‚", "à
 
 # derived synthetic language columns: three doc_id-keyed vocab words per doc
 # (one table drives the Spark derivation AND the oracle SQL below)
+# deterministic Turkish vocab ("ve" is a stopword; the apostrophe form
+# exercises the ApostropheFilter analog, veriler/dizin the harmony-checked
+# suffix strips, TÃ¼rkiye'nin the Ä°-fold + tÃ¼rki conflation)
+TR_VOCAB = ["veriler", "tablo", "sorgu", "dizini", "TÃ¼rkiye'nin", "ve", "arama"]
+
 # deterministic Greek vocab ("ÎºÎ±Î¹" is a stopword; accented forms exercise
 # the accent fold; the query hits the vocab via nontrivial rule-21 stem
 # conflation: Î´ÎµÎ´Î¿Î¼Î­Î½Ï‰Î½â†’Î´ÎµÎ´Î¿Î¼ÎµÎ½==Î´ÎµÎ´Î¿Î¼Î­Î½Î±'s stem)
@@ -67,6 +72,7 @@ DERIVED_VOCABS = {
     "text_hi": HI_VOCAB,
     "text_cjk": CJK_VOCAB,
     "text_el": GR_VOCAB,
+    "text_tr": TR_VOCAB,
 }
 
 # ---------------------------------------------------------------- index cache
@@ -396,6 +402,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyzers={"text_hi": "hindi"}, derive_langs=("text_hi",),
         )
         return _as_docid(s.search(MatchQuery("text_hi", "à¤†à¤‚à¤•à¤¡à¤¼à¤¾ à¤¤à¤¾à¤²à¤¿à¤•à¤¾ à¤®à¥‡à¤‚ à¤–à¥‹à¤œ"), size=10))
+
+    def q_match_turkish(spark, sf):
+        # turkish chain = apostrophe filter + Ä°/I fold in the tokenizer â†’
+        # stop â†’ Ã‡ilden harmony-checked suffix-strip stemmer (light.py);
+        # the query conflates verilerinâ†’ver==veriler's stem and
+        # TÃ¼rkiye'deâ†’tÃ¼rki==TÃ¼rkiye'nin's stem
+        s = _index(
+            spark, sf, ("text_tr",), False,
+            analyzers={"text_tr": "turkish"}, derive_langs=("text_tr",),
+        )
+        return _as_docid(
+            s.search(MatchQuery("text_tr", "verilerin tabloda TÃ¼rkiye'de ve"), size=10)
+        )
 
     def q_match_greek(spark, sf):
         # greek chain = unicode tokenizer (lower + Ï‚â†’Ïƒ) â†’ accent fold â†’
@@ -1049,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never in any CORRECTNESS_r*.json ---
         # round-5 additions lead (never driver-attested yet)
+        "bm25_match_turkish": q_match_turkish,
         "bm25_match_greek": q_match_greek,
         "bm25_match_cjk": q_match_cjk,
         "knn_ivf_dsl": q_knn_ivf_dsl,
@@ -1139,7 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _derived_base_sql(vocab: list[str]) -> str:
     """base(doc_id, t) CTE over a derived vocab column â€” the SQL mirror of
     _index's derive_langs keying (ONE expression for both sides)."""
-    voc = "[" + ",".join(f"'{w}'" for w in vocab) + "]"
+    voc = "[" + ",".join("'" + w.replace("'", "''") + "'" for w in vocab) + "]"
     n = len(vocab)
     return f"""base AS (
   SELECT doc_id, concat_ws(' ',
@@ -1569,6 +1589,28 @@ WITH {_derived_tok_sql(GR_VOCAB, None)},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(el_terms, "text_el").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.analysis import turkish_tok_sql
+    from nixiesearch_spark.light import turkish_sql_ctes
+
+    tr_terms = analyzer_py("turkish")("verilerin tabloda TÃ¼rkiye'de ve")
+    tr_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["turkish"]) + "]"
+    tr_stem_ctes = turkish_sql_ctes("tok_s", "tok_f", "trsb_").strip().rstrip(",").strip()
+    sql["bm25_match_turkish"] = f"""
+WITH RECURSIVE {_derived_base_sql(TR_VOCAB)},
+tok_s AS (
+  SELECT doc_id, term FROM ({turkish_tok_sql("t", "base")}) ttk
+  WHERE NOT list_contains({tr_stops}, term)
+),
+{tr_stem_ctes},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(tr_terms, "text_tr").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC

@@ -254,6 +254,47 @@ def tokenize_catalan_py(text: str | None) -> list[str]:
     return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
 
 
+# Turkish tokenizer: Lucene TurkishAnalyzer's tokenizer-side filters —
+# ApostropheFilter (drop the apostrophe AND everything after it:
+# Türkiye'nin → Türkiye) and TurkishLowerCaseFilter's dotted/dotless-i
+# rule (İ→i, I→ı) applied BEFORE generic lower() — python str.lower,
+# DuckDB utf8proc and Java all expand İ to "i̇" (i + combining dot) under
+# the full Unicode mapping, so the translate must run first in all three
+# forms or the combining dot would fragment the token. A pre-existing
+# combining dot U+0307 in the input stays a delimiter (Lucene folds it;
+# documented narrowing).
+_TR_CASE_SRC = "İI"
+_TR_CASE_DST = "iı"
+_TR_CASE_TRANS = str.maketrans(_TR_CASE_SRC, _TR_CASE_DST)
+_TR_APOS = "['’][0-9A-Za-z_À-ÖØ-öø-ɏ]*"
+_TR_APOS_RE = re.compile(_TR_APOS)
+
+
+def tokenize_turkish_py(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    s = text[:MAX_FIELD_SEARCH_SIZE].translate(_TR_CASE_TRANS)
+    s = _TR_APOS_RE.sub("", s).lower()
+    toks = _SPLIT_LATIN_RE.split(s)
+    return [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
+
+
+def turkish_tok_sql(src_text: str, src: str = "src") -> str:
+    """DuckDB spelling of the Turkish tokenizer: SELECT fragment producing
+    (doc_id, term) from ``{src}`` rows. Same translate-first order."""
+    _TR_APOS_SQL = _TR_APOS.replace("'", "''")  # the literal ' in the class
+    return f"""
+  SELECT doc_id, x.term
+  FROM {src}, unnest(list_filter(
+    regexp_split_to_array(
+      lower(regexp_replace(translate(substr({src_text},1,{MAX_FIELD_SEARCH_SIZE}),
+                                     '{_TR_CASE_SRC}', '{_TR_CASE_DST}'),
+                           '{_TR_APOS_SQL}', '', 'g')),
+      '{TOKEN_SPLIT_LATIN}'),
+    x -> x <> '' AND length(x) <= {MAX_TOKEN_LENGTH})) AS x(term)
+"""
+
+
 def tokenize_py(text: str | None) -> list[str]:
     """Oracle tokenizer (single string). Must match :func:`tokenize_col`."""
     if text is None:
@@ -465,6 +506,22 @@ LANG_STOPWORDS = {
         "και", "να", "με", "σε", "για", "ειναι", "απο", "δεν", "θα",
         "που", "αυτο", "στο", "στη", "ωσ", "αν",
     ],
+    # Turkish function words (Lucene TurkishAnalyzer's set, the
+    # high-frequency core) — compared post-tokenizer (İ/I folded, lowered),
+    # BEFORE the stemmer like Lucene's filter order
+    "turkish": [
+        "acaba", "ama", "ancak", "aslında", "bana", "bazı", "belki",
+        "ben", "beni", "benim", "bile", "bir", "birçok", "biri",
+        "birkaç", "biz", "bize", "bizi", "bizim", "böyle", "bu", "buna",
+        "bunda", "bundan", "bunlar", "bunu", "bunun", "burada", "çok",
+        "çünkü", "da", "daha", "de", "değil", "diğer", "diye", "dolayı",
+        "en", "gibi", "hem", "hep", "hepsi", "her", "hiç", "için",
+        "iki", "ile", "ilgili", "ise", "işte", "kadar", "kendi", "ki",
+        "kim", "mı", "mi", "mu", "mü", "nasıl", "ne", "neden", "nerede",
+        "niçin", "niye", "o", "olan", "olarak", "oldu", "ona", "ondan",
+        "onlar", "onu", "onun", "öyle", "sadece", "sanki", "sen", "siz",
+        "şey", "şu", "tüm", "ve", "veya", "ya", "yani", "yine", "zaten",
+    ],
     # CJKAnalyzer's default stop set (English function words + www/s/t) —
     # applied AFTER bigramming, so only non-CJK tokens can ever match it
     "cjk": [
@@ -629,6 +686,12 @@ def _hindi_stem(t: str) -> str:
     from nixiesearch_spark.light import hindi_stem_py
 
     return hindi_stem_py(t)
+
+
+def _turkish_stem(t: str) -> str:
+    from nixiesearch_spark.light import turkish_py
+
+    return turkish_py(t)
 
 
 def _greek_norm(t: str) -> str:
@@ -806,6 +869,12 @@ ANALYZERS = {
             LANG_STOPWORDS["greek"], _greek_norm, _greek_stem, tokenize_unicode_py
         ),
     ),
+    # Lucene TurkishAnalyzer analog: apostrophe filter + İ/I case fold in
+    # the tokenizer, stop (surface forms), Çilden suffix-strip stemmer
+    "turkish": (
+        _stem_col(LANG_STOPWORDS["turkish"], _turkish_stem, tokenize_turkish_py),
+        _stem_py(LANG_STOPWORDS["turkish"], _turkish_stem, tokenize_turkish_py),
+    ),
     # CJKAnalyzer analog (zh/ja/ko): width fold + char bigrams + English
     # stop set — pure Catalyst like standard_unicode/greek, no UDF
     "cjk": (
@@ -852,7 +921,7 @@ UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
     "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
-    "catalan", "greek",
+    "catalan", "greek", "turkish",
 }
 
 

@@ -759,3 +759,217 @@ def indonesian_sql_ctes(src: str, out: str, p: str = "id_") -> str:
 {out} AS MATERIALIZED (SELECT doc_id,
   CASE WHEN fof AND sff AND ns > 2 THEN {so_v} ELSE term END AS term FROM {p}sf)
 """
+
+
+# ------------------------------------------------------------------ turkish
+# Çilden's Turkish stemmer ("Stemming Turkish Words Using Snowball" — the
+# algorithm behind Snowball/Lucene TurkishStemmer; reference
+# config/mapping/Language.scala:93 maps language: tr to TurkishAnalyzer =
+# apostrophe filter + TurkishLowerCase + stop + that stemmer).
+#
+# One suffix spec, two executable forms. Each suffix surface carries its
+# harmony vowel and an optional buffer-letter constraint:
+#   "V" — the optional-letter variant (y/s/n/U buffer): the remaining stem
+#         must end in a vowel (kapı+yı, araba+m, araba+nın);
+#   "C" — the bare/U-ful variant: the stem must end in a consonant
+#         (ev+in, el+im, kitab+ı).
+# A strip is valid when the surface matches, the constraint holds, the
+# remainder keeps ≥1 vowel, and the suffix vowel harmonizes with the last
+# stem vowel (a↔a/ı/o/u, e↔e/i/ö/ü, ı↔a/ı, i↔e/i, u↔o/u, ü↔ö/ü; the
+# invariable -ken/-ki are exempt). Words with <2 vowels are never stemmed
+# (the more_than_one_syllable entry test). After stripping, the final
+# consonant devoices (b→p c→ç d→t ğ→k — kitabı→kitab→kitap).
+#
+# Fidelity note: the Snowball reference removes one nominal-verb suffix
+# then walks a fixed noun-suffix routine graph (incl. the -ki chain); this
+# implementation iterates the SAME suffix tables longest-match-first to a
+# fixpoint (≤10 steps), which reaches the same multi-suffix conflations
+# (evlerimizden→ev) without the routine graph; the append-U-after-d/g
+# postlude is omitted. Both executable forms share the tables below and
+# are identity-tested.
+
+_TR_VOWELS = "aeıioöuü"
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei", "u": "ou", "ü": "öü",
+}
+_TR_DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def _tr_suffixes() -> list[tuple[str, str | None, str | None]]:
+    out: list[tuple[str, str | None, str | None]] = []
+    seen: dict[str, int] = {}
+
+    def add(surfs: str, cons: str | None = None, exempt: bool = False):
+        for s in surfs.split():
+            # vowel-less surfaces (bare m/n) have nothing to harmonize
+            v = None if exempt else next((c for c in s if c in _TR_VOWELS), None)
+            if s in seen:
+                # duplicate surface across families: keep the laxer entry
+                i = seen[s]
+                if out[i][2] is not None and cons is None:
+                    out[i] = (s, v, None)
+                continue
+            seen[s] = len(out)
+            out.append((s, v, cons))
+
+    # nominal verb suffixes
+    add("casına cesine")
+    add("sınız siniz sunuz sünüz")
+    add("ymış ymiş ymuş ymüş ydı ydi ydu ydü ysa yse", "V")
+    add("yken", "V", exempt=True)
+    add("mış miş muş müş dı di du dü tı ti tu tü sa se")
+    add("ken", exempt=True)
+    add("yım yim yum yüm yız yiz yuz yüz", "V")
+    add("sın sin sun sün")
+    add("nız niz nuz nüz")
+    add("dır dir dur dür tır tir tur tür")
+    add("lar ler")
+    # noun suffixes (possessive / case)
+    add("ları leri")
+    add("ımız imiz umuz ümüz ınız iniz unuz ünüz", "C")
+    add("mız miz muz müz", "V")
+    add("ım im um üm ın in un ün", "C")
+    add("m n", "V")
+    add("sı si su sü nın nin nun nün yı yi yu yü nı ni nu nü", "V")
+    add("ı i u ü", "C")
+    add("ya ye na ne yla yle nca nce", "V")
+    add("a e", "C")
+    add("nda nde ndan nden", "V")
+    add("da de ta te dan den tan ten la le ca ce")
+    # the -ki relativizer only in its morphotactic chain positions
+    # (okuldaki, seninki, bugünkü) — a bare unconstrained 'ki' would fire
+    # on stems that merely end in ki (türki after vowel strips)
+    add("ndaki ndeki daki deki taki teki", exempt=True)
+    add("kü", "C", exempt=True)
+    # longest-first; ties keep family order above
+    return sorted(out, key=lambda x: -len(x[0]))
+
+
+TR_SUFFIXES = _tr_suffixes()
+# single-letter morphemes (possessive m/n, case vowels ı/i/u/ü/a/e) chain
+# badly under an unrestricted fixpoint (zaman → zama → zam → za); but one
+# single CAN legitimately expose a deeper suffix (arabam → araba → arab:
+# possessive m, then the case vowel). The stemmer therefore alternates:
+# multi-suffix fixpoint → at most one single strip → multi fixpoint → at
+# most one single strip — matching Turkish suffix order (case outside
+# possessive) while bounding the single-letter cascade at two.
+TR_MULTI = [t for t in TR_SUFFIXES if len(t[0]) > 1]
+TR_SINGLE = [t for t in TR_SUFFIXES if len(t[0]) == 1]
+
+
+def _tr_last_vowel(w: str) -> str | None:
+    for c in reversed(w):
+        if c in _TR_VOWELS:
+            return c
+    return None
+
+
+def _tr_one_strip(w: str, table=None) -> str:
+    for surf, v, cons in (TR_MULTI if table is None else table):
+        if not w.endswith(surf):
+            continue
+        r = w[: -len(surf)]
+        lv = _tr_last_vowel(r)
+        if lv is None:
+            continue
+        if cons == "V" and r[-1] not in _TR_VOWELS:
+            continue
+        if cons == "C" and r[-1] in _TR_VOWELS:
+            continue
+        if v is not None and lv not in _TR_HARMONY[v]:
+            continue
+        return r
+    return w
+
+
+def turkish_py(word: str) -> str:
+    if sum(c in _TR_VOWELS for c in word) < 2:
+        return word
+    w = word
+    for _ in range(2):
+        for _ in range(10):
+            nxt = _tr_one_strip(w)
+            if nxt == w:
+                break
+            w = nxt
+        w = _tr_one_strip(w, TR_SINGLE)
+    if w and w[-1] in _TR_DEVOICE:
+        w = w[:-1] + _TR_DEVOICE[w[-1]]
+    return w
+
+
+def _tr_step_sql(x: str, table=None) -> str:
+    """The one-strip CASE over {x} — the SQL mirror of _tr_one_strip."""
+    whens = []
+    for surf, v, cons in (TR_MULTI if table is None else table):
+        n = len(surf)
+        r = f"substr({x}, 1, length({x}) - {n})"
+        conds = [f"ends_with({x}, '{surf}')",
+                 f"regexp_matches({r}, '[{_TR_VOWELS}]')"]
+        last = f"substr({r}, length({r}), 1)"
+        vlist = ",".join(f"'{c}'" for c in _TR_VOWELS)
+        if cons == "V":
+            conds.append(f"{last} IN ({vlist})")
+        elif cons == "C":
+            conds.append(f"{last} NOT IN ({vlist})")
+        if v is not None:
+            hs = ",".join(f"'{c}'" for c in _TR_HARMONY[v])
+            lastv = (
+                f"substr(regexp_replace({r}, '[^{_TR_VOWELS}]', '', 'g'), -1)"
+            )
+            conds.append(f"{lastv} IN ({hs})")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {r}")
+    body = "\n    ".join(whens)
+    return f"CASE\n    {body}\n    ELSE {x} END"
+
+
+def turkish_sql_ctes(src: str, out: str, p: str = "tr_") -> str:
+    """``src(doc_id, term)`` → fixpoint suffix strip (recursive CTE, ≤10
+    iterations) → devoice → ``out(doc_id, term)``. Callers compose under
+    WITH RECURSIVE (like the French/Russian prelude scans)."""
+    step = _tr_step_sql("term")
+    nv = f"length(term) - length(regexp_replace(term, '[{_TR_VOWELS}]', '', 'g'))"
+    dv_whens = "\n    ".join(
+        f"WHEN stemmable AND ends_with(term, '{b}') "
+        f"THEN substr(term, 1, length(term) - 1) || '{d}'"
+        for b, d in _TR_DEVOICE.items()
+    )
+    single = _tr_step_sql("term", TR_SINGLE)
+    return f"""{p}b AS MATERIALIZED (
+  SELECT row_number() OVER () AS tid, doc_id, term, ({nv}) >= 2 AS stemmable
+  FROM {src}
+),
+{p}r1 AS (
+  SELECT tid, doc_id, term, 0 AS it FROM {p}b WHERE stemmable
+  UNION ALL
+  SELECT tid, doc_id, {step} AS term, it + 1
+  FROM {p}r1 WHERE it < 10 AND ({step}) <> term
+),
+{p}s1 AS MATERIALIZED (
+  SELECT tid, doc_id, {single} AS term FROM (
+    SELECT tid, min(doc_id) AS doc_id,
+           arg_min(term, length(term)) AS term
+    FROM {p}r1 GROUP BY tid
+  ) fx1
+),
+{p}r2 AS (
+  SELECT tid, doc_id, term, 0 AS it FROM {p}s1
+  UNION ALL
+  SELECT tid, doc_id, {step} AS term, it + 1
+  FROM {p}r2 WHERE it < 10 AND ({step}) <> term
+),
+{p}s2 AS MATERIALIZED (
+  SELECT tid, doc_id, {single} AS term, true AS stemmable FROM (
+    SELECT tid, min(doc_id) AS doc_id,
+           arg_min(term, length(term)) AS term
+    FROM {p}r2 GROUP BY tid
+  ) fx2
+  UNION ALL
+  SELECT tid, doc_id, term, stemmable FROM {p}b WHERE NOT stemmable
+),
+{out} AS MATERIALIZED (
+  SELECT doc_id, CASE
+    {dv_whens}
+    ELSE term END AS term
+  FROM {p}s2
+)"""

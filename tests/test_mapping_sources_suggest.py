@@ -270,9 +270,10 @@ def test_stopword_entries_survive_tokenizer():
         toks[lang] = tokenize_unicode_py
     # the cjk chain's stop set is English words — they must survive the
     # CJK tokenizer (ASCII runs pass through unbigrammed)
-    from nixiesearch_spark.analysis import tokenize_cjk_py
+    from nixiesearch_spark.analysis import tokenize_cjk_py, tokenize_turkish_py
 
     toks["cjk"] = tokenize_cjk_py
+    toks["turkish"] = tokenize_turkish_py
     for lang, words in LANG_STOPWORDS.items():
         if lang in ("persian", "hindi", "greek"):
             continue

@@ -403,6 +403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _as_docid(s.search(MatchQuery("text_hi", "आंकड़ा तालिका में खोज"), size=10))
 
+    def q_match_finnish(spark, sf):
+        # Snowball Finnish: datan/partin/indexin conflate to data/part/
+        # index via the case-'n' + i-plural path; "ja" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "finnish"})
+        return _as_docid(s.search(MatchQuery("text", "datan partin indexin ja"), size=10))
+
+    def q_match_hungarian(spark, sf):
+        # Snowball Hungarian: datát→dat==data's stem (case 't' + v_ending
+        # + owner 'a'), indexek→index via plural; az/és/a are stopwords
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "hungarian"})
+        return _as_docid(s.search(MatchQuery("text", "az indexek és a datát"), size=10))
+
     def q_match_turkish(spark, sf):
         # turkish chain = apostrophe filter + İ/I fold in the tokenizer →
         # stop → Çilden harmony-checked suffix-strip stemmer (light.py);
@@ -1068,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never in any CORRECTNESS_r*.json ---
         # round-5 additions lead (never driver-attested yet)
+        "bm25_match_finnish": q_match_finnish,
+        "bm25_match_hungarian": q_match_hungarian,
         "bm25_match_turkish": q_match_turkish,
         "bm25_match_greek": q_match_greek,
         "bm25_match_cjk": q_match_cjk,
@@ -1391,6 +1405,24 @@ LIMIT 10
     en_terms = analyzer_py("english")("running windows groups")
     sql["bm25_match_english"] = f"""
 WITH {_bm25_full_english(en_terms)}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    fi_sb_terms = analyzer_py("finnish")("datan partin indexin ja")
+    sql["bm25_match_finnish"] = f"""
+WITH RECURSIVE {_bm25_full_lang(fi_sb_terms, "finnish")}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    hu_sb_terms = analyzer_py("hungarian")("az indexek és a datát")
+    sql["bm25_match_hungarian"] = f"""
+WITH RECURSIVE {_bm25_full_lang(hu_sb_terms, "hungarian")}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -2330,8 +2362,10 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         catalan_sql_ctes,
         danish_sql_ctes,
         dutch_sql_ctes,
+        finnish_sql_ctes,
         french_sql_ctes,
         german_sql_ctes,
+        hungarian_sql_ctes,
         italian_sql_ctes,
         norwegian_sql_ctes,
         portuguese_sql_ctes,
@@ -2354,6 +2388,8 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         "romanian": romanian_sql_ctes,
         "catalan": catalan_sql_ctes,
         "czech": _light_czech_sql_ctes,
+        "finnish": finnish_sql_ctes,
+        "hungarian": hungarian_sql_ctes,
     }[lang]
     # catalan tokenizes over its own class ('·' is a word char — ela
     # geminada); every other Latin chain uses the shared Latin class

@@ -506,6 +506,24 @@ LANG_STOPWORDS = {
         "και", "να", "με", "σε", "για", "ειναι", "απο", "δεν", "θα",
         "που", "αυτο", "στο", "στη", "ωσ", "αν",
     ],
+    # Finnish function words (Lucene FinnishAnalyzer's high-frequency
+    # core; the Snowball-distributed list's most common entries)
+    "finnish": [
+        "olla", "olen", "on", "oli", "ollut", "ja", "ei", "se", "että",
+        "hän", "joka", "mikä", "mitä", "tämä", "tuo", "ne", "nämä",
+        "kun", "niin", "kuin", "mutta", "jos", "myös", "sekä", "tai",
+        "vain", "vielä", "jo", "sitä", "sen", "siinä", "sitten",
+        "kanssa", "ole", "siis", "minä", "sinä", "me", "te", "he",
+    ],
+    # Hungarian function words (Lucene HungarianAnalyzer's core)
+    "hungarian": [
+        "a", "az", "és", "egy", "hogy", "nem", "is", "de", "ez", "azt",
+        "meg", "ha", "mint", "már", "csak", "vagy", "még", "volt",
+        "van", "lesz", "el", "ki", "fel", "le", "be", "mert", "pedig",
+        "úgy", "így", "aki", "ami", "amely", "után", "előtt", "között",
+        "által", "ezt", "ilyen", "olyan", "majd", "itt", "ott",
+        "akkor", "most", "azonban", "szerint",
+    ],
     # Turkish function words (Lucene TurkishAnalyzer's set, the
     # high-frequency core) — compared post-tokenizer (İ/I folded, lowered),
     # BEFORE the stemmer like Lucene's filter order
@@ -686,6 +704,18 @@ def _hindi_stem(t: str) -> str:
     from nixiesearch_spark.light import hindi_stem_py
 
     return hindi_stem_py(t)
+
+
+def _finnish_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import finnish_py
+
+    return finnish_py(t)
+
+
+def _hungarian_stem(t: str) -> str:
+    from nixiesearch_spark.snowball import hungarian_py
+
+    return hungarian_py(t)
 
 
 def _turkish_stem(t: str) -> str:
@@ -869,6 +899,15 @@ ANALYZERS = {
             LANG_STOPWORDS["greek"], _greek_norm, _greek_stem, tokenize_unicode_py
         ),
     ),
+    # Snowball Finnish / Hungarian over the Unicode-Latin tokenizer
+    "finnish": (
+        _stem_col(LANG_STOPWORDS["finnish"], _finnish_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["finnish"], _finnish_stem, tokenize_latin_py),
+    ),
+    "hungarian": (
+        _stem_col(LANG_STOPWORDS["hungarian"], _hungarian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["hungarian"], _hungarian_stem, tokenize_latin_py),
+    ),
     # Lucene TurkishAnalyzer analog: apostrophe filter + İ/I case fold in
     # the tokenizer, stop (surface forms), Çilden suffix-strip stemmer
     "turkish": (
@@ -921,7 +960,7 @@ UDF_ANALYZERS = {
     "english", "german", "french", "spanish", "italian", "portuguese",
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
     "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
-    "catalan", "greek", "turkish",
+    "catalan", "greek", "turkish", "finnish", "hungarian",
 }
 
 

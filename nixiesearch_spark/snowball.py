@@ -3205,3 +3205,570 @@ def catalan_sql_ctes(src: str, out: str, p: str = "ca_") -> str:
 {p}rs AS MATERIALIZED (SELECT doc_id, {res} AS term FROM {p}vb),
 {out} AS MATERIALIZED (SELECT doc_id, {clean} AS term FROM {p}rs)
 """
+
+
+# --------------------------------------------------------------- finnish
+# Published Snowball Finnish stemmer (snowballstem.org; reference binds
+# Lucene's FinnishAnalyzer, config/mapping/Language.scala:74). Shape: no
+# prelude; standard R1/R2 over vowels aeiouyäö; six ordered steps —
+# particle, possessive, case ending (sets ending_removed), other endings
+# (R2), i-plural if ending_removed else t-plural, tidy. Among semantics
+# follow the setlimit-tomark-p1 lesson (suffix must lie WITHIN the
+# region; the LONGEST in-region match is chosen and then ITS condition
+# applies — a failed condition fails the whole step, no backtracking to
+# a shorter suffix). Preceded-by lookbacks are implemented unlimited
+# (same decision as the Scandinavian valid-s-ending rule here).
+
+FI_VOWELS = "aeiouyäö"
+FI_V2 = "aeiouäö"  # the Vi condition's vowel set (no y)
+FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = ("kaan", "kään", "kin", "han", "hän", "sti", "ko", "kö", "pa", "pä")
+_FI_POSS = ("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+_FI_AN_PREV = ("ta", "ssa", "sta", "lla", "lta", "na")
+_FI_AEN_PREV = ("tä", "ssä", "stä", "llä", "ltä", "nä")
+_FI_EN_PREV = ("lle", "ine")
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o", "hun": "u",
+           "hyn": "y", "hän": "ä", "hön": "ö"}
+_FI_CASE_PLAIN = ("ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
+                  "lle", "ine", "ksi", "na", "nä", "ta", "tä")
+# every case suffix, longest-first (the among is one longest-match table)
+_FI_CASE = sorted(
+    list(_FI_HXN) + ["siin", "den", "tten", "seen", "tta", "ttä"]
+    + list(_FI_CASE_PLAIN) + ["a", "ä", "n"],
+    key=len, reverse=True,
+)
+_FI_OTHER = sorted(
+    ["impi", "impa", "impä", "immi", "imma", "immä",
+     "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä"],
+    key=len, reverse=True,
+)
+
+
+def _fi_ends_long(w: str) -> bool:
+    return any(w.endswith(lv) for lv in FI_LONG)
+
+
+def finnish_py(word: str) -> str:
+    w = word
+    r1, r2 = _r1r2_py(w, FI_VOWELS)
+
+    # step 1: particles. longest in-R1 match; sti needs R2, the others a
+    # preceding n, t or vowel
+    for suf in sorted(_FI_PARTICLES, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):
+            continue
+        if suf == "sti":
+            if pos >= r2:
+                w = w[:pos]
+        else:
+            if pos >= 1 and w[pos - 1] in ("nt" + FI_VOWELS):
+                w = w[:pos]
+        break
+
+    # step 2: possessives
+    for suf in sorted(_FI_POSS, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):
+            continue
+        base = w[:pos]
+        if suf == "si":
+            if not base.endswith("k"):
+                w = base
+        elif suf == "ni":
+            w = base
+            if w.endswith("kse"):
+                w = w[:-3] + "ksi"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            w = base
+        elif suf == "an":
+            if any(base.endswith(p) for p in _FI_AN_PREV):
+                w = base
+        elif suf == "än":
+            if any(base.endswith(p) for p in _FI_AEN_PREV):
+                w = base
+        elif suf == "en":
+            if any(base.endswith(p) for p in _FI_EN_PREV):
+                w = base
+        break
+
+    # step 3: case endings (sets ending_removed)
+    ending_removed = False
+    for suf in _FI_CASE:
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r1):
+            continue
+        base = w[:pos]
+        if suf in _FI_HXN:
+            if base.endswith(_FI_HXN[suf]):
+                w, ending_removed = base, True
+        elif suf in ("siin", "den", "tten"):
+            # preceded by Vi (V2 vowel + i)
+            if len(base) >= 2 and base[-1] == "i" and base[-2] in FI_V2:
+                w, ending_removed = base, True
+        elif suf == "seen":
+            if _fi_ends_long(base):
+                w, ending_removed = base, True
+        elif suf in ("tta", "ttä"):
+            if base.endswith("e"):
+                w, ending_removed = base, True
+        elif suf in ("a", "ä"):
+            # preceded by cv (consonant then vowel)
+            if (len(base) >= 2 and base[-1] in FI_VOWELS
+                    and base[-2] not in FI_VOWELS):
+                w, ending_removed = base, True
+        elif suf == "n":
+            w, ending_removed = base, True
+            if _fi_ends_long(w) or w.endswith("ie"):
+                w = w[:-1]
+        else:  # plain list
+            w, ending_removed = base, True
+        break
+
+    # step 4: other endings, in R2; the m-group must not follow po
+    for suf in _FI_OTHER:
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and pos >= r2):
+            continue
+        if suf.startswith("m") and w[:pos].endswith("po"):
+            break
+        w = w[:pos]
+        break
+
+    # step 5: i-plural after a removed case ending, else t-plural
+    if ending_removed:
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        if (w.endswith("t") and len(w) - 1 >= r1
+                and len(w) >= 2 and w[-2] in FI_VOWELS):
+            w = w[:-1]
+            for suf in ("imma", "mma"):
+                pos = len(w) - len(suf)
+                if w.endswith(suf) and pos >= r2:
+                    if suf == "mma" and w[:pos].endswith("po"):
+                        break
+                    w = w[:pos]
+                    break
+
+    # step 6: tidy (each sub-rule independent, in order)
+    if _fi_ends_long(w) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if (len(w) >= 2 and w[-1] in "aäei" and w[-2] not in FI_VOWELS
+            and len(w) - 2 >= r1):
+        w = w[:-1]
+    if w.endswith(("oj", "uj")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # undouble a final double consonant (whole-word tail)
+    if (len(w) >= 2 and w[-1] == w[-2] and w[-1] not in FI_VOWELS):
+        w = w[:-1]
+    return w
+
+
+def _fi_long_sql(x: str) -> str:
+    return "(" + " OR ".join(f"ends_with({x}, '{lv}')" for lv in FI_LONG) + ")"
+
+
+def _fi_prev_in(x: str, n: int, chars: str) -> str:
+    cs = ",".join(f"'{c}'" for c in chars)
+    return f"{_prev_sql(x, n)} IN ({cs})"
+
+
+def _fi_s1_sql(x: str) -> str:
+    whens = []
+    for suf in sorted(_FI_PARTICLES, key=len, reverse=True):
+        n = len(suf)
+        b = _strip(x, n)
+        cond = (
+            f"length({x}) - {n} >= r2" if suf == "sti"
+            else f"length({x}) - {n} >= 1 AND {_fi_prev_in(x, n, 'nt' + FI_VOWELS)}"
+        )
+        whens.append(
+            f"WHEN length({x}) - {n} >= r1 AND ends_with({x}, '{suf}') THEN "
+            f"CASE WHEN {cond} THEN {b} ELSE {x} END"
+        )
+    return "CASE\n    " + "\n    ".join(whens) + f"\n    ELSE {x} END"
+
+
+def _fi_s2_sql(x: str) -> str:
+    whens = []
+    for suf in sorted(_FI_POSS, key=len, reverse=True):
+        n = len(suf)
+        b = _strip(x, n)
+        if suf == "si":
+            body = f"CASE WHEN NOT ends_with({b}, 'k') THEN {b} ELSE {x} END"
+        elif suf == "ni":
+            body = (
+                f"CASE WHEN ends_with({b}, 'kse') "
+                f"THEN {_strip(x, n + 1)} || 'i' ELSE {b} END"
+            )
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            body = b
+        else:
+            prevs = {"an": _FI_AN_PREV, "än": _FI_AEN_PREV, "en": _FI_EN_PREV}[suf]
+            cond = " OR ".join(f"ends_with({b}, '{p}')" for p in prevs)
+            body = f"CASE WHEN {cond} THEN {b} ELSE {x} END"
+        whens.append(
+            f"WHEN length({x}) - {n} >= r1 AND ends_with({x}, '{suf}') THEN {body}"
+        )
+    return "CASE\n    " + "\n    ".join(whens) + f"\n    ELSE {x} END"
+
+
+def _fi_s3_sql(x: str) -> tuple[str, str]:
+    """(new-term expression, ending_removed expression)."""
+    whens_t, whens_e = [], []
+    for suf in _FI_CASE:
+        n = len(suf)
+        b = _strip(x, n)
+        if suf in _FI_HXN:
+            cond = f"ends_with({b}, '{_FI_HXN[suf]}')"
+            body, fired = f"CASE WHEN {cond} THEN {b} ELSE {x} END", cond
+        elif suf in ("siin", "den", "tten"):
+            cond = (
+                f"length({b}) >= 2 AND ends_with({b}, 'i') "
+                f"AND {_fi_prev_in(b, 1, FI_V2)}"
+            )
+            body, fired = f"CASE WHEN {cond} THEN {b} ELSE {x} END", cond
+        elif suf == "seen":
+            cond = _fi_long_sql(b)
+            body, fired = f"CASE WHEN {cond} THEN {b} ELSE {x} END", cond
+        elif suf in ("tta", "ttä"):
+            cond = f"ends_with({b}, 'e')"
+            body, fired = f"CASE WHEN {cond} THEN {b} ELSE {x} END", cond
+        elif suf in ("a", "ä"):
+            cond = (
+                f"length({b}) >= 2 AND {_fi_prev_in(b, 0, FI_VOWELS)} "
+                f"AND NOT {_fi_prev_in(b, 1, FI_VOWELS)}"
+            )
+            body, fired = f"CASE WHEN {cond} THEN {b} ELSE {x} END", cond
+        elif suf == "n":
+            shorten = f"{_fi_long_sql(b)} OR ends_with({b}, 'ie')"
+            body = f"CASE WHEN {shorten} THEN {_strip(x, 2)} ELSE {b} END"
+            fired = "true"
+        else:
+            body, fired = b, "true"
+        guard = f"length({x}) - {n} >= r1 AND ends_with({x}, '{suf}')"
+        whens_t.append(f"WHEN {guard} THEN {body}")
+        whens_e.append(f"WHEN {guard} THEN ({fired})")
+    t = "CASE\n    " + "\n    ".join(whens_t) + f"\n    ELSE {x} END"
+    e = "CASE\n    " + "\n    ".join(whens_e) + "\n    ELSE false END"
+    return t, e
+
+
+def _fi_s4_sql(x: str) -> str:
+    whens = []
+    for suf in _FI_OTHER:
+        n = len(suf)
+        b = _strip(x, n)
+        guard = f"length({x}) - {n} >= r2 AND ends_with({x}, '{suf}')"
+        if suf.startswith("m"):
+            whens.append(
+                f"WHEN {guard} THEN "
+                f"CASE WHEN ends_with({b}, 'po') THEN {x} ELSE {b} END"
+            )
+        else:
+            whens.append(f"WHEN {guard} THEN {b}")
+    return "CASE\n    " + "\n    ".join(whens) + f"\n    ELSE {x} END"
+
+
+def _fi_s5_sql(x: str) -> str:
+    # i/j plural when er; else t-plural then the R2 (i)mma clip
+    tless = _strip(x, 1)
+    mma = []
+    for suf in ("imma", "mma"):
+        n = len(suf)
+        b = _strip(tless, n)
+        guard = f"length({tless}) - {n} >= r2 AND ends_with({tless}, '{suf}')"
+        if suf == "mma":
+            mma.append(
+                f"WHEN {guard} THEN CASE WHEN ends_with({b}, 'po') "
+                f"THEN {tless} ELSE {b} END"
+            )
+        else:
+            mma.append(f"WHEN {guard} THEN {b}")
+    t_branch = (
+        f"CASE WHEN ends_with({x}, 't') AND length({x}) - 1 >= r1 "
+        f"AND length({x}) >= 2 AND {_fi_prev_in(x, 1, FI_VOWELS)} THEN "
+        f"(CASE\n      " + "\n      ".join(mma) + f"\n      ELSE {tless} END) "
+        f"ELSE {x} END"
+    )
+    i_branch = (
+        f"CASE WHEN (ends_with({x}, 'i') OR ends_with({x}, 'j')) "
+        f"AND length({x}) - 1 >= r1 THEN {_strip(x, 1)} ELSE {x} END"
+    )
+    return f"CASE WHEN er THEN ({i_branch}) ELSE ({t_branch}) END"
+
+
+def finnish_sql_ctes(src: str, out: str, p: str = "fi_") -> str:
+    """``src(doc_id, term)`` → the six steps → ``out(doc_id, term)``.
+    R1/R2 are computed once on the input term (steps only strip the tail,
+    so the prefix-determined region starts stay valid — module invariant)."""
+    r1, r2 = _r1r2_sql("term", FI_VOWELS)
+    s3_t, s3_e = _fi_s3_sql("t")
+    vlist = ",".join(f"'{c}'" for c in FI_VOWELS)
+    aei = ",".join(f"'{c}'" for c in "aäei")
+    tidy = [
+        # a) shorten a final long vowel
+        (f"CASE WHEN {_fi_long_sql('t')} AND length(t) - 2 >= r1 "
+         f"THEN {_strip('t', 1)} ELSE t END"),
+        # b) drop final a/ä/e/i after a consonant
+        (f"CASE WHEN length(t) >= 2 AND substr(t, length(t), 1) IN ({aei}) "
+         f"AND {_prev_sql('t', 1)} NOT IN ({vlist}) AND length(t) - 2 >= r1 "
+         f"THEN {_strip('t', 1)} ELSE t END"),
+        # c) j after o/u; d) o after j
+        (f"CASE WHEN (ends_with(t, 'oj') OR ends_with(t, 'uj')) "
+         f"AND length(t) - 2 >= r1 THEN {_strip('t', 1)} ELSE t END"),
+        (f"CASE WHEN ends_with(t, 'jo') AND length(t) - 2 >= r1 "
+         f"THEN {_strip('t', 1)} ELSE t END"),
+        # e) undouble a final double consonant (whole-word tail)
+        (f"CASE WHEN length(t) >= 2 "
+         f"AND substr(t, length(t), 1) = {_prev_sql('t', 1)} "
+         f"AND substr(t, length(t), 1) NOT IN ({vlist}) "
+         f"THEN {_strip('t', 1)} ELSE t END"),
+    ]
+    ctes = [
+        f"{p}b AS MATERIALIZED (\n  SELECT doc_id, term AS t, "
+        f"{r1} AS r1, {r2} AS r2 FROM {src}\n)",
+        f"{p}s1 AS MATERIALIZED (\n  SELECT doc_id, {_fi_s1_sql('t')} AS t, "
+        f"r1, r2 FROM {p}b\n)",
+        f"{p}s2 AS MATERIALIZED (\n  SELECT doc_id, {_fi_s2_sql('t')} AS t, "
+        f"r1, r2 FROM {p}s1\n)",
+        f"{p}s3 AS MATERIALIZED (\n  SELECT doc_id, {s3_t} AS t, "
+        f"{s3_e} AS er, r1, r2 FROM {p}s2\n)",
+        f"{p}s4 AS MATERIALIZED (\n  SELECT doc_id, {_fi_s4_sql('t')} AS t, "
+        f"er, r1, r2 FROM {p}s3\n)",
+        f"{p}s5 AS MATERIALIZED (\n  SELECT doc_id, {_fi_s5_sql('t')} AS t, "
+        f"r1, r2 FROM {p}s4\n)",
+    ]
+    prev = f"{p}s5"
+    for i, expr in enumerate(tidy):
+        name = f"{p}t{i}" if i < len(tidy) - 1 else out
+        keep = ", r1, r2" if i < len(tidy) - 1 else ""
+        col = "t" if i < len(tidy) - 1 else "term"
+        ctes.append(
+            f"{name} AS MATERIALIZED (\n  SELECT doc_id, {expr} AS {col}{keep} "
+            f"FROM {prev}\n)"
+        )
+        prev = name
+    return ",\n".join(ctes)
+
+
+# -------------------------------------------------------------- hungarian
+# Published Snowball Hungarian stemmer (Tordai; snowballstem.org — the
+# reference binds Lucene's HungarianAnalyzer, Language.scala:79). Only R1
+# is used, with the special definition: a vowel-initial word's R1 starts
+# after the first consonant UNIT (digraphs cs/dz/dzs/gy/ly/ny/sz/ty/zs
+# count as one); a consonant-initial word's R1 starts after the first
+# vowel. Nine ordered routines, each an independent `do`: instrumental
+# (-val/-vel assimilated onto a doubled consonant: delete + undouble),
+# case (delete + á→a/é→e v_ending), case_special (replacing), case_other,
+# factive (-vá/-vé assimilated), owned (-é family), singular owner,
+# plural owner, plural. Suffix families follow the regular pattern:
+# a/e-forms delete, á/é-forms replace with a/e, bare form deletes.
+
+HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs", "bb",
+               "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+               "pp", "rr", "ss", "tt", "vv", "zz")
+
+# (suffix, replacement) — "" = delete; longest-first at match time
+_HU_CASE = [(s, "") for s in (
+    "képpen", "onként", "enként", "anként", "ként", "képp",
+    "ban", "ben", "nak", "nek", "val", "vel", "tól", "től",
+    "ról", "ről", "ból", "ből", "hoz", "hez", "höz", "nál", "nél",
+    "ért", "kor", "ba", "be", "ra", "re", "ig",
+    "at", "et", "ot", "öt", "ul", "ül", "vá", "vé",
+    "en", "on", "an", "ön", "n", "t",
+)]
+_HU_CASE_SPECIAL = [("ánként", "a"), ("án", "a"), ("én", "e")]
+_HU_CASE_OTHER = [("ástul", "a"), ("éstül", "e"),
+                  ("astul", ""), ("estül", ""), ("stul", ""), ("stül", "")]
+_HU_OWNED = [("áké", "a"), ("éké", "e"), ("aké", ""), ("eké", ""),
+             ("oké", ""), ("öké", ""), ("éé", "é"), ("ké", ""), ("é", "")]
+_HU_SING_OWNER = [
+    ("ünk", ""), ("unk", ""), ("ánk", "a"), ("énk", "e"), ("nk", ""),
+    ("juk", ""), ("jük", ""), ("uk", ""), ("ük", ""),
+    ("ám", "a"), ("ém", "e"), ("em", ""), ("om", ""), ("am", ""), ("m", ""),
+    ("ád", "a"), ("éd", "e"), ("od", ""), ("ed", ""), ("ad", ""), ("öd", ""), ("d", ""),
+    ("ja", ""), ("je", ""), ("a", ""), ("e", ""), ("o", ""),
+    ("á", "a"), ("é", "e"),
+]
+_HU_PLUR_OWNER = [
+    ("jaitok", ""), ("jeitek", ""), ("áitok", "a"), ("éitek", "e"),
+    ("aitok", ""), ("eitek", ""), ("itek", ""),
+    ("jaink", ""), ("jeink", ""), ("áink", "a"), ("éink", "e"),
+    ("aink", ""), ("eink", ""), ("ink", ""),
+    ("jaim", ""), ("jeim", ""), ("áim", "a"), ("éim", "e"),
+    ("aim", ""), ("eim", ""), ("im", ""),
+    ("jaid", ""), ("jeid", ""), ("áid", "a"), ("éid", "e"),
+    ("aid", ""), ("eid", ""), ("id", ""),
+    ("jaik", ""), ("jeik", ""), ("áik", "a"), ("éik", "e"),
+    ("aik", ""), ("eik", ""), ("ik", ""),
+    ("jai", ""), ("jei", ""), ("ái", "a"), ("éi", "e"),
+    ("ai", ""), ("ei", ""), ("i", ""),
+]
+_HU_PLURAL = [("ák", "a"), ("ék", "e"), ("ok", ""), ("ek", ""),
+              ("ak", ""), ("ök", ""), ("k", "")]
+
+
+def _hu_r1_py(w: str) -> int:
+    if not w:
+        return _BIG
+    if w[0] in HU_VOWELS:
+        m = re.match(
+            f"^[{HU_VOWELS}]+({'|'.join(_HU_DIGRAPHS)}|[^{HU_VOWELS}])", w
+        )
+    else:
+        m = re.match(f"^[^{HU_VOWELS}]+[{HU_VOWELS}]", w)
+    return m.end() if m else _BIG
+
+
+def _hu_table(w: str, r1: int, table) -> str:
+    for suf, rep in sorted(table, key=lambda t: -len(t[0])):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            return w[: len(w) - len(suf)] + rep
+    return w
+
+
+def _hu_undouble(w: str) -> str:
+    for d in _HU_DOUBLES:
+        if w.endswith(d):
+            return w[:-1]
+    return w
+
+
+def _hu_v_ending(w: str) -> str:
+    if w.endswith("á"):
+        return w[:-1] + "a"
+    if w.endswith("é"):
+        return w[:-1] + "e"
+    return w
+
+
+def hungarian_py(word: str) -> str:
+    """Steps in routine order; the á→a/é→e v_ending normalization runs
+    after every routine (idempotent, final-char-only) so suffix chains
+    exposing a lengthened linking vowel converge to the short form
+    (fát→fá→fa, fákkal→fák→fá→fa via plural+v_ending)."""
+    w = word
+    r1 = _hu_r1_py(w)
+    # instrumental: -al/-el on a doubled consonant
+    for suf in ("al", "el"):
+        if w.endswith(suf) and len(w) - 2 >= r1:
+            base = w[:-2]
+            if any(base.endswith(d) for d in _HU_DOUBLES):
+                w = _hu_undouble(base)
+            break
+    w = _hu_v_ending(w)
+    w = _hu_v_ending(_hu_table(w, r1, _HU_CASE))
+    w = _hu_table(w, r1, _HU_CASE_SPECIAL)
+    w = _hu_v_ending(_hu_table(w, r1, _HU_CASE_OTHER))
+    # factive: -á/-é on a doubled consonant
+    for suf in ("á", "é"):
+        if w.endswith(suf) and len(w) - 1 >= r1:
+            base = w[:-1]
+            if any(base.endswith(d) for d in _HU_DOUBLES):
+                w = _hu_undouble(base)
+            break
+    w = _hu_v_ending(_hu_table(w, r1, _HU_OWNED))
+    w = _hu_v_ending(_hu_table(w, r1, _HU_SING_OWNER))
+    w = _hu_v_ending(_hu_table(w, r1, _HU_PLUR_OWNER))
+    w = _hu_v_ending(_hu_table(w, r1, _HU_PLURAL))
+    return w
+
+
+def _hu_r1_sql(x: str) -> str:
+    dg = "|".join(_HU_DIGRAPHS)
+    pv = f"^[{HU_VOWELS}]+({dg}|[^{HU_VOWELS}])"
+    pc = f"^[^{HU_VOWELS}]+[{HU_VOWELS}]"
+    first_v = f"substr({x}, 1, 1) IN ({','.join(chr(39) + c + chr(39) for c in HU_VOWELS)})"
+    return (
+        f"CASE WHEN {first_v} THEN "
+        f"(CASE WHEN regexp_matches({x}, '{pv}') "
+        f"THEN length(regexp_extract({x}, '{pv}')) ELSE {_BIG} END) "
+        f"ELSE (CASE WHEN regexp_matches({x}, '{pc}') "
+        f"THEN length(regexp_extract({x}, '{pc}')) ELSE {_BIG} END) END"
+    )
+
+
+def _hu_table_sql(x: str, table) -> str:
+    whens = []
+    for suf, rep in sorted(table, key=lambda t: -len(t[0])):
+        n = len(suf)
+        b = _strip(x, n)
+        res = f"{b} || '{rep}'" if rep else b
+        whens.append(
+            f"WHEN length({x}) - {n} >= r1 AND ends_with({x}, '{suf}') THEN {res}"
+        )
+    return "CASE\n    " + "\n    ".join(whens) + f"\n    ELSE {x} END"
+
+
+def _hu_ends_double_sql(x: str) -> str:
+    return "(" + " OR ".join(f"ends_with({x}, '{d}')" for d in _HU_DOUBLES) + ")"
+
+
+def _hu_v_ending_sql(x: str) -> str:
+    return (
+        f"CASE WHEN ends_with({x}, 'á') THEN {_strip(x, 1)} || 'a' "
+        f"WHEN ends_with({x}, 'é') THEN {_strip(x, 1)} || 'e' ELSE {x} END"
+    )
+
+
+def _hu_instrum_sql(x: str) -> str:
+    b = _strip(x, 2)
+    return (
+        f"CASE WHEN (ends_with({x}, 'al') OR ends_with({x}, 'el')) "
+        f"AND length({x}) - 2 >= r1 AND {_hu_ends_double_sql(b)} "
+        f"THEN {_strip(x, 3)} ELSE {x} END"
+    )
+
+
+def _hu_factive_sql(x: str) -> str:
+    b = _strip(x, 1)
+    return (
+        f"CASE WHEN (ends_with({x}, 'á') OR ends_with({x}, 'é')) "
+        f"AND length({x}) - 1 >= r1 AND {_hu_ends_double_sql(b)} "
+        f"THEN {_strip(x, 2)} ELSE {x} END"
+    )
+
+
+def hungarian_sql_ctes(src: str, out: str, p: str = "hu_") -> str:
+    """``src(doc_id, term)`` → the nine routines, each followed by a
+    v_ending CTE where the python form applies it → ``out(doc_id, term)``.
+    R1 computed once on the input term."""
+    steps = [
+        ("i", _hu_instrum_sql, True),
+        ("c", lambda x: _hu_table_sql(x, _HU_CASE), True),
+        ("cs", lambda x: _hu_table_sql(x, _HU_CASE_SPECIAL), False),
+        ("co", lambda x: _hu_table_sql(x, _HU_CASE_OTHER), True),
+        ("f", _hu_factive_sql, False),
+        ("ow", lambda x: _hu_table_sql(x, _HU_OWNED), True),
+        ("so", lambda x: _hu_table_sql(x, _HU_SING_OWNER), True),
+        ("po", lambda x: _hu_table_sql(x, _HU_PLUR_OWNER), True),
+        ("pl", lambda x: _hu_table_sql(x, _HU_PLURAL), True),
+    ]
+    ctes = [
+        f"{p}b AS MATERIALIZED (\n  SELECT doc_id, term AS t, "
+        f"{_hu_r1_sql('term')} AS r1 FROM {src}\n)"
+    ]
+    prev = f"{p}b"
+    for name, fn, vend in steps:
+        ctes.append(
+            f"{p}{name} AS MATERIALIZED (\n  SELECT doc_id, {fn('t')} AS t, r1 "
+            f"FROM {prev}\n)"
+        )
+        prev = f"{p}{name}"
+        if vend:
+            ctes.append(
+                f"{p}{name}v AS MATERIALIZED (\n  SELECT doc_id, "
+                f"{_hu_v_ending_sql('t')} AS t, r1 FROM {prev}\n)"
+            )
+            prev = f"{p}{name}v"
+    ctes.append(
+        f"{out} AS MATERIALIZED (\n  SELECT doc_id, t AS term FROM {prev}\n)"
+    )
+    return ",\n".join(ctes)

@@ -78,9 +78,10 @@ def test_russian_greek_chains():
     assert analyzer_py("russian")("Данные и индекс на потоке") == [
         "дан", "индекс", "поток",
     ]
-    # final sigma canonicalizes to σ (GreekLowerCaseFilter semantics)
+    # greek = full chain now: σ-fold (tokenizer) + accent fold + stop +
+    # Ntais stemmer — δείκτης → δεικτησ → δεικτ
     assert analyzer_py("greek")("τα δεδομένα και ο δείκτης") == [
-        "δεδομένα", "δείκτησ",
+        "δεδομεν", "δεικτ",
     ]
     # standard (ASCII) still drops non-Latin — the pinned corpus spec
     assert analyzer_py("standard")("данные data") == ["data"]

@@ -258,6 +258,7 @@ def test_stopword_entries_survive_tokenizer():
         for lang in (
             "german", "french", "spanish", "italian", "portuguese",
             "dutch", "swedish", "norwegian", "danish", "romanian", "czech",
+            "finnish", "hungarian",
         )
     }
     toks["catalan"] = tokenize_catalan_py

@@ -428,6 +428,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.search(MatchQuery("text_tr", "verilerin tabloda Türkiye'de ve"), size=10)
         )
 
+    def q_match_latvian(spark, sf):
+        # lightgen Latvian (the Lucene LatvianStemmer affix table): datām/
+        # parts/indexiem conflate to dat/part/index, matching corpus
+        # data/part/index stems; "un" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "latvian"})
+        return _as_docid(s.search(MatchQuery("text", "datām parts indexiem un"), size=10))
+
+    def q_match_lithuanian(spark, sf):
+        # lightgen Lithuanian light analog: datos/partų/indexas →
+        # dat/part/index; "ir" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "lithuanian"})
+        return _as_docid(s.search(MatchQuery("text", "datos partų indexas ir"), size=10))
+
+    def q_match_estonian(spark, sf):
+        # lightgen Estonian light analog: datale/partist/indexiga →
+        # data/part/index; "ja" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "estonian"})
+        return _as_docid(s.search(MatchQuery("text", "datale partist indexiga ja"), size=10))
+
+    def q_match_galician(spark, sf):
+        # lightgen Galician RSLP-analog: datas/partes/indexes → dat/part/
+        # index (plural + theme-vowel steps); "e" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "galician"})
+        return _as_docid(s.search(MatchQuery("text", "datas partes indexes e"), size=10))
+
+    def q_match_basque(spark, sf):
+        # lightgen Basque light analog: datak/partak/indexen → dat/part/
+        # index (determiner/case strips); "eta" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "basque"})
+        return _as_docid(s.search(MatchQuery("text", "datak partak indexen eta"), size=10))
+
+    def q_match_irish(spark, sf):
+        # lightgen Irish analog: eclipsis prefix undo (ndata→data,
+        # bparta→part) + suffix strips (indexanna→index); "agus" stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "irish"})
+        return _as_docid(s.search(MatchQuery("text", "ndata bparta indexanna agus"), size=10))
+
+    def q_match_polish(spark, sf):
+        # lightgen Polish light analog (Stempel is statistical — PARITY
+        # deferral): datach/partami/indexem → dat/part/index; "i" stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "polish"})
+        return _as_docid(s.search(MatchQuery("text", "datach partami indexem i"), size=10))
+
     def q_match_greek(spark, sf):
         # greek chain = unicode tokenizer (lower + ς→σ) → accent fold →
         # stop (post-norm forms) → Ntais/Saroukos stemmer (the full Lucene
@@ -1080,6 +1123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never in any CORRECTNESS_r*.json ---
         # round-5 additions lead (never driver-attested yet)
+        "bm25_match_latvian": q_match_latvian,
+        "bm25_match_lithuanian": q_match_lithuanian,
+        "bm25_match_estonian": q_match_estonian,
+        "bm25_match_galician": q_match_galician,
+        "bm25_match_basque": q_match_basque,
+        "bm25_match_irish": q_match_irish,
+        "bm25_match_polish": q_match_polish,
         "bm25_match_finnish": q_match_finnish,
         "bm25_match_hungarian": q_match_hungarian,
         "bm25_match_turkish": q_match_turkish,
@@ -1492,6 +1542,13 @@ LIMIT 10
         ("romanian", "partea datele indexul"),
         ("catalan", "parts indexs filtre"),
         ("czech", "datech partem indexem"),
+        ("latvian", "datām parts indexiem un"),
+        ("lithuanian", "datos partų indexas ir"),
+        ("estonian", "datale partist indexiga ja"),
+        ("galician", "datas partes indexes e"),
+        ("basque", "datak partak indexen eta"),
+        ("irish", "ndata bparta indexanna agus"),
+        ("polish", "datach partami indexem i"),
     ):
         _terms = analyzer_py(_lang)(_q)
         sql[f"bm25_match_{_lang}"] = f"""
@@ -2374,8 +2431,24 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
         swedish_sql_ctes,
     )
     from nixiesearch_spark.light import czech_sql_ctes as _light_czech_sql_ctes
+    from nixiesearch_spark.lightgen import (
+        basque_sql_ctes,
+        estonian_sql_ctes,
+        galician_sql_ctes,
+        irish_sql_ctes,
+        latvian_sql_ctes,
+        lithuanian_sql_ctes,
+        polish_sql_ctes,
+    )
 
     ctes_fn = {
+        "latvian": latvian_sql_ctes,
+        "lithuanian": lithuanian_sql_ctes,
+        "estonian": estonian_sql_ctes,
+        "galician": galician_sql_ctes,
+        "basque": basque_sql_ctes,
+        "irish": irish_sql_ctes,
+        "polish": polish_sql_ctes,
         "german": german_sql_ctes,
         "french": french_sql_ctes,
         "spanish": spanish_sql_ctes,

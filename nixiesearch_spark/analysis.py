@@ -540,6 +540,59 @@ LANG_STOPWORDS = {
         "onlar", "onu", "onun", "öyle", "sadece", "sanki", "sen", "siz",
         "şey", "şu", "tüm", "ve", "veya", "ya", "yani", "yine", "zaten",
     ],
+    # Baltic + Estonian function words (surface forms; the stop filter
+    # runs before the lightgen stemmers like the other Latin chains)
+    "latvian": [
+        "un", "ir", "es", "tu", "viņš", "viņa", "mēs", "jūs", "tie",
+        "tās", "kas", "ko", "kur", "kad", "kā", "ne", "nē", "jā", "par",
+        "pie", "no", "uz", "ar", "bez", "pēc", "līdz", "šis", "šī",
+        "tas", "tā", "vai", "arī", "bet", "ja", "lai", "jau", "vēl",
+        "tikai", "būt", "bija",
+    ],
+    "lithuanian": [
+        "ir", "yra", "aš", "tu", "jis", "ji", "mes", "jūs", "jie",
+        "jos", "kas", "ką", "kur", "kada", "kaip", "ne", "taip", "apie",
+        "po", "prie", "nuo", "į", "su", "be", "per", "šis", "ši",
+        "tas", "ta", "ar", "arba", "bet", "jei", "kad", "jau", "dar",
+        "tik", "būti", "buvo", "o", "iš",
+    ],
+    "estonian": [
+        "ja", "on", "ei", "ta", "sa", "ma", "me", "te", "nad", "see",
+        "need", "mis", "kes", "kus", "kui", "siis", "aga", "või", "ka",
+        "veel", "juba", "ainult", "olema", "oli", "olid", "tema", "oma",
+        "seda", "selle", "nii", "ning", "üle", "alla", "peale",
+        "pärast", "enne", "ilma", "koos", "vastu",
+    ],
+    "galician": [
+        "a", "o", "as", "os", "un", "unha", "uns", "unhas", "e", "ou",
+        "mais", "pero", "de", "do", "da", "dos", "das", "en", "no",
+        "na", "nos", "nas", "por", "para", "con", "sen", "que", "se",
+        "non", "é", "son", "ao", "aos", "á", "ás", "seu", "súa",
+        "este", "esta", "iso", "el", "ela", "eles", "elas", "como",
+        "máis", "foi", "xa", "tamén",
+    ],
+    "basque": [
+        "eta", "edo", "baina", "da", "dira", "zen", "ziren", "ez",
+        "bai", "ni", "zu", "gu", "hura", "hau", "hori", "bat",
+        "batzuk", "ere", "oso", "baino", "gabe", "arte", "zer", "nor",
+        "non", "noiz", "nola", "zergatik", "baita", "izan", "egin",
+        "dute", "duen", "dela", "den",
+    ],
+    "irish": [
+        "agus", "an", "na", "is", "tá", "ní", "go", "ar", "le", "i",
+        "in", "de", "do", "a", "ag", "as", "ó", "faoi", "trí", "chun",
+        "gan", "mar", "nó", "ach", "sé", "sí", "siad", "mé", "tú",
+        "muid", "sibh", "seo", "sin", "bhí", "beidh", "atá", "é", "í",
+        "iad", "ba",
+    ],
+    "polish": [
+        "i", "w", "we", "na", "z", "ze", "do", "od", "po", "za",
+        "przez", "dla", "bez", "o", "u", "a", "ale", "lub", "albo",
+        "że", "się", "nie", "tak", "to", "ten", "ta", "te", "jest",
+        "są", "był", "była", "było", "być", "będzie", "jak", "co",
+        "kto", "gdzie", "kiedy", "oraz", "czy", "już", "też", "tylko",
+        "może", "ich", "jego", "jej", "ma", "mają",
+    ],
     # CJKAnalyzer's default stop set (English function words + www/s/t) —
     # applied AFTER bigramming, so only non-CJK tokens can ever match it
     "cjk": [
@@ -722,6 +775,48 @@ def _turkish_stem(t: str) -> str:
     from nixiesearch_spark.light import turkish_py
 
     return turkish_py(t)
+
+
+def _latvian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import latvian_py
+
+    return latvian_py(t)
+
+
+def _lithuanian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import lithuanian_py
+
+    return lithuanian_py(t)
+
+
+def _estonian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import estonian_py
+
+    return estonian_py(t)
+
+
+def _galician_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import galician_py
+
+    return galician_py(t)
+
+
+def _basque_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import basque_py
+
+    return basque_py(t)
+
+
+def _irish_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import irish_py
+
+    return irish_py(t)
+
+
+def _polish_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import polish_py
+
+    return polish_py(t)
 
 
 def _greek_norm(t: str) -> str:
@@ -908,6 +1003,38 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["hungarian"], _hungarian_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["hungarian"], _hungarian_stem, tokenize_latin_py),
     ),
+    # lightgen rule-table chains over the Unicode-Latin tokenizer:
+    # latvian = the Lucene LatvianStemmer light-affix table; lithuanian /
+    # estonian = documented light analogs of the Snowball bindings
+    # (lightgen.py spec docnotes)
+    "latvian": (
+        _stem_col(LANG_STOPWORDS["latvian"], _latvian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["latvian"], _latvian_stem, tokenize_latin_py),
+    ),
+    "lithuanian": (
+        _stem_col(LANG_STOPWORDS["lithuanian"], _lithuanian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["lithuanian"], _lithuanian_stem, tokenize_latin_py),
+    ),
+    "estonian": (
+        _stem_col(LANG_STOPWORDS["estonian"], _estonian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["estonian"], _estonian_stem, tokenize_latin_py),
+    ),
+    "galician": (
+        _stem_col(LANG_STOPWORDS["galician"], _galician_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["galician"], _galician_stem, tokenize_latin_py),
+    ),
+    "basque": (
+        _stem_col(LANG_STOPWORDS["basque"], _basque_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["basque"], _basque_stem, tokenize_latin_py),
+    ),
+    "irish": (
+        _stem_col(LANG_STOPWORDS["irish"], _irish_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["irish"], _irish_stem, tokenize_latin_py),
+    ),
+    "polish": (
+        _stem_col(LANG_STOPWORDS["polish"], _polish_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["polish"], _polish_stem, tokenize_latin_py),
+    ),
     # Lucene TurkishAnalyzer analog: apostrophe filter + İ/I case fold in
     # the tokenizer, stop (surface forms), Çilden suffix-strip stemmer
     "turkish": (
@@ -961,6 +1088,8 @@ UDF_ANALYZERS = {
     "dutch", "russian", "swedish", "norwegian", "danish", "romanian",
     "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
     "catalan", "greek", "turkish", "finnish", "hungarian",
+    "latvian", "lithuanian", "estonian", "galician", "basque", "irish",
+    "polish",
 }
 
 
@@ -982,6 +1111,7 @@ try:
 
     from nixiesearch_spark import greek as _greek_mod
     from nixiesearch_spark import light as _light_mod
+    from nixiesearch_spark import lightgen as _lightgen_mod
     from nixiesearch_spark import snowball as _snowball_mod
     from nixiesearch_spark import stem as _stem_mod
 
@@ -989,6 +1119,7 @@ try:
     _cp.register_pickle_by_value(_snowball_mod)
     _cp.register_pickle_by_value(_light_mod)
     _cp.register_pickle_by_value(_greek_mod)
+    _cp.register_pickle_by_value(_lightgen_mod)
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - best effort on older pyspark
     pass

@@ -1,0 +1,156 @@
+"""lightgen rule-table stemmers: spec-pinned outputs + two-form identity.
+
+One rule table per language generates BOTH executable forms (python
+interpreter + DuckDB SQL CTEs) — the heavyweight guarantee is that the two
+forms agree on every input (hypothesis over each language's own alphabet);
+the spec cases pin intended linguistic behavior (strip tiers, guards,
+palatalization folds).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nixiesearch_spark import lightgen as lg
+
+
+def _sql_stem(words: list[str], ctes_fn) -> list[str]:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE src AS SELECT i AS doc_id, w AS term "
+        "FROM (SELECT unnest(range(len($words))) AS i, unnest($words) AS w)",
+        {"words": words},
+    )
+    frag = ctes_fn("src", "out_cte", "x_")
+    rows = con.execute(
+        f"WITH {frag.strip()} SELECT term FROM out_cte ORDER BY doc_id"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+LATVIAN_CASES = {
+    # affix table: length >= |affix|+3 and word vowel count > vc
+    "datām": "dat", "data": "dat", "parts": "part", "part": "part",
+    "indexiem": "index", "galdiem": "gald", "grāmatas": "grāmat",
+    "mājās": "māj", "māja": "māj",
+    # palatalization after the plural affixes (u/i/iem/us/os)
+    "ceļu": "cel", "ceļi": "cel", "skaļu": "skal", "zaļš": "zaļ",
+    "upju": "up",
+    # guards: "es" fails len>=|affix|+3; single vowel words keep endings
+    "es": "es", "s": "s", "ā": "ā",
+}
+
+LITHUANIAN_CASES = {
+    "datos": "dat", "data": "dat", "partų": "part", "part": "part",
+    "indexas": "index", "namuose": "nam", "knygoms": "knyg",
+    "vyrai": "vyr", "ir": "ir",
+}
+
+ESTONIAN_CASES = {
+    "datale": "data", "data": "data", "partist": "part", "part": "part",
+    "indexiga": "index", "raamatutele": "raamatu", "majades": "maja",
+    # single-letter endings need a 4-char stem (min_len 5)
+    "laual": "laua", "laud": "laud", "ja": "ja",
+}
+
+GALICIAN_CASES = {
+    # plural restorations + theme-vowel deletion + adverb
+    "datas": "dat", "data": "dat", "partes": "part", "part": "part",
+    "indexes": "index", "cancións": "canción", "canción": "canción",
+    "papeis": "papel", "rapidamente": "rapid", "libros": "libr",
+    "libro": "libr", "e": "e",
+}
+
+BASQUE_CASES = {
+    "datak": "dat", "data": "dat", "partak": "part", "part": "part",
+    "indexen": "index", "etxean": "etxe", "etxea": "etxe",
+    "liburuetako": "liburu", "eta": "eta",  # len 3 < min-stem guard
+}
+
+IRISH_CASES = {
+    # eclipsis prefix undo + suffix strips
+    "ndata": "data", "data": "data", "bparta": "part", "part": "part",
+    "indexanna": "index", "bhfuinneog": "fuinneog",
+    "fuinneog": "fuinneog", "gcarr": "carr", "dtír": "tír",
+    # prefix guards: too-short words keep the cluster
+    "ngá": "ngá",
+}
+
+POLISH_CASES = {
+    "datach": "dat", "data": "dat", "partami": "part", "part": "part",
+    "indexem": "index", "domowego": "dom", "stołach": "stoł",
+    "książkami": "książk", "i": "i",
+}
+
+SPEC_CASES = [
+    ("latvian", LATVIAN_CASES),
+    ("lithuanian", LITHUANIAN_CASES),
+    ("estonian", ESTONIAN_CASES),
+    ("galician", GALICIAN_CASES),
+    ("basque", BASQUE_CASES),
+    ("irish", IRISH_CASES),
+    ("polish", POLISH_CASES),
+]
+
+ALPHABETS = {
+    "latvian": "abdegijklmnprsštuvzāēīūčļņžj_01",
+    "lithuanian": "abdegijklmnoprstuvyząčęėįšųūž_01",
+    "estonian": "abdegijklmnoprstuvõäöüšž_01",
+    "galician": "abcdefgilmnoprstuxáéíóúñç_01",
+    "basque": "abdeghijklmnoprstuxz_01",
+    "irish": "abcdefghilmnoprstuáéíóú_01",
+    "polish": "abcdefghijklmnoprstuwyząćęłńóśźż_01",
+}
+
+
+@pytest.mark.parametrize("lang,cases", SPEC_CASES)
+def test_spec_cases(lang, cases):
+    fn = getattr(lg, f"{lang}_py")
+    bad = {w: (fn(w), want) for w, want in cases.items() if fn(w) != want}
+    assert not bad, bad
+
+
+@pytest.mark.parametrize("lang,cases", SPEC_CASES)
+def test_sql_equals_python(lang, cases):
+    fn = getattr(lg, f"{lang}_py")
+    ctes = getattr(lg, f"{lang}_sql_ctes")
+    words = list(cases) + ["", "spark", "foo_bar"]
+    got = _sql_stem(words, ctes)
+    want = [fn(w) for w in words]
+    bad = {w: (g, p) for w, g, p in zip(words, got, want) if g != p}
+    assert not bad, bad
+
+
+@pytest.mark.parametrize("lang", [lang for lang, _ in SPEC_CASES])
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_two_form_identity_random(lang, data):
+    words = data.draw(
+        st.lists(
+            st.text(alphabet=ALPHABETS[lang], min_size=0, max_size=12),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    fn = getattr(lg, f"{lang}_py")
+    ctes = getattr(lg, f"{lang}_sql_ctes")
+    got = _sql_stem(words, ctes)
+    want = [fn(w) for w in words]
+    assert got == want, [
+        (w, g, p) for w, g, p in zip(words, got, want) if g != p
+    ]
+
+
+def test_analyzer_chains():
+    from nixiesearch_spark.analysis import analyzer_py
+
+    assert analyzer_py("latvian")("datām un indexiem") == ["dat", "index"]
+    assert analyzer_py("lithuanian")("datos ir partų") == ["dat", "part"]
+    assert analyzer_py("estonian")("datale ja partist") == ["data", "part"]
+    assert analyzer_py("galician")("datas e partes") == ["dat", "part"]
+    assert analyzer_py("basque")("datak eta partak") == ["dat", "part"]
+    assert analyzer_py("irish")("ndata agus bparta") == ["data", "part"]
+    assert analyzer_py("polish")("datach i partami") == ["dat", "part"]

@@ -258,7 +258,8 @@ def test_stopword_entries_survive_tokenizer():
         for lang in (
             "german", "french", "spanish", "italian", "portuguese",
             "dutch", "swedish", "norwegian", "danish", "romanian", "czech",
-            "finnish", "hungarian",
+            "finnish", "hungarian", "latvian", "lithuanian", "estonian",
+            "galician", "basque", "irish", "polish",
         )
     }
     toks["catalan"] = tokenize_catalan_py

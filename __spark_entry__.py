@@ -64,6 +64,34 @@ GR_VOCAB = ["Î´ÎµÎ´Î¿Î¼Î­Î½Î±", "Î±Î½Î±Î¶Î®Ï„Î·ÏƒÎ·", "ÎµÏ…ÏÎµÏ„Î®ÏÎ¹Î¿", "Ï€Î
 # "the" exercises the post-bigram English stop set (CJKAnalyzer's order)
 CJK_VOCAB = ["å…¨æ–‡æ¤œç´¢", "åˆ†æ•£å‡¦ç†", "ç´¢å¼•", "ãƒ‡ãƒ¼ã‚¿", "æ¤œç´¢", "the", "ì§ˆì˜"]
 
+# deterministic Ukrainian vocab ("Ñ–" is a stopword; case forms exercise
+# the light-Slavic strip tiers)
+UA_VOCAB = ["Ğ´Ğ°Ğ½Ñ–", "Ñ‚Ğ°Ğ±Ğ»Ğ¸Ñ†Ñ", "Ğ¿Ğ¾Ñ‚Ñ–Ğº", "Ğ·Ğ°Ğ¿Ğ¸Ñ‚", "Ñ–Ğ½Ğ´ĞµĞºÑ", "Ñ–", "Ğ¿Ğ¾ÑˆÑƒĞº"]
+
+# deterministic Serbian vocab ("Ğ¸" is a stopword post-fold; the query
+# mixes Cyrillic and Latin spellings â€” the bald fold makes them one term)
+SR_VOCAB = ["Ğ¿Ğ¾Ğ´Ğ°Ñ†Ğ¸", "Ñ‚Ğ°Ğ±ĞµĞ»Ğ°", "ÑƒĞ¿Ğ¸Ñ‚", "Ğ¸Ğ½Ğ´ĞµĞºÑ", "Ğ¿Ñ€ĞµÑ‚Ñ€Ğ°Ğ³Ğ°", "Ğ¸", "Ñ‚Ğ¾Ğº"]
+
+# deterministic Armenian vocab ("Ö‡" is a stopword; Õ¶Õ¥Ö€Õ«/Õ¸Ö‚Õ´ forms
+# exercise the plural+case strips)
+HY_VOCAB = ["Õ¿Õ¾ÕµÕ¡Õ¬Õ¶Õ¥Ö€", "Õ¡Õ²ÕµÕ¸Ö‚Õ½Õ¡Õ¯", "Õ°Õ¡Ö€ÖÕ¸Ö‚Õ´", "Õ«Õ¶Õ¤Õ¥Ö„Õ½", "Õ¸Ö€Õ¸Õ¶Õ¸Ö‚Õ´", "Ö‡", "Õ£Õ«Ö€Ö„"]
+
+# deterministic Tamil vocab ("à®®à®±à¯à®±à¯à®®à¯" is a stopword; à®•à®³à¯-family forms
+# exercise the plural+case strips)
+TA_VOCAB = ["à®¤à®°à®µà¯", "à®…à®Ÿà¯à®Ÿà®µà®£à¯ˆ", "à®µà®¿à®©à®µà®²à¯", "à®•à¯à®±à®¿à®¯à¯€à®Ÿà¯", "à®¤à¯‡à®Ÿà®²à¯", "à®®à®±à¯à®±à¯à®®à¯", "à®ªà¯à®¤à¯à®¤à®•à®®à¯"]
+
+# deterministic Bengali vocab ("à¦à¦¬à¦‚" is a stopword; à§‡à¦°/à¦—à§à¦²à§‹ forms
+# exercise the case/plural tiers)
+BN_VOCAB = ["à¦¤à¦¥à§à¦¯", "à¦¸à¦¾à¦°à¦£à§€", "à¦ªà§à¦°à¦¶à§à¦¨", "à¦¸à§‚à¦šà¦•", "à¦…à¦¨à§à¦¸à¦¨à§à¦§à¦¾à¦¨", "à¦à¦¬à¦‚", "à¦¬à¦‡"]
+
+# deterministic Sorani vocab ("Ùˆ" is a stopword; Ú©Ø§Ù†ÛŒ/Û•Ú©Û• definite forms
+# exercise the SoraniStemmer-analog strips)
+CKB_VOCAB = ["Ø¯Ø§ØªØ§", "Ø®Ø´ØªÛ•", "Ù¾Ø±Ø³ÛŒØ§Ø±", "Ø¦ÛŒÙ†Ø¯ÛÚ©Ø³", "Ú¯Û•Ú•Ø§Ù†", "Ùˆ", "Ú©ØªÛØ¨"]
+
+# deterministic Thai vocab ("the" exercises the post-bigram Latin stop
+# set; Thai words become overlapping char bigrams like the cjk chain)
+TH_VOCAB = ["à¸‚à¹‰à¸­à¸¡à¸¹à¸¥", "à¸•à¸²à¸£à¸²à¸‡", "à¸„à¸³à¸–à¸²à¸¡", "à¸”à¸±à¸Šà¸™à¸µ", "à¸„à¹‰à¸™à¸«à¸²", "the", "à¸«à¸™à¸±à¸‡à¸ªà¸·à¸­"]
+
 DERIVED_VOCABS = {
     "text_ru": RU_VOCAB,
     "text_ar": AR_VOCAB,
@@ -73,6 +101,13 @@ DERIVED_VOCABS = {
     "text_cjk": CJK_VOCAB,
     "text_el": GR_VOCAB,
     "text_tr": TR_VOCAB,
+    "text_ua": UA_VOCAB,
+    "text_sr": SR_VOCAB,
+    "text_hy": HY_VOCAB,
+    "text_ta": TA_VOCAB,
+    "text_bn": BN_VOCAB,
+    "text_ckb": CKB_VOCAB,
+    "text_th": TH_VOCAB,
 }
 
 # ---------------------------------------------------------------- index cache
@@ -470,6 +505,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferral): datach/partami/indexem â†’ dat/part/index; "i" stopword
         s = _index(spark, sf, ("text",), False, analyzers={"text": "polish"})
         return _as_docid(s.search(MatchQuery("text", "datach partami indexem i"), size=10))
+
+    def q_match_ukrainian(spark, sf):
+        # lightgen Ukrainian light analog (Morfologik dictionary deferral):
+        # Ğ´Ğ°Ğ½Ğ¸Ñ…/Ñ–Ğ½Ğ´ĞµĞºÑÑƒ case forms conflate with the vocab's Ğ´Ğ°Ğ½Ñ–/Ñ–Ğ½Ğ´ĞµĞºÑ;
+        # "Ñ–" is a stopword
+        s = _index(
+            spark, sf, ("text_ua",), False,
+            analyzers={"text_ua": "ukrainian"}, derive_langs=("text_ua",),
+        )
+        return _as_docid(s.search(MatchQuery("text_ua", "Ğ´Ğ°Ğ½Ğ¸Ñ… Ñ– Ñ–Ğ½Ğ´ĞµĞºÑÑƒ"), size=10))
+
+    def q_match_serbian(spark, sf):
+        # serbian chain = bald Cyrillicâ†’Latin fold â†’ stop (post-norm) â†’
+        # light stem; the query mixes scripts (Ğ¸Ğ½Ğ´ĞµĞºÑĞ° Cyrillic + tabele
+        # Latin) and still hits both vocab words
+        s = _index(
+            spark, sf, ("text_sr",), False,
+            analyzers={"text_sr": "serbian"}, derive_langs=("text_sr",),
+        )
+        return _as_docid(s.search(MatchQuery("text_sr", "Ğ¸Ğ½Ğ´ĞµĞºÑĞ° tabele Ğ¸"), size=10))
+
+    def q_match_armenian(spark, sf):
+        # lightgen Armenian (Snowball-analog strips): Õ¿Õ¾ÕµÕ¡Õ¬Õ¶Õ¥Ö€Õ«/Õ«Õ¶Õ¤Õ¥Ö„Õ½Õ¸Ö‚Õ´
+        # conflate with Õ¿Õ¾ÕµÕ¡Õ¬Õ¶Õ¥Ö€/Õ«Õ¶Õ¤Õ¥Ö„Õ½; "Ö‡" is a stopword
+        s = _index(
+            spark, sf, ("text_hy",), False,
+            analyzers={"text_hy": "armenian"}, derive_langs=("text_hy",),
+        )
+        return _as_docid(s.search(MatchQuery("text_hy", "Õ¿Õ¾ÕµÕ¡Õ¬Õ¶Õ¥Ö€Õ« Õ«Õ¶Õ¤Õ¥Ö„Õ½Õ¸Ö‚Õ´ Ö‡"), size=10))
+
+    def q_match_tamil(spark, sf):
+        # lightgen Tamil (à®•à®³à¯-family strips): à®¤à®°à®µà¯à®•à®³à¯/à®•à¯à®±à®¿à®¯à¯€à®Ÿà¯à®•à®³à®¿à®©à¯
+        # conflate with à®¤à®°à®µà¯/à®•à¯à®±à®¿à®¯à¯€à®Ÿà¯; "à®®à®±à¯à®±à¯à®®à¯" is a stopword
+        s = _index(
+            spark, sf, ("text_ta",), False,
+            analyzers={"text_ta": "tamil"}, derive_langs=("text_ta",),
+        )
+        return _as_docid(
+            s.search(MatchQuery("text_ta", "à®¤à®°à®µà¯à®•à®³à¯ à®•à¯à®±à®¿à®¯à¯€à®Ÿà¯à®•à®³à®¿à®©à¯ à®®à®±à¯à®±à¯à®®à¯"), size=10)
+        )
+
+    def q_match_bengali(spark, sf):
+        # bengali normâ†’stopâ†’stem chain: à¦¤à¦¥à§à¦¯à§‡à¦°/à¦¸à§‚à¦šà¦•à¦—à§à¦²à§‹ conflate with
+        # à¦¤à¦¥à§à¦¯/à¦¸à§‚à¦šà¦•; "à¦à¦¬à¦‚" is a stopword
+        s = _index(
+            spark, sf, ("text_bn",), False,
+            analyzers={"text_bn": "bengali"}, derive_langs=("text_bn",),
+        )
+        return _as_docid(s.search(MatchQuery("text_bn", "à¦¤à¦¥à§à¦¯à§‡à¦° à¦¸à§‚à¦šà¦•à¦—à§à¦²à§‹ à¦à¦¬à¦‚"), size=10))
+
+    def q_match_sorani(spark, sf):
+        # sorani normâ†’stopâ†’stem chain: Ø¯Ø§ØªØ§Ú©Ø§Ù†ÛŒ/Ø¦ÛŒÙ†Ø¯ÛÚ©Ø³Û•Ú©Û• definite forms
+        # conflate with Ø¯Ø§ØªØ§/Ø¦ÛŒÙ†Ø¯ÛÚ©Ø³; "Ùˆ" is a stopword
+        s = _index(
+            spark, sf, ("text_ckb",), False,
+            analyzers={"text_ckb": "sorani"}, derive_langs=("text_ckb",),
+        )
+        return _as_docid(s.search(MatchQuery("text_ckb", "Ø¯Ø§ØªØ§Ú©Ø§Ù†ÛŒ Ø¦ÛŒÙ†Ø¯ÛÚ©Ø³Û•Ú©Û• Ùˆ"), size=10))
+
+    def q_match_thai(spark, sf):
+        # thai run-bigram chain (dictionary segmentation deferred): query
+        # words share their bigrams with the vocab; "the" exercises the
+        # post-bigram stop set
+        s = _index(
+            spark, sf, ("text_th",), False,
+            analyzers={"text_th": "thai"}, derive_langs=("text_th",),
+        )
+        return _as_docid(s.search(MatchQuery("text_th", "à¸‚à¹‰à¸­à¸¡à¸¹à¸¥ à¸”à¸±à¸Šà¸™à¸µ the"), size=10))
+
+    def q_match_brazilian(spark, sf):
+        # RSLP-lite Brazilian chain (distinct from Snowball pt): datas/
+        # partes/indexes â†’ dat/part/index; "e" is a stopword
+        s = _index(spark, sf, ("text",), False, analyzers={"text": "brazilian"})
+        return _as_docid(s.search(MatchQuery("text", "datas partes indexes e"), size=10))
 
     def q_match_greek(spark, sf):
         # greek chain = unicode tokenizer (lower + Ï‚â†’Ïƒ) â†’ accent fold â†’
@@ -1123,6 +1232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never in any CORRECTNESS_r*.json ---
         # round-5 additions lead (never driver-attested yet)
+        "bm25_match_ukrainian": q_match_ukrainian,
+        "bm25_match_serbian": q_match_serbian,
+        "bm25_match_armenian": q_match_armenian,
+        "bm25_match_tamil": q_match_tamil,
+        "bm25_match_bengali": q_match_bengali,
+        "bm25_match_sorani": q_match_sorani,
+        "bm25_match_thai": q_match_thai,
+        "bm25_match_brazilian": q_match_brazilian,
         "bm25_match_latvian": q_match_latvian,
         "bm25_match_lithuanian": q_match_lithuanian,
         "bm25_match_estonian": q_match_estonian,
@@ -1549,6 +1666,7 @@ LIMIT 10
         ("basque", "datak partak indexen eta"),
         ("irish", "ndata bparta indexanna agus"),
         ("polish", "datach partami indexem i"),
+        ("brazilian", "datas partes indexes e"),
     ):
         _terms = analyzer_py(_lang)(_q)
         sql[f"bm25_match_{_lang}"] = f"""
@@ -1734,6 +1852,73 @@ WITH {_derived_tok_sql(AR_VOCAB, ar_stops)},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
 st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 {_bm25_cte(ar_terms, "text_ar").strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    # lightgen derived-script chains: ua/hy/ta are stop-before-stem (stop
+    # filter inside tok_raw, surface forms); sr/bn/ckb are normâ†’stopâ†’stem
+    # (the generated CTE chain normalizes first and compares the stop list
+    # post-normalization â€” the list literal is normalized the same way)
+    from nixiesearch_spark.lightgen import (
+        armenian_sql_ctes,
+        bengali_norm_py,
+        bengali_sql_ctes,
+        serbian_norm_py,
+        serbian_sql_ctes,
+        sorani_norm_py,
+        sorani_sql_ctes,
+        tamil_sql_ctes,
+        ukrainian_sql_ctes,
+    )
+
+    for _lang, _voc, _q, _ctes, _normfn, _field in (
+        ("ukrainian", UA_VOCAB, "Ğ´Ğ°Ğ½Ğ¸Ñ… Ñ– Ñ–Ğ½Ğ´ĞµĞºÑÑƒ", ukrainian_sql_ctes, None, "text_ua"),
+        ("armenian", HY_VOCAB, "Õ¿Õ¾ÕµÕ¡Õ¬Õ¶Õ¥Ö€Õ« Õ«Õ¶Õ¤Õ¥Ö„Õ½Õ¸Ö‚Õ´ Ö‡", armenian_sql_ctes, None, "text_hy"),
+        ("tamil", TA_VOCAB, "à®¤à®°à®µà¯à®•à®³à¯ à®•à¯à®±à®¿à®¯à¯€à®Ÿà¯à®•à®³à®¿à®©à¯ à®®à®±à¯à®±à¯à®®à¯", tamil_sql_ctes, None, "text_ta"),
+        ("serbian", SR_VOCAB, "Ğ¸Ğ½Ğ´ĞµĞºÑĞ° tabele Ğ¸", serbian_sql_ctes, serbian_norm_py, "text_sr"),
+        ("bengali", BN_VOCAB, "à¦¤à¦¥à§à¦¯à§‡à¦° à¦¸à§‚à¦šà¦•à¦—à§à¦²à§‹ à¦à¦¬à¦‚", bengali_sql_ctes, bengali_norm_py, "text_bn"),
+        ("sorani", CKB_VOCAB, "Ø¯Ø§ØªØ§Ú©Ø§Ù†ÛŒ Ø¦ÛŒÙ†Ø¯ÛÚ©Ø³Û•Ú©Û• Ùˆ", sorani_sql_ctes, sorani_norm_py, "text_ckb"),
+    ):
+        _terms = analyzer_py(_lang)(_q)
+        _pref = _lang[:3] + "lg_"
+        if _normfn is None:
+            _stq = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[_lang]) + "]"
+            _base = _derived_tok_sql(_voc, _stq)
+            _stem = _ctes("tok_raw", "tok_f", _pref).strip().rstrip(",").strip()
+        else:
+            _base = _derived_tok_sql(_voc, None)
+            _stem = _ctes(
+                "tok_raw", "tok_f", _pref,
+                stops=[_normfn(w) for w in LANG_STOPWORDS[_lang]],
+            ).strip().rstrip(",").strip()
+        sql[f"bm25_match_{_lang}"] = f"""
+WITH {_base},
+{_stem},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(_terms, _field).strip()}
+SELECT doc_id, round(sc.score, 4) AS score
+FROM sc
+ORDER BY sc.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    from nixiesearch_spark.analysis import thai_tok_sql
+
+    th_terms = analyzer_py("thai")("à¸‚à¹‰à¸­à¸¡à¸¹à¸¥ à¸”à¸±à¸Šà¸™à¸µ the")
+    th_stops = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS["thai"]) + "]"
+    sql["bm25_match_thai"] = f"""
+WITH {_derived_base_sql(TH_VOCAB)},
+tok_f AS (
+  SELECT doc_id, term FROM ({thai_tok_sql("t", "base")}) ttk
+  WHERE NOT list_contains({th_stops}, term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_f GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+{_bm25_cte(th_terms, "text_th").strip()}
 SELECT doc_id, round(sc.score, 4) AS score
 FROM sc
 ORDER BY sc.score DESC, doc_id ASC
@@ -2433,6 +2618,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
     from nixiesearch_spark.light import czech_sql_ctes as _light_czech_sql_ctes
     from nixiesearch_spark.lightgen import (
         basque_sql_ctes,
+        brazilian_sql_ctes,
         estonian_sql_ctes,
         galician_sql_ctes,
         irish_sql_ctes,
@@ -2442,6 +2628,7 @@ def _bm25_full_lang(terms: list[str], lang: str, prefix: str = "") -> str:
     )
 
     ctes_fn = {
+        "brazilian": brazilian_sql_ctes,
         "latvian": latvian_sql_ctes,
         "lithuanian": lithuanian_sql_ctes,
         "estonian": estonian_sql_ctes,

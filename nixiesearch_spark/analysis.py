@@ -97,9 +97,22 @@ TOKEN_SPLIT_UNICODE = (
     # پ چ ژ گ ک ی ۀ ہ ے (all folded by the persian normalizer) are word
     # chars too, so the folds are reachable
     "ء-ْٔپچژگکیۀہے"
+    # Sorani Kurdish letters (reh/veh/lam with ring, waw/yeh with small v,
+    # ae) — word chars so the ckb normalizer/stemmer can reach them
+    "ڕڤڵۆێە"
     # Devanagari signs/letters/matras/virama (U+0901–U+0963); the danda
     # punctuation U+0964/0965 and digits stay delimiters
-    "ँ-ॣ]+"
+    "ँ-ॣ"
+    # Armenian letters (upper + lower incl. the ech-yiwn ligature և);
+    # the Armenian punctuation U+0559–055F stays a delimiter
+    "Ա-Ֆա-և"
+    # Bengali signs/letters/matras/virama + the nukta-composed letters
+    # (U+0981–09E3 letter sub-ranges); danda and Bengali digits stay
+    # delimiters
+    "ঁ-ঃঅ-ঌএঐও-নপ-রলশ-হ়-ৄেৈো-ৎৗড়-ৣ"
+    # Tamil letter/sign sub-ranges (U+0B82–0BD7); digits and fraction
+    # signs stay delimiters
+    "ஂஃஅ-ஊஎ-ஐஒ-கங-சஜஞ-டண-தந-பம-ஹா-ூெ-ைொ-்ௗ]+"
 )
 _SPLIT_UNICODE_RE = re.compile(TOKEN_SPLIT_UNICODE)
 
@@ -163,60 +176,76 @@ _CJK_FW = "".join(chr(0xFF01 + i) for i in range(94))
 _CJK_HW = "".join(chr(0x21 + i) for i in range(94))
 _CJK_FW_TRANS = str.maketrans(_CJK_FW, _CJK_HW)
 TOKEN_SPLIT_CJK = "[^0-9A-Za-z_À-ÖØ-öø-ɏ" + _CJK_CLASS + "]+"
-_CJK_RUN_RE = re.compile("([" + _CJK_CLASS + "]+)")
-_SPLIT_CJK_RE = re.compile(TOKEN_SPLIT_CJK)
-_CJK_HEAD_RE = re.compile("^[" + _CJK_CLASS + "]")
+
+# Thai letter/sign run class (U+0E01–0E3A consonants + vowel signs,
+# U+0E40–0E4E leading vowels, ๆ, tone marks; ฿ and the Thai digits stay
+# delimiters). Used by the Thai run-bigram analyzer below.
+_THAI_CLASS = "ก-ฺเ-๎"
+TOKEN_SPLIT_THAI = "[^0-9A-Za-z_À-ÖØ-öø-ɏ" + _THAI_CLASS + "]+"
 
 
-def tokenize_cjk_py(text: str | None) -> list[str]:
-    """CJK bigram tokenizer (python form) — must match the Catalyst form
-    and the DuckDB RE2 spelling (tests/test_analysis_cjk.py)."""
-    if text is None:
-        return []
-    low = text[:MAX_FIELD_SEARCH_SIZE].translate(_CJK_FW_TRANS).lower()
-    out: list[str] = []
-    for tok in _SPLIT_CJK_RE.split(_CJK_RUN_RE.sub(r" \1 ", low)):
-        if not tok or len(tok) > MAX_TOKEN_LENGTH:
-            continue
-        if len(tok) > 1 and _CJK_HEAD_RE.match(tok):
-            out.extend(tok[i : i + 2] for i in range(len(tok) - 1))
-        else:
-            out.append(tok)
-    return out
+def _make_bigram_forms(cls: str, split_class: str, fw: str = "", hw: str = ""):
+    """Run-bigram tokenizer family, three rule-identical forms from one
+    spec: maximal runs of ``cls`` codepoints become overlapping character
+    bigrams (a lone char stays a unigram), everything else tokenizes like
+    the Latin class. Optional ``fw``→``hw`` translate runs before lower
+    (CJKWidthFilter's fullwidth fold). Returns (py, col, sql_fn)."""
+    run_re = re.compile("([" + cls + "]+)")
+    split_re = re.compile(split_class)
+    head_re = re.compile("^[" + cls + "]")
+    trans = str.maketrans(fw, hw) if fw else None
 
+    def tok_py(text: str | None) -> list[str]:
+        if text is None:
+            return []
+        low = text[:MAX_FIELD_SEARCH_SIZE]
+        if trans:
+            low = low.translate(trans)
+        low = low.lower()
+        out: list[str] = []
+        for tok in split_re.split(run_re.sub(r" \1 ", low)):
+            if not tok or len(tok) > MAX_TOKEN_LENGTH:
+                continue
+            if len(tok) > 1 and head_re.match(tok):
+                out.extend(tok[i : i + 2] for i in range(len(tok) - 1))
+            else:
+                out.append(tok)
+        return out
 
-def tokenize_cjk_col(col: Column) -> Column:
-    """Catalyst form — pure JVM: translate (width fold) + regexp pad +
-    split + nested higher-order bigram expansion. No UDF in the chain."""
-    low = F.lower(
-        F.translate(F.substring(col, 1, MAX_FIELD_SEARCH_SIZE), _CJK_FW, _CJK_HW)
-    )
-    padded = F.regexp_replace(low, "([" + _CJK_CLASS + "]+)", " $1 ")
-    toks = F.filter(
-        F.split(padded, TOKEN_SPLIT_CJK),
-        lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH),
-    )
-    expanded = F.transform(
-        toks,
-        lambda t: F.when(
-            (F.length(t) > 1) & t.rlike("^[" + _CJK_CLASS + "]"),
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 1),
-                lambda i: F.substr(t, i, F.lit(2)),
-            ),
-        ).otherwise(F.array(t)),
-    )
-    return F.flatten(expanded)
+    def tok_col(col: Column) -> Column:
+        """Catalyst form — pure JVM: (translate +) regexp pad + split +
+        nested higher-order bigram expansion. No UDF in the chain."""
+        base = F.substring(col, 1, MAX_FIELD_SEARCH_SIZE)
+        if fw:
+            base = F.translate(base, fw, hw)
+        low = F.lower(base)
+        padded = F.regexp_replace(low, "([" + cls + "]+)", " $1 ")
+        toks = F.filter(
+            F.split(padded, split_class),
+            lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH),
+        )
+        expanded = F.transform(
+            toks,
+            lambda t: F.when(
+                (F.length(t) > 1) & t.rlike("^[" + cls + "]"),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.substr(t, i, F.lit(2)),
+                ),
+            ).otherwise(F.array(t)),
+        )
+        return F.flatten(expanded)
 
-
-def cjk_tok_sql(src_text: str, src: str = "src") -> str:
-    """DuckDB spelling of the CJK bigram tokenizer: SELECT fragment
-    producing (doc_id, term) from ``{src}`` rows (doc_id, {src_text}).
-    Same width fold (translate), pad (regexp_replace 'g'), split class and
-    bigram expansion (lateral generate_series) as the other two forms."""
-    cls = _CJK_CLASS
-    _CJK_HW_SQL = _CJK_HW.replace("'", "''")  # ASCII ' is in the fold target
-    return f"""
+    def tok_sql(src_text: str, src: str = "src") -> str:
+        """DuckDB spelling: SELECT fragment producing (doc_id, term) from
+        ``{src}`` rows (doc_id, {src_text}). Same (fold +) pad
+        (regexp_replace 'g'), split class and bigram expansion (lateral
+        generate_series) as the other two forms."""
+        inner = f"substr({src_text},1,{MAX_FIELD_SEARCH_SIZE})"
+        if fw:
+            hw_sql = hw.replace("'", "''")  # ASCII ' is in the fold target
+            inner = f"translate({inner}, '{fw}', '{hw_sql}')"
+        return f"""
   SELECT doc_id,
          CASE WHEN length(term) > 1 AND regexp_matches(term, '^[{cls}]')
               THEN substr(term, g.i, 2) ELSE term END AS term
@@ -224,16 +253,31 @@ def cjk_tok_sql(src_text: str, src: str = "src") -> str:
     SELECT doc_id, x.term
     FROM {src}, unnest(list_filter(
       regexp_split_to_array(
-        regexp_replace(lower(translate(substr({src_text},1,{MAX_FIELD_SEARCH_SIZE}),
-                                       '{_CJK_FW}', '{_CJK_HW_SQL}')),
+        regexp_replace(lower({inner}),
                        '([{cls}]+)', ' \\1 ', 'g'),
-        '{TOKEN_SPLIT_CJK}'),
+        '{split_class}'),
       x -> x <> '' AND length(x) <= {MAX_TOKEN_LENGTH})) AS x(term)
   ) tokw,
   unnest(generate_series(1,
     CASE WHEN length(term) > 1 AND regexp_matches(term, '^[{cls}]')
          THEN length(term) - 1 ELSE 1 END)) AS g(i)
 """
+
+    return tok_py, tok_col, tok_sql
+
+
+# CJK bigram tokenizer (must match across the three forms —
+# tests/test_analysis_cjk.py) and its Thai sibling. ThaiAnalyzer's real
+# tokenizer is a DICTIONARY BreakIterator (no ICU in this sandbox —
+# PARITY.md deferral); character bigrams over Thai runs are the documented
+# segmentation-free analog (a standard Thai IR baseline), same machinery
+# as the CJK chain minus the width fold.
+tokenize_cjk_py, tokenize_cjk_col, cjk_tok_sql = _make_bigram_forms(
+    _CJK_CLASS, TOKEN_SPLIT_CJK, _CJK_FW, _CJK_HW
+)
+tokenize_thai_py, tokenize_thai_col, thai_tok_sql = _make_bigram_forms(
+    _THAI_CLASS, TOKEN_SPLIT_THAI
+)
 
 
 # Catalan tokenizer class: the Latin class plus U+00B7 (middle dot) as a
@@ -593,6 +637,55 @@ LANG_STOPWORDS = {
         "kto", "gdzie", "kiedy", "oraz", "czy", "już", "też", "tylko",
         "może", "ich", "jego", "jej", "ma", "mają",
     ],
+    # Ukrainian function words (surface forms; stop runs before the
+    # lightgen stemmer like the other Cyrillic chains)
+    "ukrainian": [
+        "і", "й", "та", "в", "у", "на", "з", "із", "зі", "до", "від",
+        "за", "про", "при", "під", "над", "для", "без", "не", "ні",
+        "що", "як", "але", "або", "чи", "це", "цей", "ця", "ці", "той",
+        "те", "ті", "він", "вона", "воно", "вони", "ми", "ви",
+        "я", "ти", "його", "її", "їх", "так", "вже", "ще", "тільки",
+        "є", "був", "була", "було", "бути", "би", "б", "же",
+    ],
+    # Serbian function words — compared POST-normalization (the bald
+    # Cyrillic→Latin fold), so Cyrillic и and Latin i hit the same entry
+    "serbian": [
+        "и", "у", "на", "је", "се", "да", "су", "за", "од", "до", "не",
+        "што", "као", "али", "или", "то", "тај", "та", "ово", "он",
+        "она", "они", "ми", "ви", "са", "по", "при", "ако", "кад",
+        "већ", "само", "још", "бити", "био", "била", "било", "ће",
+        "би", "смо", "сте", "а", "о",
+    ],
+    "armenian": [
+        "և", "ու", "է", "են", "եմ", "ես", "այս", "այդ", "այն", "որ",
+        "որը", "ինչ", "չի", "չեն", "մի", "էր", "էին", "կա", "կան",
+        "բայց", "կամ", "էլ", "նաև", "իր", "նրա", "մենք", "դուք",
+        "նրանք", "նա", "դա", "սա", "թե", "ոչ", "այո", "մեջ", "վրա",
+        "հետ", "համար", "մասին", "առանց",
+    ],
+    "tamil": [
+        "மற்றும்", "அல்லது", "ஆனால்", "இது", "அது", "எது", "இந்த",
+        "அந்த", "எந்த", "நான்", "நீ", "அவன்", "அவள்", "அவர்",
+        "நாம்", "நீங்கள்", "அவர்கள்", "என்று", "என", "ஒரு", "உள்ள",
+        "இல்லை", "ஆம்", "மிக", "எப்படி", "எங்கே", "எப்போது", "ஏன்",
+        "தான்", "கூட", "வேண்டும்", "முடியும்", "இருந்து", "வரை",
+    ],
+    # Bengali function words — compared POST-normalization (nukta
+    # compositions), matching the norm→stop→stem chain order
+    "bengali": [
+        "এবং", "ও", "বা", "কিন্তু", "না", "হয়", "হবে", "ছিল", "করে",
+        "থেকে", "জন্য", "সাথে", "এই", "সে", "তারা", "আমরা", "তুমি",
+        "আপনি", "যে", "কি", "কে", "কোন", "এর", "তার", "আমার",
+        "একটি", "একটা", "আছে", "নেই", "এটি", "এটা", "যা", "তা",
+        "কেন", "কখন", "কোথায়", "কীভাবে", "আর", "তবে", "যদি",
+    ],
+    # Sorani Kurdish function words — compared POST-normalization
+    "sorani": [
+        "و", "لە", "بە", "بۆ", "کە", "ئەم", "ئەو", "ئەوە", "من",
+        "تۆ", "ئێمە", "ئێوە", "ئەوان", "چی", "کێ", "چۆن", "بەڵام",
+        "یان", "نە", "هەر", "هەموو", "لەگەڵ", "دوای", "پێش", "بێ",
+        "بوو", "نییە", "هەیە", "وەک", "تا", "جا", "دە", "ناو",
+    ],
     # CJKAnalyzer's default stop set (English function words + www/s/t) —
     # applied AFTER bigramming, so only non-CJK tokens can ever match it
     "cjk": [
@@ -601,7 +694,20 @@ LANG_STOPWORDS = {
         "such", "t", "that", "the", "their", "then", "there", "these",
         "they", "this", "to", "was", "will", "with", "www",
     ],
+    # ThaiAnalyzer's real stop set applies to DICTIONARY-segmented words;
+    # the bigram analog can only stop the non-Thai (Latin) tokens, so it
+    # reuses the CJK chain's English set — documented narrowing
+    "thai": [
+        "a", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+        "in", "into", "is", "it", "no", "not", "of", "on", "or", "s",
+        "such", "t", "that", "the", "their", "then", "there", "these",
+        "they", "this", "to", "was", "will", "with", "www",
+    ],
 }
+
+# Brazilian Portuguese shares the Portuguese function words (the reference
+# keeps the LANGUAGES distinct for their stemmers, not their stop sets)
+LANG_STOPWORDS["brazilian"] = list(LANG_STOPWORDS["portuguese"])
 
 
 # Stopword-only chain constructors — the registry extension point for the
@@ -817,6 +923,66 @@ def _polish_stem(t: str) -> str:
     from nixiesearch_spark.lightgen import polish_py
 
     return polish_py(t)
+
+
+def _ukrainian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import ukrainian_py
+
+    return ukrainian_py(t)
+
+
+def _armenian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import armenian_py
+
+    return armenian_py(t)
+
+
+def _tamil_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import tamil_py
+
+    return tamil_py(t)
+
+
+def _brazilian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import brazilian_py
+
+    return brazilian_py(t)
+
+
+def _serbian_norm(t: str) -> str:
+    from nixiesearch_spark.lightgen import serbian_norm_py
+
+    return serbian_norm_py(t)
+
+
+def _serbian_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import serbian_phases_py
+
+    return serbian_phases_py(t)
+
+
+def _bengali_norm(t: str) -> str:
+    from nixiesearch_spark.lightgen import bengali_norm_py
+
+    return bengali_norm_py(t)
+
+
+def _bengali_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import bengali_phases_py
+
+    return bengali_phases_py(t)
+
+
+def _sorani_norm(t: str) -> str:
+    from nixiesearch_spark.lightgen import sorani_norm_py
+
+    return sorani_norm_py(t)
+
+
+def _sorani_stem(t: str) -> str:
+    from nixiesearch_spark.lightgen import sorani_phases_py
+
+    return sorani_phases_py(t)
 
 
 def _greek_norm(t: str) -> str:
@@ -1035,6 +1201,61 @@ ANALYZERS = {
         _stem_col(LANG_STOPWORDS["polish"], _polish_stem, tokenize_latin_py),
         _stem_py(LANG_STOPWORDS["polish"], _polish_stem, tokenize_latin_py),
     ),
+    # RSLP-lite Brazilian chain (distinct from the Snowball Portuguese
+    # chain, like the reference's pt vs br split — lightgen.py BRAZILIAN)
+    "brazilian": (
+        _stem_col(LANG_STOPWORDS["brazilian"], _brazilian_stem, tokenize_latin_py),
+        _stem_py(LANG_STOPWORDS["brazilian"], _brazilian_stem, tokenize_latin_py),
+    ),
+    # lightgen Cyrillic chains: ukrainian = light analog (Morfologik
+    # dictionary deferral, PARITY.md); serbian = bald Cyrillic→Latin fold
+    # (SerbianNormalizationFilter analog) → stop (post-norm) → light stem
+    "ukrainian": (
+        _stem_col(LANG_STOPWORDS["ukrainian"], _ukrainian_stem, tokenize_unicode_py),
+        _stem_py(LANG_STOPWORDS["ukrainian"], _ukrainian_stem, tokenize_unicode_py),
+    ),
+    "serbian": (
+        _norm_stop_stem_col(
+            LANG_STOPWORDS["serbian"], _serbian_norm, _serbian_stem, tokenize_unicode_py
+        ),
+        _norm_stop_stem_py(
+            LANG_STOPWORDS["serbian"], _serbian_norm, _serbian_stem, tokenize_unicode_py
+        ),
+    ),
+    # Armenian / Tamil light chains over the unicode tokenizer (script
+    # blocks added to the class above)
+    "armenian": (
+        _stem_col(LANG_STOPWORDS["armenian"], _armenian_stem, tokenize_unicode_py),
+        _stem_py(LANG_STOPWORDS["armenian"], _armenian_stem, tokenize_unicode_py),
+    ),
+    "tamil": (
+        _stem_col(LANG_STOPWORDS["tamil"], _tamil_stem, tokenize_unicode_py),
+        _stem_py(LANG_STOPWORDS["tamil"], _tamil_stem, tokenize_unicode_py),
+    ),
+    # Bengali / Sorani norm → stop → stem chains (Lucene filter order:
+    # normalization first, stop compared on normalized forms)
+    "bengali": (
+        _norm_stop_stem_col(
+            LANG_STOPWORDS["bengali"], _bengali_norm, _bengali_stem, tokenize_unicode_py
+        ),
+        _norm_stop_stem_py(
+            LANG_STOPWORDS["bengali"], _bengali_norm, _bengali_stem, tokenize_unicode_py
+        ),
+    ),
+    "sorani": (
+        _norm_stop_stem_col(
+            LANG_STOPWORDS["sorani"], _sorani_norm, _sorani_stem, tokenize_unicode_py
+        ),
+        _norm_stop_stem_py(
+            LANG_STOPWORDS["sorani"], _sorani_norm, _sorani_stem, tokenize_unicode_py
+        ),
+    ),
+    # Thai run-bigram chain — pure Catalyst like cjk (dictionary
+    # segmentation deferred, see _make_bigram_forms docnote)
+    "thai": (
+        _stop_col(LANG_STOPWORDS["thai"], tokenize_thai_col),
+        _stop_py(LANG_STOPWORDS["thai"], tokenize_thai_py),
+    ),
     # Lucene TurkishAnalyzer analog: apostrophe filter + İ/I case fold in
     # the tokenizer, stop (surface forms), Çilden suffix-strip stemmer
     "turkish": (
@@ -1089,7 +1310,8 @@ UDF_ANALYZERS = {
     "arabic", "bulgarian", "czech", "persian", "hindi", "indonesian",
     "catalan", "greek", "turkish", "finnish", "hungarian",
     "latvian", "lithuanian", "estonian", "galician", "basque", "irish",
-    "polish",
+    "polish", "ukrainian", "serbian", "armenian", "tamil", "bengali",
+    "sorani", "brazilian",
 }
 
 

@@ -495,9 +495,247 @@ POLISH = Spec(
 )
 
 
+# --------------------------------------------------------------- ukrainian
+# Reference binds ua → UkrainianMorfologikAnalyzer (Language.scala:99) — a
+# DICTIONARY (Morfologik) lemmatizer that cannot be reproduced as rules;
+# PARITY.md records the deferral. Light ANALOG (documented): the standard
+# inflected-Slavic three-tier shape (adjective endings, noun case endings,
+# final theme vowel), same design as the Polish/Czech/Bulgarian chains.
+UKRAINIAN = Spec(
+    name="ukrainian",
+    phases=(
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in (
+                    "ього", "ьому", "ого", "ому", "ими", "іми", "их", "їх",
+                    "ої", "ій", "ий",
+                )
+            )
+        ),
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in (
+                    "ями", "ами", "ові", "еві", "єві", "ях", "ах", "ів",
+                    "їв", "ею", "ою", "єю", "ам", "ям", "ом", "ем", "єм",
+                    "ей", "ь",
+                )
+            )
+        ),
+        Phase(
+            tuple(
+                R(v, min_len=4)
+                for v in ("а", "я", "о", "е", "є", "у", "ю", "і", "и", "ї")
+            )
+        ),
+    ),
+)
+
+# ----------------------------------------------------------------- serbian
+# Reference binds sr → Lucene SerbianAnalyzer (Language.scala:92): lower +
+# stop + SerbianNormalizationFilter. The normalization here is the filter's
+# "bald" fold — Cyrillic → ASCII Latin (љ→lj, њ→nj, џ→dz, ђ→dj) and Latin
+# diacritic folding (č/ć→c, š→s, ž→z, đ→dj) — so Cyrillic and Latin
+# spellings of the same word become one term. The suffix phases are a light
+# ANALOG (documented; Ljubešić–Pandžić-style greedy case-ending strip —
+# Lucene ships no Serbian stemmer, so the analog widens recall vs the
+# reference rather than matching a reference stemmer). Chain order is
+# norm → stop → stem (stop list compared post-normalization).
+SERBIAN = Spec(
+    name="serbian",
+    norm_map=(
+        ("а", "a"), ("б", "b"), ("в", "v"), ("г", "g"), ("д", "d"),
+        ("е", "e"), ("ж", "z"), ("з", "z"), ("и", "i"), ("ј", "j"),
+        ("к", "k"), ("л", "l"), ("м", "m"), ("н", "n"), ("о", "o"),
+        ("п", "p"), ("р", "r"), ("с", "s"), ("т", "t"), ("ћ", "c"),
+        ("у", "u"), ("ф", "f"), ("х", "h"), ("ц", "c"), ("ч", "c"),
+        ("ш", "s"),
+        ("č", "c"), ("ć", "c"), ("š", "s"), ("ž", "z"),
+    ),
+    replaces=(("љ", "lj"), ("њ", "nj"), ("џ", "dz"), ("ђ", "dj"), ("đ", "dj")),
+    phases=(
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in (
+                    "ovima", "evima", "ijama", "ijima", "ima", "ama",
+                    "om", "em", "og", "eg", "im", "ih", "oj", "ju",
+                )
+            )
+        ),
+        Phase(tuple(R(v, min_len=4) for v in ("u", "e", "i", "a", "o"))),
+    ),
+)
+
+# ---------------------------------------------------------------- armenian
+# Reference binds hy → Lucene ArmenianAnalyzer (Language.scala:80; Snowball
+# Armenian). Light ANALOG (documented): longest-match strips over the
+# plural+case combination endings, then the bare plural/case morphemes,
+# then the definite article — the Snowball routine graph and its
+# ե/ա-stem conditions are not replicated.
+ARMENIAN = Spec(
+    name="armenian",
+    phases=(
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in (
+                    "ներում", "ներին", "ներով", "ների",
+                    "երում", "երին", "երով", "երի",
+                )
+            )
+        ),
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in ("ներ", "եր", "ում", "ով", "ից", "ին")
+            )
+        ),
+        Phase((R("ը", min_len=4), R("ն", min_len=5), R("ի", min_len=4))),
+    ),
+)
+
+# ------------------------------------------------------------------- tamil
+# Reference binds ta → Lucene TamilAnalyzer (Language.scala:101; Snowball
+# Tamil). Light ANALOG (documented): the கள்-family plural+case endings
+# and two clitic rules with virama restoration (லும்→ல், வும்→வு) —
+# the Snowball Tamil prefix rules and the full case cascade are not
+# replicated. Lengths count code points (vowel signs and virama are chars),
+# so min_len guards are in code points like every other spec.
+TAMIL = Spec(
+    name="tamil",
+    phases=(
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in ("களுக்கு", "களில்", "களின்", "களால்", "களை", "கள்")
+            )
+        ),
+        Phase(
+            (
+                R("லும்", min_len=6, replace="ல்"),
+                R("வும்", min_len=6, replace="வு"),
+            )
+        ),
+    ),
+)
+
+# ----------------------------------------------------------------- bengali
+# Reference binds bn → Lucene BengaliAnalyzer (Language.scala:61):
+# IndicNormalization + BengaliNormalization + stop + BengaliStemmer (the
+# published Bengali light stemmer). Normalization subset (documented): the
+# nukta compositions (ড+়→ড়, ঢ+়→ঢ়, য+়→য়) so decomposed spellings
+# join the composed term. Phases follow the light stemmer's plural tier
+# (গুলো/গুলি/দের) and case tier (ের/কে/তে/রা/টা/টি); the full
+# BengaliStemmer table is larger — analog, not a transcription. Chain is
+# norm → stop → stem.
+BENGALI = Spec(
+    name="bengali",
+    replaces=(
+        ("ড়", "ড়"),  # ড+় → ড়
+        ("ঢ়", "ঢ়"),  # ঢ+় → ঢ়
+        ("য়", "য়"),  # য+় → য়
+    ),
+    phases=(
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in (
+                    "গুলোতে", "গুলোর", "গুলিতে", "গুলির", "গুলো",
+                    "গুলি", "দের",
+                )
+            )
+        ),
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in ("েতে", "ের", "কে", "রে", "তে", "রা")
+            )
+            # the টা/টি classifiers attach to very short nouns (বইটি) —
+            # allow a 2-codepoint stem
+            + tuple(
+                R(lit, min_len=4) for lit in ("টা", "টি")
+            )
+        ),
+        Phase((R("ে", min_len=4), R("র", min_len=5))),
+    ),
+)
+
+# ------------------------------------------------------------------ sorani
+# Reference binds ckb → Lucene SoraniAnalyzer (Language.scala:65):
+# SoraniNormalizationFilter + stop + SoraniStemmer. Normalization subset
+# (documented): Arabic yeh/alef-maksura → Farsi yeh, Arabic kaf → keheh,
+# tatweel + harakat removal (the filter's ZWNJ→ە rule is out — ZWNJ is a
+# token delimiter here). Phases follow SoraniStemmer's suffix families:
+# definite/plural combinations (ەکان/کان/ەکە …), indefinite (ێک/یەک),
+# then the bare plural/izafe endings — analog of the published rule list,
+# not a transcription. Chain is norm → stop → stem.
+SORANI = Spec(
+    name="sorani",
+    norm_map=(
+        ("ي", "ی"),  # ي → ی
+        ("ى", "ی"),  # ى → ی
+        ("ك", "ک"),  # ك → ک
+        ("ـ", None),  # tatweel
+        ("ً", None), ("ٌ", None), ("ٍ", None),
+        ("َ", None), ("ُ", None), ("ِ", None),
+        ("ّ", None), ("ْ", None),  # harakat
+    ),
+    phases=(
+        Phase(
+            tuple(
+                R(lit, min_len=len(lit) + 3)
+                for lit in (
+                    "ەکانیان", "ەکانی", "ەکان", "ەکەی", "ەکە",
+                    "کانی", "کان", "یەکی", "یەک", "ێکی", "ێک",
+                )
+            )
+        ),
+        Phase((R("ان", min_len=5), R("ەی", min_len=5), R("ی", min_len=5), R("ە", min_len=5))),
+    ),
+)
+
+# --------------------------------------------------------------- brazilian
+# Reference binds br → Lucene BrazilianAnalyzer (Language.scala:62), whose
+# BrazilianStemmer is its own rule-based stemmer (RSLP family). Light
+# ANALOG (documented): RSLP's adverb step (-mente), the plural step with
+# the -ão/-al/-el/-ol/-m restorations, and theme-vowel deletion guarded by
+# an -ão protect rule — the noun/verb suffix cascades and the exception
+# lists are not replicated. Distinct from the Snowball Portuguese chain
+# (snowball.py) exactly as the reference keeps pt and br distinct.
+BRAZILIAN = Spec(
+    name="brazilian",
+    phases=(
+        Phase((R("mente", min_len=8),)),
+        Phase(
+            (
+                R("ões", min_len=6, replace="ão"),
+                R("ães", min_len=6, replace="ão"),
+                R("ais", min_len=6, replace="al"),
+                R("éis", min_len=6, replace="el"),
+                R("eis", min_len=6, replace="el"),
+                R("óis", min_len=6, replace="ol"),
+                R("ns", min_len=4, replace="m"),
+                R("s", min_len=4),
+            )
+        ),
+        Phase(
+            # -ão protect: fires as a self-replace so the theme-vowel tier
+            # cannot strip the o of a restored -ão
+            (R("ão", min_len=4, replace="ão"),)
+            + tuple(R(v, min_len=4) for v in ("a", "e", "o", "á", "é", "ó"))
+        ),
+    ),
+)
+
+
 _SPECS = {
     s.name: s
-    for s in (LATVIAN, LITHUANIAN, ESTONIAN, GALICIAN, BASQUE, IRISH, POLISH)
+    for s in (
+        LATVIAN, LITHUANIAN, ESTONIAN, GALICIAN, BASQUE, IRISH, POLISH,
+        UKRAINIAN, SERBIAN, ARMENIAN, TAMIL, BENGALI, SORANI, BRAZILIAN,
+    )
 }
 
 latvian_py = make_py(LATVIAN)
@@ -514,3 +752,40 @@ irish_py = make_py(IRISH)
 irish_sql_ctes = make_sql_ctes(IRISH)
 polish_py = make_py(POLISH)
 polish_sql_ctes = make_sql_ctes(POLISH)
+ukrainian_py = make_py(UKRAINIAN)
+ukrainian_sql_ctes = make_sql_ctes(UKRAINIAN)
+# norm-chain languages expose norm/phases separately (norm → stop → stem);
+# the *_sql_ctes generators take the post-norm stop list at call time
+serbian_norm_py = make_norm_py(SERBIAN)
+serbian_phases_py = make_phases_py(SERBIAN)
+serbian_py = make_py(SERBIAN)
+
+
+def serbian_sql_ctes(src, out, p=None, stops=None):
+    return make_sql_ctes(SERBIAN, stops=stops)(src, out, p)
+
+
+armenian_py = make_py(ARMENIAN)
+armenian_sql_ctes = make_sql_ctes(ARMENIAN)
+tamil_py = make_py(TAMIL)
+tamil_sql_ctes = make_sql_ctes(TAMIL)
+bengali_norm_py = make_norm_py(BENGALI)
+bengali_phases_py = make_phases_py(BENGALI)
+bengali_py = make_py(BENGALI)
+
+
+def bengali_sql_ctes(src, out, p=None, stops=None):
+    return make_sql_ctes(BENGALI, stops=stops)(src, out, p)
+
+
+sorani_norm_py = make_norm_py(SORANI)
+sorani_phases_py = make_phases_py(SORANI)
+sorani_py = make_py(SORANI)
+
+
+def sorani_sql_ctes(src, out, p=None, stops=None):
+    return make_sql_ctes(SORANI, stops=stops)(src, out, p)
+
+
+brazilian_py = make_py(BRAZILIAN)
+brazilian_sql_ctes = make_sql_ctes(BRAZILIAN)

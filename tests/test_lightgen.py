@@ -85,6 +85,59 @@ POLISH_CASES = {
     "książkami": "książk", "i": "i",
 }
 
+UKRAINIAN_CASES = {
+    "дані": "дан", "даних": "дан", "індексу": "індекс",
+    "індекс": "індекс", "таблиця": "таблиц", "таблиці": "таблиц",
+    "запитів": "запит", "пошуку": "пошук", "синього": "син",
+    "книжками": "книжк", "і": "і",
+}
+
+SERBIAN_CASES = {
+    # bald Cyrillic→Latin fold + digraphs, then case strips — Cyrillic and
+    # Latin spellings of one word conflate
+    "подаци": "podac", "podaci": "podac", "табела": "tabel",
+    "tabele": "tabel", "индекса": "indeks", "indeks": "indeks",
+    "претрага": "pretrag", "љубав": "ljubav", "ljubav": "ljubav",
+    "џез": "dzez", "đak": "djak", "ђак": "djak", "čaša": "cas",
+    "knjigovima": "knjig",
+}
+
+ARMENIAN_CASES = {
+    "տվյալների": "տվյալ", "տվյալներ": "տվյալ", "ինդեքսում": "ինդեքս",
+    "ինդեքս": "ինդեքս", "գիրքը": "գիրք", "որոնումներին": "որոն",
+    "հարցումներով": "հարց", "և": "և",
+}
+
+TAMIL_CASES = {
+    "தரவுகள்": "தரவு", "தரவு": "தரவு",
+    "குறியீடுகளின்": "குறியீடு", "குறியீடு": "குறியீடு",
+    # clitic rules restore the virama (லும்→ல், வும்→வு)
+    "தேடலும்": "தேடல்", "தரவும்": "தரவு",
+    "புத்தகங்களுக்கு": "புத்தகங்",
+}
+
+BENGALI_CASES = {
+    "তথ্যের": "তথ্য", "তথ্য": "তথ্য", "সূচকগুলো": "সূচক",
+    # phases cascade: দের strip then the final-vowel tier (ছেলে → ছেল too)
+    "সূচক": "সূচক", "বইটি": "বই", "ছেলেদের": "ছেল",
+    # decomposed nukta (য + ়) composes to য় (U+09DF) before the phases
+    "হয়": "হয়",
+}
+
+SORANI_CASES = {
+    "داتاکانی": "داتا", "داتاکان": "داتا", "ئیندێکسەکە": "ئیندێکس",
+    "ئیندێکس": "ئیندێکس", "کتێبێکی": "کتێب", "گەڕان": "گەڕ",
+    # normalization: Arabic yeh/kaf fold to the Farsi forms
+    "كتيب": "کتیب",
+}
+
+BRAZILIAN_CASES = {
+    "datas": "dat", "data": "dat", "partes": "part", "part": "part",
+    "indexes": "index", "canções": "canção", "canção": "canção",
+    "rapidamente": "rapid", "livros": "livr", "bons": "bom",
+    "papéis": "papel", "jornais": "jornal",
+}
+
 SPEC_CASES = [
     ("latvian", LATVIAN_CASES),
     ("lithuanian", LITHUANIAN_CASES),
@@ -93,6 +146,13 @@ SPEC_CASES = [
     ("basque", BASQUE_CASES),
     ("irish", IRISH_CASES),
     ("polish", POLISH_CASES),
+    ("ukrainian", UKRAINIAN_CASES),
+    ("serbian", SERBIAN_CASES),
+    ("armenian", ARMENIAN_CASES),
+    ("tamil", TAMIL_CASES),
+    ("bengali", BENGALI_CASES),
+    ("sorani", SORANI_CASES),
+    ("brazilian", BRAZILIAN_CASES),
 ]
 
 ALPHABETS = {
@@ -103,6 +163,13 @@ ALPHABETS = {
     "basque": "abdeghijklmnoprstuxz_01",
     "irish": "abcdefghilmnoprstuáéíóú_01",
     "polish": "abcdefghijklmnoprstuwyząćęłńóśźż_01",
+    "ukrainian": "абвгдежзиклмнопрстуфіїєюяьог_01",
+    "serbian": "абвгдежзијклмнопрстуфхцчшљњџђabcdefghijklmnoprstuvzčćšžđ_01",
+    "armenian": "աբգդեզէընթիլխծկհմնոպջռսվտրցւփքօֆև_01",
+    "tamil": "கஙசஜடணதநபமயரலவழளறனாிீுூெேைொ்ஂஃஅஆஇஈஉஎஒ_01",
+    "bengali": "অআইঈউএওকখগচছজটডণতথদধনপফবভমযরলশষসহািীুূেৈোৌ়্টি_01",
+    "sorani": "ءابتجحخدرزسشعغفقلمنهوپچژگکیڕڤڵۆێەكيىـَُِ_01",
+    "brazilian": "abcdefghijlmnopqrstuvxzãõáéíóúâêôç_01",
 }
 
 
@@ -154,3 +221,13 @@ def test_analyzer_chains():
     assert analyzer_py("basque")("datak eta partak") == ["dat", "part"]
     assert analyzer_py("irish")("ndata agus bparta") == ["data", "part"]
     assert analyzer_py("polish")("datach i partami") == ["dat", "part"]
+    assert analyzer_py("ukrainian")("даних і індексу") == ["дан", "індекс"]
+    # mixed-script Serbian: the bald fold makes Cyrillic and Latin one term
+    assert analyzer_py("serbian")("индекса tabele и") == ["indeks", "tabel"]
+    assert analyzer_py("armenian")("տվյալների ինդեքսում և") == ["տվյալ", "ինդեքս"]
+    assert analyzer_py("tamil")("தரவுகள் குறியீடுகளின் மற்றும்") == ["தரவு", "குறியீடு"]
+    assert analyzer_py("bengali")("তথ্যের সূচকগুলো এবং") == ["তথ্য", "সূচক"]
+    assert analyzer_py("sorani")("داتاکانی ئیندێکسەکە و") == ["داتا", "ئیندێکس"]
+    assert analyzer_py("brazilian")("datas e partes") == ["dat", "part"]
+    # thai run-bigram chain (stopword-after-bigram like cjk)
+    assert analyzer_py("thai")("ดัชนี the") == ["ดั", "ัช", "ชน", "นี"]

@@ -259,7 +259,7 @@ def test_stopword_entries_survive_tokenizer():
             "german", "french", "spanish", "italian", "portuguese",
             "dutch", "swedish", "norwegian", "danish", "romanian", "czech",
             "finnish", "hungarian", "latvian", "lithuanian", "estonian",
-            "galician", "basque", "irish", "polish",
+            "galician", "basque", "irish", "polish", "brazilian",
         )
     }
     toks["catalan"] = tokenize_catalan_py
@@ -268,16 +268,21 @@ def test_stopword_entries_survive_tokenizer():
     # normalization: "της" would be dead). persian is special again: its
     # stop set is compared POST-normalization, so each (normalized) entry
     # must equal the normalization of SOME tokenizer token — checked below.
-    for lang in ("russian", "arabic", "bulgarian"):
+    for lang in ("russian", "arabic", "bulgarian", "ukrainian", "armenian",
+                 "tamil"):
         toks[lang] = tokenize_unicode_py
     # the cjk chain's stop set is English words — they must survive the
     # CJK tokenizer (ASCII runs pass through unbigrammed)
     from nixiesearch_spark.analysis import tokenize_cjk_py, tokenize_turkish_py
 
+    from nixiesearch_spark.analysis import tokenize_thai_py
+
     toks["cjk"] = tokenize_cjk_py
+    toks["thai"] = tokenize_thai_py
     toks["turkish"] = tokenize_turkish_py
     for lang, words in LANG_STOPWORDS.items():
-        if lang in ("persian", "hindi", "greek"):
+        if lang in ("persian", "hindi", "greek", "serbian", "bengali",
+                    "sorani"):
             continue
         tok = toks.get(lang, tokenize_py)
         for w in words:
@@ -302,6 +307,13 @@ def test_stopword_entries_survive_tokenizer():
     for w in LANG_STOPWORDS["greek"]:
         assert tokenize_unicode_py(w) == [w], f"greek stopword {w!r} not a token"
         assert greek_norm_py(w) == w, f"greek stopword {w!r} not in normalized form"
+    # serbian/bengali/sorani compare post-normalization but their lists
+    # hold SURFACE forms (the chain constructor normalizes the set), so the
+    # requirement is tokenizer survival only — norm(entry) then equals
+    # norm(token) whenever entry == token
+    for lang in ("serbian", "bengali", "sorani"):
+        for w in LANG_STOPWORDS[lang]:
+            assert tokenize_unicode_py(w) == [w], f"{lang} stopword {w!r} not a token"
 
 
 def test_language_analyzers(spark, tmp_path):

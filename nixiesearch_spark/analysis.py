@@ -694,20 +694,15 @@ LANG_STOPWORDS = {
         "such", "t", "that", "the", "their", "then", "there", "these",
         "they", "this", "to", "was", "will", "with", "www",
     ],
-    # ThaiAnalyzer's real stop set applies to DICTIONARY-segmented words;
-    # the bigram analog can only stop the non-Thai (Latin) tokens, so it
-    # reuses the CJK chain's English set — documented narrowing
-    "thai": [
-        "a", "and", "are", "as", "at", "be", "but", "by", "for", "if",
-        "in", "into", "is", "it", "no", "not", "of", "on", "or", "s",
-        "such", "t", "that", "the", "their", "then", "there", "these",
-        "they", "this", "to", "was", "will", "with", "www",
-    ],
 }
 
 # Brazilian Portuguese shares the Portuguese function words (the reference
-# keeps the LANGUAGES distinct for their stemmers, not their stop sets)
+# keeps the LANGUAGES distinct for their stemmers, not their stop sets).
+# ThaiAnalyzer's real stop set applies to DICTIONARY-segmented words; the
+# bigram analog can only stop the non-Thai (Latin) tokens, so it shares
+# the CJK chain's English set — documented narrowing.
 LANG_STOPWORDS["brazilian"] = list(LANG_STOPWORDS["portuguese"])
+LANG_STOPWORDS["thai"] = list(LANG_STOPWORDS["cjk"])
 
 
 # Stopword-only chain constructors — the registry extension point for the

@@ -37,7 +37,7 @@ each spec's docnote).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
@@ -273,7 +273,6 @@ def make_sql_ctes(spec: Spec, stops: list[str] | None = None):
 # count > vc, with ending "unpalatalization" after the plural affixes.
 # Rule table reconstructed from that description; the kš→kst fold (gated in
 # Lucene on WHICH char was removed) is omitted — documented narrowing.
-_LV_P = True
 LATVIAN = Spec(
     name="latvian",
     vowels="aāeēiīouū",
@@ -449,7 +448,7 @@ IRISH = Spec(
                 for lit in (
                     "íochta", "íocht", "faidh", "eacht", "achta", "fidh",
                     "eann", "acha", "anna", "acht", "eadh", "aibh", "ann",
-                    "adh", "áil", "úil", "ach", "each", "amh", "aí", "ín",
+                    "adh", "áil", "úil", "each", "ach", "amh", "aí", "ín",
                 )
             )
             + tuple(R(v, min_len=5) for v in ("a", "e", "í"))
@@ -754,38 +753,35 @@ polish_py = make_py(POLISH)
 polish_sql_ctes = make_sql_ctes(POLISH)
 ukrainian_py = make_py(UKRAINIAN)
 ukrainian_sql_ctes = make_sql_ctes(UKRAINIAN)
-# norm-chain languages expose norm/phases separately (norm → stop → stem);
-# the *_sql_ctes generators take the post-norm stop list at call time
-serbian_norm_py = make_norm_py(SERBIAN)
-serbian_phases_py = make_phases_py(SERBIAN)
-serbian_py = make_py(SERBIAN)
-
-
-def serbian_sql_ctes(src, out, p=None, stops=None):
-    return make_sql_ctes(SERBIAN, stops=stops)(src, out, p)
-
-
 armenian_py = make_py(ARMENIAN)
 armenian_sql_ctes = make_sql_ctes(ARMENIAN)
 tamil_py = make_py(TAMIL)
 tamil_sql_ctes = make_sql_ctes(TAMIL)
+brazilian_py = make_py(BRAZILIAN)
+brazilian_sql_ctes = make_sql_ctes(BRAZILIAN)
+
+
+def _stops_ctes(spec: Spec):
+    """SQL-generator wrapper for norm→stop→stem chains: same (src, out,
+    prefix) signature plus the post-norm stop list at call time."""
+
+    def ctes(src, out, p=None, stops=None):
+        return make_sql_ctes(spec, stops=stops)(src, out, p)
+
+    ctes.__name__ = f"{spec.name}_sql_ctes"
+    return ctes
+
+
+# norm-chain languages expose norm/phases separately (norm → stop → stem)
+serbian_norm_py = make_norm_py(SERBIAN)
+serbian_phases_py = make_phases_py(SERBIAN)
+serbian_py = make_py(SERBIAN)
+serbian_sql_ctes = _stops_ctes(SERBIAN)
 bengali_norm_py = make_norm_py(BENGALI)
 bengali_phases_py = make_phases_py(BENGALI)
 bengali_py = make_py(BENGALI)
-
-
-def bengali_sql_ctes(src, out, p=None, stops=None):
-    return make_sql_ctes(BENGALI, stops=stops)(src, out, p)
-
-
+bengali_sql_ctes = _stops_ctes(BENGALI)
 sorani_norm_py = make_norm_py(SORANI)
 sorani_phases_py = make_phases_py(SORANI)
 sorani_py = make_py(SORANI)
-
-
-def sorani_sql_ctes(src, out, p=None, stops=None):
-    return make_sql_ctes(SORANI, stops=stops)(src, out, p)
-
-
-brazilian_py = make_py(BRAZILIAN)
-brazilian_sql_ctes = make_sql_ctes(BRAZILIAN)
+sorani_sql_ctes = _stops_ctes(SORANI)

@@ -211,6 +211,34 @@ def test_two_form_identity_random(lang, data):
     ]
 
 
+def test_no_shadowed_rules():
+    # first-match-wins makes a rule DEAD when an earlier rule in the same
+    # phase matches a strict superset of its tokens (the Irish "each"
+    # after "ach" bug): every later rule must be reachable. Earlier rule i
+    # covers later rule j iff j's literal extends i's on the match side,
+    # i's effective length guard is no tighter, and i's vowel guard is no
+    # stricter. Self-replace "protect" rules shadow later rules by design;
+    # that direction is fine — only fully-covered LATER rules are bugs.
+    for name, spec in lg._SPECS.items():
+        for pi, ph in enumerate(spec.phases):
+            for j, rj in enumerate(ph.rules):
+                for ri in ph.rules[:j]:
+                    if ph.mode == "suffix":
+                        ext = rj.lit.endswith(ri.lit)
+                    else:
+                        ext = rj.lit.startswith(ri.lit)
+                    len_ok = max(ri.min_len, len(ri.lit)) <= max(
+                        rj.min_len, len(rj.lit)
+                    )
+                    vow_ok = ri.vowel_gt is None or (
+                        rj.vowel_gt is not None and rj.vowel_gt >= ri.vowel_gt
+                    )
+                    assert not (ext and len_ok and vow_ok), (
+                        f"{name} phase {pi}: rule {rj.lit!r} is dead — "
+                        f"shadowed by earlier {ri.lit!r}"
+                    )
+
+
 def test_analyzer_chains():
     from nixiesearch_spark.analysis import analyzer_py
 

@@ -580,6 +580,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _index(spark, sf, ("text",), False, analyzers={"text": "brazilian"})
         return _as_docid(s.search(MatchQuery("text", "datas partes indexes e"), size=10))
 
+    def q_multimodal_decode(spark, sf):
+        # REAL image decode attestation (pipeline/imagecodec.py): pixels
+        # are a deterministic doc_id formula, PNG-encoded then DECODED
+        # executor-side; the emitted sums are integer-exact, and the
+        # position-weighted sum pins orientation + channel order (a
+        # flipped/def-swapped decode cannot cancel). The DuckDB oracle
+        # recomputes the same sums from the formula alone — so a green row
+        # proves decode(encode(px)) == px for every derived image.
+        import numpy as np
+        import pandas as pd
+
+        docs = _docs(spark, sf).where("doc_id < 200").select("doc_id")
+
+        def run(batches):
+            from nixiesearch_spark.pipeline import imagecodec as ic
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    w, h = 4 + did % 13, 4 + did % 7
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    c = np.arange(3)[None, None, :]
+                    px = ((did + 7 * x + 13 * y + 101 * c) % 256).astype(np.uint8)
+                    img = ic.decode_png(ic.encode_png(px)).astype(np.int64)
+                    hh, ww, cc = img.shape
+                    wgt = (
+                        1
+                        + np.arange(ww)[None, :, None]
+                        + ww * np.arange(hh)[:, None, None]
+                        + ww * hh * np.arange(cc)[None, None, :]
+                    )
+                    rows.append(
+                        (
+                            did, ww, hh, cc,
+                            int(img.sum()), int((img * wgt).sum()),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "w", "h", "c", "px_sum", "px_wsum"],
+                )
+
+        return docs.mapInPandas(
+            run, "doc_id long, w int, h int, c int, px_sum long, px_wsum long"
+        ).orderBy("doc_id")
+
     def q_match_greek(spark, sf):
         # greek chain = unicode tokenizer (lower + ς→σ) → accent fold →
         # stop (post-norm forms) → Ntais/Saroukos stemmer (the full Lucene
@@ -1240,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_sorani": q_match_sorani,
         "bm25_match_thai": q_match_thai,
         "bm25_match_brazilian": q_match_brazilian,
+        "multimodal_decode": q_multimodal_decode,
         "bm25_match_latvian": q_match_latvian,
         "bm25_match_lithuanian": q_match_lithuanian,
         "bm25_match_estonian": q_match_estonian,
@@ -2551,6 +2600,27 @@ FROM f ORDER BY f.score DESC, doc_id ASC LIMIT 10
 SELECT doc_id, sha256(text) AS payload_sha, strlen(text)::BIGINT AS n_bytes,
   {feats}
 FROM documents
+"""
+
+    # real-decode attestation: the oracle recomputes the deterministic
+    # pixel formula's integer sums directly — a green row proves the PNG
+    # encode→decode round trip reproduced every pixel at every position
+    sql["multimodal_decode"] = """
+SELECT d.doc_id,
+       (4 + d.doc_id % 13)::INT AS w,
+       (4 + d.doc_id % 7)::INT AS h,
+       3 AS c,
+       sum((d.doc_id + 7*x.i + 13*y.i + 101*ch.i) % 256)::BIGINT AS px_sum,
+       sum(((d.doc_id + 7*x.i + 13*y.i + 101*ch.i) % 256)
+           * (1 + x.i + (4 + d.doc_id % 13)*y.i
+              + (4 + d.doc_id % 13)*(4 + d.doc_id % 7)*ch.i))::BIGINT AS px_wsum
+FROM documents d,
+     unnest(generate_series(0, (4 + d.doc_id % 13) - 1)) AS x(i),
+     unnest(generate_series(0, (4 + d.doc_id % 7) - 1)) AS y(i),
+     unnest(generate_series(0, 2)) AS ch(i)
+WHERE d.doc_id < 200
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
     sql["index_stats"] = f"""

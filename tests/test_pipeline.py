@@ -224,12 +224,31 @@ def test_textstats(spark, docs):
 
 
 def test_multimodal_plumbing(spark):
-    media = multimodal.make_fake_media(spark, 24)
+    media = multimodal.make_fake_media(spark, 25)
     feats = multimodal.extract_features(media)
     rows = feats.collect()
-    assert len(rows) == 24
-    assert all(len(r["features"]) == 8 for r in rows)
-    assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
+    assert len(rows) == 25
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    # real decoders: every image (png/bmp/ppm) and wav decodes; features
+    # carry real dimensions ([w, h, c, ...] must match the media metadata)
+    meta = {r["media_id"]: r for r in media.collect()}
+    for r in by_kind["image"]:
+        assert r["decoded"], r["media_id"]
+        assert len(r["features"]) == 69
+        w, h, c = r["features"][:3]
+        assert (w, h, c) == (meta[r["media_id"]]["width"], meta[r["media_id"]]["height"], 3.0)
+        assert all(x in (0.0, 1.0) for x in r["features"][5:])  # aHash bits
+    for r in by_kind["audio"]:
+        assert r["decoded"] and len(r["features"]) == 5
+        dur_ms = r["features"][0] * 1000
+        assert abs(dur_ms - meta[r["media_id"]]["duration_ms"]) <= 1.0
+    # no video codec in-container → declared hash fallback
+    for r in by_kind["video"]:
+        assert not r["decoded"]
+        assert len(r["features"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
     # deterministic: same payload → same sha + features
     again = {r["media_id"]: (r["payload_sha"], r["features"]) for r in feats.collect()}
     first = {r["media_id"]: (r["payload_sha"], r["features"]) for r in rows}

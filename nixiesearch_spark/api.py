@@ -59,6 +59,24 @@ class ApiError(Exception):
         self.status = status
 
 
+def config_from_stats(index_dir: str, text_fields: tuple | None = None):
+    """IndexConfig matching a committed index's own parameters — the safe
+    way to enable writes on an existing dir (a hand-built config with a
+    different shard count or analyzer map would corrupt appended batches:
+    wrong shard routing AND query-vs-index analysis mismatch)."""
+    from nixiesearch_spark.index import IndexConfig
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    return IndexConfig(
+        text_fields=text_fields or tuple(stats["fields"]),
+        analyzers=dict(stats.get("analyzers", {})),
+        n_shards=int(stats["n_shards"]),
+        quantize=bool(stats.get("quantize", True)),
+        block_size=int(stats.get("block_size", 128)),
+    )
+
+
 class IndexHandle:
     """One served index: lazy reader/searcher (re-opened when the on-disk
     seqnum moves — the reader caches stats at open) plus an optional write
@@ -74,6 +92,7 @@ class IndexHandle:
         self._indexer = None
         self._seqnum = None
         self._next_batch = None
+        self._push_schema = None
 
     # ---- read side ----
 
@@ -107,38 +126,95 @@ class IndexHandle:
         if self.config is None:
             raise ApiError(400, "index is read-only (no IndexConfig registered)")
         if self._indexer is None:
+            # a config disagreeing with the committed index would corrupt
+            # appends (shard routing + analyzer mismatch) — reject upfront
+            try:
+                with open(os.path.join(self.index_dir, "stats.json")) as f:
+                    stats = json.load(f)
+            except FileNotFoundError:
+                stats = None
+            if stats is not None:
+                for attr, key in (("n_shards", "n_shards"), ("quantize", "quantize")):
+                    if getattr(self.config, attr) != stats.get(key, getattr(self.config, attr)):
+                        raise ApiError(
+                            400,
+                            f"registered config {attr}={getattr(self.config, attr)} "
+                            f"!= committed index {stats.get(key)} "
+                            "(use api.config_from_stats)",
+                        )
+                # effective analyzer per field (unset = "standard")
+                for fld, az in stats.get("analyzers", {}).items():
+                    if self.config.analyzers.get(fld, "standard") != az:
+                        raise ApiError(
+                            400,
+                            f"registered analyzer for {fld!r} differs from the "
+                            f"committed index ({az!r}; use api.config_from_stats)",
+                        )
             self._indexer = IncrementalIndexer(self.spark, self.config, self.index_dir)
         return self._indexer
 
     def next_batch_id(self) -> int:
+        """Docs-table batch seqnums are a COUNTER (streaming batch ids),
+        distinct from stats.json's epoch-ms manifest seqnum — continue the
+        counter from the table's own max so API pushes order correctly
+        after (and interleaved with) streaming batches."""
         if self._next_batch is None:
+            import pyspark.sql.functions as F
+
+            base = 0
             try:
-                self._next_batch = int(self._disk_seqnum()) + 1
-            except ApiError:  # first batch into an empty dir
-                self._next_batch = 1
+                docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+                if "seqnum" in docs.columns:
+                    got = docs.agg(F.max("seqnum")).first()[0]
+                    base = int(got) if got is not None else 0
+            except Exception:  # empty dir — first batch
+                base = 0
+            self._next_batch = base + 1
         else:
             self._next_batch += 1
         return self._next_batch
+
+
+def _json_body(body: bytes):
+    """Request-body JSON; malformed input is the CLIENT's error (400),
+    never a 500."""
+    try:
+        return json.loads(body.decode() or "{}")
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ApiError(400, f"malformed JSON body: {e}")
 
 
 def _parse_docs(body: bytes, content_type: str) -> list[dict]:
     """NDJSON or JSON-array document payload (IndexModifyRoute accepts
     both single docs, arrays and streams; a single JSON object is treated
     as a one-document batch)."""
-    text = body.decode("utf-8").strip()
+    try:
+        text = body.decode("utf-8").strip()
+    except UnicodeDecodeError as e:
+        raise ApiError(400, f"payload is not UTF-8: {e}")
     if not text:
         raise ApiError(400, "empty document payload")
-    if "ndjson" in (content_type or "") or (text[0] not in "[{"):
-        docs = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
-    else:
-        parsed = json.loads(text)
-        docs = parsed if isinstance(parsed, list) else [parsed]
+    try:
+        if "ndjson" in (content_type or "") or (text[0] not in "[{"):
+            docs = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+        else:
+            parsed = json.loads(text)
+            docs = parsed if isinstance(parsed, list) else [parsed]
+    except json.JSONDecodeError as e:
+        raise ApiError(400, f"malformed document JSON: {e}")
     if not docs:
         raise ApiError(400, "empty document payload")
     bad = [d for d in docs if not isinstance(d, dict)]
     if bad:
         raise ApiError(400, "documents must be JSON objects")
     return docs
+
+
+def _docid(v) -> int:
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        raise ApiError(400, f"docid must be an integer, got {v!r}")
 
 
 def _parse_sort(sort) -> list:
@@ -269,17 +345,18 @@ class SearchServer:
 
         if method == "GET":
             if verb in (None, "mapping"):
-                return 200, self._mapping(h), "application/json"
+                with self.lock:  # mapping-less handles open the reader here
+                    return 200, self._mapping(h), "application/json"
             if verb == "stats":
                 with self.lock:
                     return 200, h.reader().index_stats(), "application/json"
         if method == "POST":
             if verb == "search":
                 with self.lock:
-                    return 200, self._search(h, json.loads(body.decode() or "{}")), "application/json"
+                    return 200, self._search(h, _json_body(body)), "application/json"
             if verb == "suggest":
                 with self.lock:
-                    return 200, self._suggest(h, json.loads(body.decode() or "{}")), "application/json"
+                    return 200, self._suggest(h, _json_body(body)), "application/json"
             if verb is None:
                 with self.lock:
                     return 200, self._index_docs(h, body, headers.get("Content-Type", "")), "application/json"
@@ -292,17 +369,16 @@ class SearchServer:
                     h.indexer().compact()
                 return 200, {"status": "ok"}, "application/json"
             if verb == "delete":
-                req = json.loads(body.decode() or "{}")
-                ids = req.get("ids")
+                ids = _json_body(body).get("ids")
                 if not ids:
                     raise ApiError(400, "delete body needs {\"ids\": [docid, ...]}")
                 with self.lock:
-                    h.indexer().delete_ids([int(i) for i in ids])
+                    h.indexer().delete_ids([_docid(i) for i in ids])
                 return 200, {"status": "ok", "deleted": len(ids)}, "application/json"
         # /v1/index/{i}/doc/{docid} and the legacy /{i}/_delete/{docid}
         if method == "DELETE" and verb in ("doc", "delete") and arg is not None:
             with self.lock:
-                h.indexer().delete_ids([int(arg)])
+                h.indexer().delete_ids([_docid(arg)])
             return 200, {"status": "ok", "deleted": 1}, "application/json"
         raise ApiError(404, f"no route for {method} {path}")
 
@@ -395,7 +471,21 @@ class SearchServer:
         t0 = time.monotonic()
         docs = _parse_docs(body, content_type)
         indexer = h.indexer()
-        df = self.spark.createDataFrame(docs)
+        # schema must be STABLE across pushes — per-request inference would
+        # let type drift write conflicting parquet types into one column.
+        # A registered mapping drives it (the reference's schema-driven
+        # decode); otherwise the first push's inferred schema is pinned.
+        if h._push_schema is None:
+            if h.mapping is not None:
+                from nixiesearch_spark.sources.files import mapping_schema
+
+                h._push_schema = mapping_schema(h.mapping, corrupt_col=None)
+            else:
+                h._push_schema = self.spark.createDataFrame(docs).schema
+        try:
+            df = self.spark.createDataFrame(docs, schema=h._push_schema)
+        except Exception as e:
+            raise ApiError(400, f"documents do not fit the index schema: {e}")
         indexer.process_batch(df, h.next_batch_id())
         return {
             "status": "ok",
@@ -406,11 +496,22 @@ class SearchServer:
     def _metrics(self) -> str:
         from nixiesearch_spark.metrics import export_prometheus
 
-        out = []
+        lines, seen_meta = [], set()
         for name, h in sorted(self.indexes.items()):
             try:
                 with self.lock:
-                    out.append(export_prometheus(h.reader(), h._searcher))
+                    text = export_prometheus(
+                        h.reader(), h._searcher, labels={"index": name}
+                    )
             except ApiError:
                 continue  # not yet committed — skip, like an empty registry
-        return "\n".join(out)
+            # every sample carries index=name; HELP/TYPE headers must
+            # appear ONCE per metric across the concatenation (duplicate
+            # headers are invalid exposition format)
+            for ln in text.splitlines():
+                if ln.startswith("#"):
+                    if ln in seen_meta:
+                        continue
+                    seen_meta.add(ln)
+                lines.append(ln)
+        return "\n".join(lines) + ("\n" if lines else "")

@@ -64,7 +64,7 @@ def decode_png(data: bytes) -> np.ndarray:
     """PNG → uint8 array (H, W) for grayscale or (H, W, C) otherwise."""
     if not data.startswith(_PNG_MAGIC):
         raise UnsupportedMedia("not a PNG")
-    pos, ihdr, idat, plte, trns = len(_PNG_MAGIC), None, [], None, None
+    pos, ihdr, idat, plte = len(_PNG_MAGIC), None, [], None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
@@ -75,8 +75,6 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.append(body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"tRNS":
-            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IEND":
             break
     if ihdr is None or not idat:
@@ -174,6 +172,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     h = abs(h)
     nb = bpp // 8
     stride = (w * nb + 3) & ~3
+    # size sanity BEFORE allocation: a corrupt header must not trigger a
+    # huge np.zeros or a silent short read
+    if w <= 0 or h <= 0 or off + stride * h > len(data):
+        raise UnsupportedMedia("BMP dimensions exceed payload")
     img = np.zeros((h, w, 3), dtype=np.uint8)
     for y in range(h):
         row = np.frombuffer(data[off + y * stride : off + y * stride + w * nb], dtype=np.uint8)
@@ -271,9 +273,12 @@ def sniff(data: bytes) -> str | None:
     """Container by magic bytes; None = unknown (→ hash fallback)."""
     if data.startswith(_PNG_MAGIC):
         return "png"
-    if data[:2] == b"BM":
+    # "BM"/"P5"/"P6" are weak 2-byte magics that PLAIN TEXT can start
+    # with — require the next structural byte too (header size / netpbm
+    # whitespace) so text blobs keep taking the hash path
+    if data[:2] == b"BM" and len(data) >= 54:
         return "bmp"
-    if data[:2] in (b"P5", b"P6"):
+    if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"

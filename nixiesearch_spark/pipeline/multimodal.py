@@ -93,8 +93,11 @@ def media_features(payload: bytes) -> tuple[bool, np.ndarray]:
             return True, ic.image_features(ic.decode_image(payload))
         if kind == "wav":
             return True, ic.audio_features(*ic.decode_wav(payload))
-    except ic.UnsupportedMedia:
-        pass  # recognized container, unsupported variant → fallback
+    except Exception:
+        # unsupported variant OR a corrupt/truncated payload that merely
+        # starts with a matching magic (zlib/struct errors) — one bad blob
+        # must degrade to the hash feature, never fail the Spark job
+        pass
     return False, hash_features(payload)
 
 

@@ -95,7 +95,9 @@ class IncrementalIndexer:
         """
         if batch_df.isEmpty():
             return
-        tagged = batch_df.withColumn("seqnum", F.lit(int(batch_id)))
+        # explicit long: a python-int lit under 2^31 becomes INT32, and one
+        # index must never mix parquet physical types for one column
+        tagged = batch_df.withColumn("seqnum", F.lit(int(batch_id)).cast("long"))
         self.builder._build_shards(tagged, self.index_dir, list(range(self.config.n_shards)))
         self.builder.finalize(self.index_dir, pack=self.pack_each_batch)
         if self.merge_policy.should_merge(self._postings_file_count(), self.config.n_shards):

@@ -141,8 +141,46 @@ def test_push_then_search_then_delete(server):
 def test_metrics_and_errors(server):
     st, text = _req(server.port, "GET", "/metrics")
     assert st == 200 and "nixiesearch_index_docs" in text
+    # every sample carries the index label (multi-index scrapes need it)
+    assert 'index="docs"' in text
     assert _req(server.port, "GET", "/v1/index/nope/stats")[0] == 404
     assert _req(server.port, "POST", "/v1/index/docs/search",
                 {"query": {"bogus_kind": {}}})[0] in (400, 500)
     st, _ = _req(server.port, "POST", "/v1/index/docs", b"", "application/json")
     assert st == 400
+    # malformed client input is a 400, never a 500
+    assert _req(server.port, "POST", "/v1/index/docs/search",
+                b"not json at all")[0] == 400
+    assert _req(server.port, "POST", "/v1/index/docs",
+                b'{"broken json', "application/x-ndjson")[0] == 400
+    assert _req(server.port, "DELETE", "/v1/index/docs/doc/notanint")[0] == 400
+
+
+def test_push_batch_seqnums_continue_counter(server, spark):
+    # docs-table seqnums are a batch COUNTER (not the epoch-ms manifest
+    # seqnum): pushes onto a full build start at 1 and increment
+    docs = spark.read.parquet(server.indexes["docs"].index_dir + "/docs")
+    seqs = sorted(
+        r["seqnum"]
+        for r in docs.select("seqnum").distinct().collect()
+        if r["seqnum"] is not None
+    )
+    assert seqs and seqs[0] >= 1 and seqs[-1] < 1_000_000, seqs
+
+
+def test_writable_config_must_match_index(server, spark):
+    from nixiesearch_spark.api import SearchServer, config_from_stats
+
+    d = server.indexes["docs"].index_dir
+    bad = IndexConfig(text_fields=("content",), n_shards=32)  # index has 4
+    srv2 = SearchServer(spark, port=0).add_index("docs", d, config=bad).start()
+    try:
+        st, body = _req(srv2.port, "POST", "/v1/index/docs",
+                        {"repo": "x", "path": "p", "commit": "c",
+                         "lang": "py", "content": "nope"})
+        assert st == 400 and "n_shards" in body["error"]
+    finally:
+        srv2.stop()
+    # config_from_stats derives a compatible one
+    good = config_from_stats(d)
+    assert good.n_shards == 4 and "content" in good.text_fields

@@ -137,6 +137,26 @@ def test_image_features_shape_and_ahash():
     assert (f == f2).all()
 
 
+def test_corrupt_payloads_fall_back_not_crash():
+    # valid magic + garbage body must degrade to the hash feature (one bad
+    # blob cannot fail a Spark job), and text-ish blobs starting with the
+    # weak 2-byte magics must not even route to a decoder
+    from nixiesearch_spark.pipeline.multimodal import media_features
+
+    bad = [
+        ic._PNG_MAGIC + b"garbage-idat-not-zlib" * 3,
+        b"BM" + b"\x00" * 60,  # bogus header, big enough to sniff as bmp
+        b"P6 9999999 9999999 255 ",  # dims exceed payload
+        b"RIFF1234WAVEgarbage",
+        b"BMW dealers import cars",  # plain text, weak magic, len < 54
+        b"P5 is a chess engine",  # 'P5' + space sniffs ppm; header garbage
+    ]
+    for p in bad:
+        decoded, feats = media_features(p)
+        assert not decoded, p[:10]
+        assert len(feats) == 8 and (0 <= feats).all() and (feats <= 1).all()
+
+
 def test_sniff():
     a = np.zeros((4, 4, 3), dtype=np.uint8)
     sig = np.zeros(16, dtype=np.int16)

@@ -452,14 +452,24 @@ class SearchServer:
         }
 
     def _suggest(self, h: IndexHandle, req: dict) -> dict:
-        from nixiesearch_spark.query.suggest import load_suggest, suggest
+        from nixiesearch_spark.query.suggest import (
+            load_suggest,
+            suggest,
+            suggest_driver,
+        )
 
         t0 = time.monotonic()
         field = req.get("field") or next(iter(h.reader().stats["fields"]))
         if not os.path.isdir(os.path.join(h.index_dir, "suggest", f"field={field}")):
             raise ApiError(400, f"no suggest table for field {field!r}")
-        table = load_suggest(self.spark, h.index_dir, field)
-        rows = suggest(table, req.get("text", ""), count=int(req.get("count", 10))).collect()
+        text, count = req.get("text", ""), int(req.get("count", 10))
+        # search-head path first (pyarrow pruned read, zero Spark jobs;
+        # rank/fusion-identical to the cluster plan — returns None when the
+        # dir isn't locally readable or the pruned band is too large)
+        df = suggest_driver(self.spark, h.index_dir, field, text, count=count)
+        if df is None:
+            df = suggest(load_suggest(self.spark, h.index_dir, field), text, count=count)
+        rows = df.collect()
         return {
             "suggestions": [
                 {"text": r["suggestion"], "score": float(r["score"])} for r in rows

@@ -40,14 +40,29 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return keep
 
 
-def _shingles(text_col: str, n: int):
-    """Word n-gram shingles as array<string> (distinct)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0)
+def _shingles_from_tokens(toks, n: int):
+    """Word n-gram shingles (distinct) from a BOUND token-array column.
+
+    ``toks`` must be a column attribute, not an inline expression: codegen
+    re-evaluates a lambda-embedded expression per array element, which
+    would re-tokenize the document once per token — O(tokens²) (the same
+    pitfall measured at 241 s vs 2 s in query/suggest.py)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def _toks(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0)
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int, out: str):
+    """(id, shingle) rows — tokenizes into a bound column first."""
+    return df.select(
+        F.col(id_col).alias("_id"), _toks(text_col).alias("__toks")
+    ).select("_id", F.explode(_shingles_from_tokens(F.col("__toks"), n)).alias(out))
 
 
 def derive_shingle_cap(shingle_df_hist, pair_budget: int) -> int:
@@ -102,7 +117,7 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs` — the sub-quadratic scale path.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles(text_col, n)).alias("sh"))
+    sh = _exploded_shingles(df, id_col, text_col, n, "sh")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if pair_budget is not None:
         hist = (
@@ -163,7 +178,7 @@ def minhash_signatures(
     shuffle keyed on id, map-side combined, all JVM-side (xxhash64 + modular
     arithmetic on longs). ``hash_fn="md5"`` switches to the DuckDB-expressible
     md5-derived family (gate oracle mode; same plan shape, slower hash)."""
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles(text_col, n)).alias("_sh"))
+    sh = _exploded_shingles(df, id_col, text_col, n, "_sh")
     if hash_fn == "md5":
         # h_i(sh) = md5_long(sh + "|i") — shingles are space-joined word
         # tokens, so '|' never collides with content

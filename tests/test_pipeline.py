@@ -69,9 +69,7 @@ def test_ngram_jaccard_pair_budget(spark):
     assert dedup.derive_shingle_cap([(5, 1)], 9) == 1  # even df=5 too hot
 
     budget = 50  # far below the hot-shingle blowup (each df=40 shingle → 780 pairs)
-    sh = docs.select(
-        F.col("id").alias("_id"), F.explode(dedup._shingles("text", 3)).alias("sh")
-    )
+    sh = dedup._exploded_shingles(docs, "id", "text", 3, "sh")
     hist = (
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
         .groupBy("_df").agg(F.count(F.lit(1)).alias("_n")).collect()

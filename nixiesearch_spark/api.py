@@ -163,7 +163,14 @@ class IndexHandle:
 
             base = 0
             try:
-                docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+                # mergeSchema: the docs dir is schema-evolved (full-build
+                # files lack seqnum, pushed batches carry it) and parquet
+                # schema inference samples ONE footer in listing order —
+                # without merging, seqnum can silently vanish and the batch
+                # counter would restart, breaking monotonicity
+                docs = self.spark.read.option("mergeSchema", "true").parquet(
+                    os.path.join(self.index_dir, "docs")
+                )
                 if "seqnum" in docs.columns:
                     got = docs.agg(F.max("seqnum")).first()[0]
                     base = int(got) if got is not None else 0

@@ -192,7 +192,12 @@ class IncrementalIndexer:
         from pyspark.sql import Window
 
         spark, idx = self.spark, self.index_dir
-        docs = spark.read.parquet(os.path.join(idx, "docs"))
+        # mergeSchema: full-build docs files lack seqnum while appended
+        # batches carry it; single-footer schema inference may drop it and
+        # last-write-wins would then order by ordinal alone
+        docs = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(idx, "docs")
+        )
         tomb_path = os.path.join(idx, "tombstones")
         tombs = spark.read.parquet(tomb_path) if os.path.isdir(tomb_path) else None
         touched = set()

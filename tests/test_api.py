@@ -159,7 +159,10 @@ def test_metrics_and_errors(server):
 def test_push_batch_seqnums_continue_counter(server, spark):
     # docs-table seqnums are a batch COUNTER (not the epoch-ms manifest
     # seqnum): pushes onto a full build start at 1 and increment
-    docs = spark.read.parquet(server.indexes["docs"].index_dir + "/docs")
+    # mergeSchema: base-build files lack seqnum, pushed batches carry it
+    docs = spark.read.option("mergeSchema", "true").parquet(
+        server.indexes["docs"].index_dir + "/docs"
+    )
     seqs = sorted(
         r["seqnum"]
         for r in docs.select("seqnum").distinct().collect()

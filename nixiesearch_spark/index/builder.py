@@ -39,9 +39,10 @@ Scale notes (100 TB / 1000 executors):
   aggregation; AQE splits any residual skew.
 - ordinal assignment is two-level (see _with_ordinals): hash-bucketed
   ranks + broadcast prefix offsets — parallelism never caps at n_shards
-  and no task sorts a whole shard.
-- packed posting groups sub-split by ordinal range (see _pack): no
-  collect_list row exceeds block_size·K postings even for stopword terms.
+  and no task sorts a whole shard. Below a row bound the slim map is
+  broadcast-joined back so the document payload crosses no exchange.
+- packed posting groups sub-split by ordinal range (see _pack): no pack
+  shuffle key exceeds block_size·K postings even for stopword terms.
 - resume: shards whose lineage rows are committed are skipped on re-run; the
   build is idempotent per shard (deterministic docids + deterministic
   tokenize), so re-runs produce byte-identical postings (north rule).
@@ -139,6 +140,14 @@ class IndexBuilder:
     def __init__(self, spark: SparkSession, config: IndexConfig | None = None):
         self.spark = spark
         self.config = config or IndexConfig()
+        # wall-clock per build phase (docs_write/postings_write/pack/...)
+        # — observability only, nothing reads it in the engine
+        self.timings: dict[str, float] = {}
+
+    def _mark(self, name: str, t0: float) -> float:
+        now = time.time()
+        self.timings[name] = round(self.timings.get(name, 0.0) + (now - t0), 3)
+        return now
 
     # ---------- docid / shard assignment ----------
 
@@ -185,11 +194,14 @@ class IndexBuilder:
                     "before appending with this version"
                 )
         base = self.with_docid(df)
-        # guarantee enough input splits: a corpus delivered as few/large
-        # row-groups would otherwise serialize the tokenize stage (real
-        # 100 TB inputs arrive well-partitioned; this only kicks in when
-        # they don't)
         parallelism = self.spark.sparkContext.defaultParallelism
+        # guarantee enough input splits for the CPU-bound tokenize stage.
+        # For file-based inputs, derive the split size from the input's own
+        # byte size (guide §2/§6: scale-adaptive partitioning, not a
+        # constant) instead of a round-robin repartition — that repartition
+        # was a full shuffle of the document payload, paid once per build
+        # job. Non-file inputs (createDataFrame) keep the repartition guard.
+        prev_mpb = self._tune_input_splits(base, parallelism)
         if base.rdd.getNumPartitions() < max(parallelism // 2, 2):
             base = base.repartition(parallelism * 2)
         if len(shards) < c.n_shards:
@@ -202,7 +214,30 @@ class IndexBuilder:
         # ~2^59/df), over dense ordinals the gaps are ~shard_size/df — the
         # packed table shrinks ~5x. Appends offset by the shard's committed
         # row count (from lineage) so ordinals never collide.
-        base = self._with_ordinals(base, self._shard_bases(index_dir, shards))
+        #
+        # The map is computed ONCE on a slim (docid, shard) projection and
+        # broadcast-joined back to the payload rows (guide §8: decide with
+        # small rows, never shuffle the heavy payload). Below the broadcast
+        # bound this removes every full-payload exchange from the build —
+        # the docs and postings jobs both consume input-split partitioning
+        # straight through to their writes. Above the bound (cluster-scale
+        # corpora) the old payload-window path is used unchanged.
+        bases = self._shard_bases(index_dir, shards)
+        ord_cap = int(c.extra.get("ordinal_broadcast_max_rows", 5_000_000))
+        ordmap = None
+        slim = self._with_ordinals(base.select("docid", "shard"), bases).select(
+            "docid", "ordinal"
+        )
+        from pyspark import StorageLevel
+
+        ordmap = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = ordmap.count()
+        if n_rows <= ord_cap:
+            base = base.join(F.broadcast(ordmap), "docid")
+        else:  # payload window path: ordinals recomputed per action
+            ordmap.unpersist(blocking=False)
+            ordmap = None
+            base = self._with_ordinals(base, bases)
         base = base.withColumn(
             "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
         )
@@ -230,14 +265,18 @@ class IndexBuilder:
         docs_out = base.select("docid", "ordinal", "shard", "sha256", *stored).observe(
             obs_docs, *doc_exprs
         )
-        # flat write (no partitionBy): the ordinal exchange leaves each task
-        # holding many (shard, bucket) groups — hive-partitioning by shard
-        # would explode into tasks×shards files. Rows arrive already sorted
-        # by (shard, bucket, docid) from the ordinal window, so parquet
-        # row-group min/max on shard/docid stays tight without a re-sort;
-        # docs access paths are docid joins + shard column filters, neither
+        # flat write (no partitionBy): hive-partitioning by shard would
+        # explode into tasks×shards files. On the broadcast-ordinal path
+        # rows stay in input order (no exchange at all — the win); shard
+        # row-group stats are loose until a merge() re-clusters, which the
+        # rare compact/swap paths tolerate. On the payload-window fallback
+        # rows arrive sorted by (shard, bucket, docid) as before. Docs
+        # access paths are docid joins + shard column filters, neither
         # needs directory pruning.
+        self.spark.sparkContext.setJobDescription("index-build: docs row store")
+        t_ph = time.time()
         docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+        t_ph = self._mark("docs_write", t_ph)
 
         # ---------- postings job: the single tokenize pass ----------
         docs = base
@@ -299,6 +338,14 @@ class IndexBuilder:
                 )
         obs_len = Observation()
         docs = docs.observe(obs_len, *len_exprs)
+        # per-doc tf via explode + groupBy with map-side partial aggregation
+        # (guide §2.3). Two alternatives were measured and REJECTED in r6:
+        # a run-length encode over array_sort with indexed HOF lambdas hit
+        # the alias-inlining trap (array_sort re-evaluated per element — a
+        # 50-doc build never finished), and the inlining-immune whole-array
+        # zip_with form ran 4x slower than this shuffle (130 s vs 30 s at
+        # 20k docs/local[4]: HOF lambdas evaluate interpreted, ~7k lambda
+        # calls per 1000-token doc, while explode+hash-agg is codegen'd).
         posting_parts = [
             docs.select(
                 "docid",
@@ -313,13 +360,15 @@ class IndexBuilder:
         exploded = posting_parts[0]
         for p in posting_parts[1:]:
             exploded = exploded.unionByName(p)
-        # Full-build fast path (pack-from-postings-agg): persist the postings
-        # aggregation so finalize's pack groups straight off the cache
-        # instead of re-reading the just-written parquet — on object-store
-        # deployments that removes a full-index network round trip (locally
-        # it is a wash, measured r4: disk read ≈ cache read at 120k docs).
-        # Appends/resumes skip it — their pack is already O(batch) via the
-        # incremental og overwrite.
+        postings = exploded.groupBy(
+            "shard", "field", "term", "docid", "ordinal", "norm"
+        ).agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        # Full builds may persist the narrow posting rows so finalize's
+        # pack shuffles straight off the cache instead of re-reading the
+        # just-written parquet (pack_source="cache", for object-store
+        # deployments; see the A/B note below — local disk favors the
+        # re-read). Appends/resumes never cache — their pack is already
+        # O(batch) via the incremental og overwrite.
         full_build = (
             c.quantize
             and len(shards) == c.n_shards
@@ -329,12 +378,16 @@ class IndexBuilder:
         if prev is not None:  # builder reuse: release the orphan cache first
             prev[0].unpersist(blocking=False)
         self._full_postings = None
-        postings = exploded.groupBy(
-            "shard", "field", "term", "docid", "ordinal", "norm"
-        ).agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        if full_build:
+        # pack_source="parquet" (default) skips the cache: pack re-reads
+        # the written postings files. A/B at 20k docs/local[4] (bench_extra
+        # r6, warm JVM): parquet 29.9-35.3 s total vs cache 36.4 s — the
+        # MEMORY_AND_DISK serialization inside the postings action costs
+        # more than the local re-read, and skipping it also releases the
+        # executor storage pressure. "cache" remains for object-store
+        # deployments, where the re-read is a full-index network trip.
+        use_cache = c.extra.get("pack_source", "parquet") == "cache"
+        if full_build and use_cache:
             span = c.block_size * int(c.extra.get("pack_group_blocks", 256))
-            from pyspark import StorageLevel
 
             postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
             self._full_postings = (postings, span)
@@ -363,14 +416,21 @@ class IndexBuilder:
             ]
             out = out.observe(obs_post, *post_exprs)
         out = out.sortWithinPartitions("shard", "field", "term", "docid")
+        self.spark.sparkContext.setJobDescription("index-build: postings")
         out.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+        t_ph = self._mark("postings_write", t_ph)
         dvals, lvals = obs_docs.get, obs_len.get
         if obs_post is not None:
             pvals = obs_post.get
-        else:  # count from the cache the write just materialized
+        else:  # count from what the write just materialized: the cache, or
+            # (pack_source=parquet) the files themselves — the dir held
+            # nothing before a full build, so the dir count IS the batch
+            src = postings if use_cache else self.spark.read.parquet(
+                os.path.join(index_dir, "postings")
+            )
             pc = {
                 (int(r["shard"]), r["field"]): int(r["cnt"])
-                for r in postings.groupBy("shard", "field")
+                for r in src.groupBy("shard", "field")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
             }
@@ -415,6 +475,7 @@ class IndexBuilder:
                         "tokenizer": TOKENIZER_VERSION,
                     }
                 )
+        t_ph = self._mark("postings_count", t_ph)
         lineage = self.spark.createDataFrame(
             pd.DataFrame(rows),
             schema=(
@@ -424,6 +485,39 @@ class IndexBuilder:
             ),
         )
         lineage.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+        self._mark("lineage_write", t_ph)
+        self.spark.sparkContext.setJobDescription(None)
+        if ordmap is not None:  # slim map served both writes; done with it
+            ordmap.unpersist(blocking=False)
+        if prev_mpb is not None:  # restore the session's input-split size
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+    def _tune_input_splits(self, base: DataFrame, parallelism: int) -> str | None:
+        """Size input splits to the corpus so the CPU-bound tokenize stage
+        gets ~3 tasks per core even when the input arrives as one big file
+        (guide §2.2/§6.1: partitioning derived from input size, not a
+        constant). Returns the previous conf value to restore, or None when
+        the input is not file-based / already splits finely enough."""
+        try:
+            files = base.inputFiles()
+            total = 0
+            for fp in files:
+                p = fp[7:] if fp.startswith("file:") and fp[5:7] == "//" else fp
+                p = p[5:] if p.startswith("file:") else p
+                if os.path.isfile(p):
+                    total += os.path.getsize(p)
+            if not files or total <= 0:
+                return None
+            want = max(total // max(parallelism * 3, 1), 4 * 1024 * 1024)
+            prev = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+            prev_bytes = int(str(prev).lower().rstrip("b").replace("m", "000000").replace(
+                "g", "000000000").replace("k", "000")) if not str(prev).isdigit() else int(prev)
+            if want >= prev_bytes:
+                return None  # input already splits at least this finely
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(want)))
+            return str(prev)
+        except Exception:  # non-file sources, exotic conf — leave as-is
+            return None
 
     def _with_ordinals(self, base: DataFrame, bases: dict) -> DataFrame:
         """Two-level dense per-shard ordinals without a per-shard global sort.
@@ -561,6 +655,7 @@ class IndexBuilder:
         ``packed_seqnum`` guard instead of silently missing new docs."""
         c = self.config
         spark = self.spark
+        t_ph = time.time()
         lin = spark.read.parquet(os.path.join(index_dir, "lineage"))
         rows = (
             lin.groupBy("field")
@@ -584,9 +679,12 @@ class IndexBuilder:
         prev_pack_avgdl = prev_stats.get("pack_avgdl")
         do_pack = c.quantize and pack
         pack_avgdl, pack_mode, new_files = prev_pack_avgdl, "skip", None
+        t_ph = self._mark("finalize_stats", t_ph)
         try:
             if do_pack:
+                spark.sparkContext.setJobDescription("index-build: pack")
                 pack_avgdl, pack_mode, new_files = self._pack_or_repack(index_dir, fields)
+            t_ph = self._mark("pack", t_ph)
             stats = {
                 "fields": fields,
                 "analyzers": {f: c.analyzers.get(f, "standard") for f in c.text_fields},
@@ -602,7 +700,10 @@ class IndexBuilder:
                 # packs stay sound under avgdl drift (query/wand.py)
                 "pack_avgdl": pack_avgdl,
             }
+            spark.sparkContext.setJobDescription("index-build: dictionary")
             self._refresh_dictionary(index_dir, pack_mode, new_files)
+            self._mark("dictionary", t_ph)
+            spark.sparkContext.setJobDescription(None)
             with open(os.path.join(index_dir, "stats.json"), "w") as f:
                 json.dump(stats, f, indent=2)
         finally:
@@ -749,18 +850,20 @@ class IndexBuilder:
     ) -> None:
         """Flat postings → VByte blocks with block-max impact (WAND path).
 
-        Shape matters at scale: the per-(shard, field, term) posting lists
-        are assembled JVM-side (groupBy + collect_list + array_sort — one
-        shuffle, no Python row traffic), so Arrow moves ~#terms rows of
-        packed primitive arrays instead of every posting as a Python row
-        (~25x less Python-boundary work). mapInPandas then VByte-encodes
-        with bulk numpy. Quantized-only: the norm byte is what WAND decodes.
+        Shape matters at scale: the per-(shard, field, term, og) posting
+        groups arrive as FLAT rows from one repartition + within-partition
+        sort — a sort-based exchange, measured 3-4x faster than the former
+        ``collect_list`` ObjectHashAggregate at 8.9M postings (bench_extra
+        r6), and it spills gracefully instead of building per-group arrays
+        in agg memory. mapInPandas walks the sorted stream, carrying the
+        trailing (possibly batch-straddling) group between Arrow batches,
+        and VByte-encodes whole batches with bulk numpy. Quantized-only:
+        the norm byte is what WAND decodes.
 
         Giant-term guard: a stopword's postings in one shard are
-        O(shard_docs) — a single collect_list row would approach the 2 GB
-        array limit at 100x scale. The groupBy key therefore includes an
-        ordinal-range sub-group ``floor(ordinal / (block_size*K))``, bounding
-        every collected list to block_size*K postings (~0.5 MB of structs).
+        O(shard_docs). The shuffle key therefore includes the ordinal-range
+        sub-group ``og = floor(ordinal / (block_size*K))``, bounding every
+        key (and the kernel's carry buffer) to block_size*K postings.
         Sub-groups pack independently into the same block format (block
         boundaries are range-local; WAND treats blocks as independent
         docid-range intervals, so split points don't change results).
@@ -771,72 +874,130 @@ class IndexBuilder:
             f: lucene.norm_cache(np.float32(a)) for f, a in avgdl_by_field.items()
         }
 
+        def _group_starts(rb) -> np.ndarray:
+            """Row indices where a new (shard, og, field, term) group
+            begins, via Arrow vectorized neighbor comparison — the string
+            columns never materialize as Python objects."""
+            import pyarrow.compute as pc
+
+            n = rb.num_rows
+            if n == 1:
+                return np.array([0], dtype=np.int64)
+            cols = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+
+            def neq(a):
+                return pc.not_equal(a.slice(1), a.slice(0, n - 1))
+
+            ch = pc.or_(
+                pc.or_(neq(cols["shard"]), neq(cols["og"])),
+                pc.or_(neq(cols["field"]), neq(cols["term"])),
+            ).to_numpy(zero_copy_only=False)
+            newgrp = np.empty(n, dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = ch
+            return np.flatnonzero(newgrp)
+
+        def encode_region(rb, gstart: np.ndarray):
+            """VByte-encode an Arrow batch of complete, sorted groups into
+            one PACKED_SCHEMA batch. Binary columns are built zero-copy
+            from (offsets, value-buffer) pairs — no per-block Python."""
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            n = rb.num_rows
+            cols = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            docids = cols["ordinal"].to_numpy()
+            tfs = cols["tf"].to_numpy().astype(np.int64)
+            norms = cols["norm"].to_numpy().astype(np.int64)
+            glen = np.diff(np.append(gstart, n))
+            pos_in_grp = np.arange(n) - np.repeat(gstart, glen)
+            bstart = np.flatnonzero(pos_in_grp % block_size == 0)
+            bend = np.append(bstart[1:], n)
+            impact = np.empty(n, dtype=np.float32)
+            for fld in pc.unique(cols["field"]).to_pylist():
+                m = pc.equal(cols["field"], fld).to_numpy(zero_copy_only=False)
+                impact[m] = lucene.bm25_contrib(
+                    np.float32(1.0), tfs[m].astype(np.float32), norms[m], caches[fld]
+                )
+            gaps = np.empty(n, dtype=np.int64)
+            gaps[0] = 0
+            gaps[1:] = docids[1:] - docids[:-1]
+            gaps[bstart] = codec.zigzag_encode(docids[bstart])
+            enc_g, len_g = codec.vbyte_encode_with_lengths(gaps)
+            enc_t, len_t = codec.vbyte_encode_with_lengths(tfs - 1)
+            off_g = np.concatenate([[0], np.cumsum(len_g)])
+            off_t = np.concatenate([[0], np.cumsum(len_t)])
+            bounds = np.append(bstart, n)
+            nb = len(bstart)
+
+            def binary_col(values: np.ndarray, offsets: np.ndarray):
+                return pa.Array.from_buffers(
+                    pa.binary(),
+                    nb,
+                    [None, pa.py_buffer(offsets.astype(np.int32)),
+                     pa.py_buffer(np.ascontiguousarray(values))],
+                )
+
+            bmax = np.maximum.reduceat(impact.astype(np.float64), bstart)
+            btf = np.add.reduceat(tfs, bstart)
+            idx = pa.array(bstart, type=pa.int64())
+            return pa.RecordBatch.from_arrays(
+                [
+                    pc.take(cols["shard"], idx),
+                    pc.take(cols["field"], idx),
+                    pc.take(cols["term"], idx),
+                    pa.array(docids[bstart], type=pa.int64()),
+                    pa.array(docids[bend - 1], type=pa.int64()),
+                    pa.array((bend - bstart).astype(np.int32)),
+                    binary_col(np.frombuffer(enc_g, dtype=np.uint8), off_g[bounds]),
+                    binary_col(np.frombuffer(enc_t, dtype=np.uint8), off_t[bounds]),
+                    binary_col(norms.astype(np.uint8), bounds),
+                    pa.array(np.float32(bmax)),
+                    pa.array(btf, type=pa.int64()),
+                    pc.take(cols["og"], idx),
+                ],
+                names=[
+                    "shard", "field", "term", "block_id", "block_last", "n",
+                    "doc_gaps", "tfs", "norms", "max_impact", "tf_sum", "og",
+                ],
+            )
+
         def pack_batches(batches):
-            cols = ("shard", "field", "term", "block_id", "block_last", "n",
-                    "doc_gaps", "tfs", "norms", "max_impact", "tf_sum", "og")
-            for pdf in batches:
-                out = {k: [] for k in cols}
-                for (shard, fld), g in pdf.groupby(["shard", "field"], sort=False):
-                    lens = g["docids"].map(len).to_numpy(dtype=np.int64)
-                    if lens.sum() == 0:
-                        continue
-                    row_og = g["og"].to_numpy(dtype=np.int64)
-                    docids = np.concatenate(g["docids"].to_list()).astype(np.int64)
-                    tfs = np.concatenate(g["tfs"].to_list()).astype(np.int64)
-                    norms = np.concatenate(g["norms"].to_list()).astype(np.int64)
-                    terms = g["term"].to_numpy()
-                    n = len(docids)
-                    term_first = np.concatenate([[0], np.cumsum(lens)[:-1]])
-                    term_id = np.repeat(np.arange(len(lens)), lens)
-                    pos_in_term = np.arange(n) - term_first[term_id]
-                    is_block_start = pos_in_term % block_size == 0
-                    bstart = np.flatnonzero(is_block_start)
-                    bend = np.empty_like(bstart)
-                    bend[:-1] = bstart[1:]
-                    bend[-1] = n
-                    impact = lucene.bm25_contrib(
-                        np.float32(1.0), tfs.astype(np.float32), norms, caches[fld]
+            import pyarrow as pa
+
+            carry = None
+            for rb in batches:
+                if carry is not None:
+                    rb = (
+                        pa.Table.from_batches([carry, rb])
+                        .combine_chunks()
+                        .to_batches()[0]
                     )
-                    gaps = np.empty(n, dtype=np.int64)
-                    gaps[0] = 0
-                    gaps[1:] = docids[1:] - docids[:-1]
-                    gaps[bstart] = codec.zigzag_encode(docids[bstart])
-                    enc_g, len_g = codec.vbyte_encode_with_lengths(gaps)
-                    enc_t, len_t = codec.vbyte_encode_with_lengths(tfs - 1)
-                    off_g = np.concatenate([[0], np.cumsum(len_g)])
-                    off_t = np.concatenate([[0], np.cumsum(len_t)])
-                    norm_bytes = norms.astype(np.uint8).tobytes()
-                    bmax = np.maximum.reduceat(impact.astype(np.float64), bstart)
-                    btf = np.add.reduceat(tfs, bstart)
-                    nb = len(bstart)
-                    out["shard"].extend([int(shard)] * nb)
-                    out["field"].extend([fld] * nb)
-                    out["term"].extend(terms[term_id[bstart]].tolist())
-                    out["block_id"].extend(docids[bstart].tolist())
-                    out["block_last"].extend(docids[bend - 1].tolist())
-                    out["n"].extend((bend - bstart).tolist())
-                    out["doc_gaps"].extend(
-                        enc_g[off_g[a] : off_g[b]] for a, b in zip(bstart, bend)
-                    )
-                    out["tfs"].extend(enc_t[off_t[a] : off_t[b]] for a, b in zip(bstart, bend))
-                    out["norms"].extend(norm_bytes[a:b] for a, b in zip(bstart, bend))
-                    out["max_impact"].extend(np.float32(bmax).tolist())
-                    out["tf_sum"].extend(btf.tolist())
-                    out["og"].extend(row_og[term_id[bstart]].tolist())
-                yield pd.DataFrame(out)
+                    carry = None
+                if rb.num_rows == 0:
+                    continue
+                gstart = _group_starts(rb)
+                last = int(gstart[-1])
+                if last == 0:
+                    carry = rb  # whole batch is one group — keep growing
+                    continue
+                # hold back the trailing group — it may continue in the
+                # next batch (carry is bounded by the og sub-group span)
+                carry = rb.slice(last)
+                yield encode_region(rb.slice(0, last), gstart[:-1])
+            if carry is not None and carry.num_rows:
+                yield encode_region(carry, _group_starts(carry))
 
         if postings_df is not None:
-            # pack-from-postings-agg: the persisted build aggregation feeds
-            # the pack instead of re-reading the just-written parquet. The
-            # (shard, field, term, og) regroup below still shuffles (the
-            # cache is partitioned on the 6-key agg hash) — what this saves
-            # is the full-index read, which on object-store deployments is
-            # a network round trip (local disk: measured a wash, r4).
+            # pack-from-postings-cache: the persisted build rows feed the
+            # pack instead of re-reading the just-written parquet. The
+            # (shard, field, term, og) repartition below still shuffles —
+            # what this saves is the full-index read, which on object-store
+            # deployments is a network round trip (local disk: measured a
+            # wash, r4).
             postings = postings_df
-            og_key = F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").alias("og")
         else:
             postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
-            og_key = F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").alias("og")
         if new_files is not None:
             # incremental: only ordinal groups touched by the new files need
             # re-encoding — appends land ABOVE each shard's committed ordinal
@@ -857,22 +1018,32 @@ class IndexBuilder:
                 (F.col("ordinal") >= F.lit(lo))
                 & F.floor(F.col("ordinal") / F.lit(group_span)).cast("int").isin(changed)
             )
-        grouped = (
-            postings.groupBy("shard", "field", "term", og_key)
-            .agg(F.array_sort(F.collect_list(F.struct("ordinal", "tf", "norm"))).alias("ps"))
-            .select(
-                "shard",
-                "field",
-                "term",
-                "og",
-                F.transform("ps", lambda x: x["ordinal"]).alias("docids"),
-                F.transform("ps", lambda x: x["tf"]).alias("tfs"),
-                F.transform("ps", lambda x: x["norm"]).alias("norms"),
+        # one sort-based exchange keyed by the full group key (og included:
+        # a shard's stopword postings split across og sub-groups, so no
+        # single reduce key exceeds the span — the skew guard); the
+        # within-partition sort hands the kernel contiguous, ordered groups
+        arranged = (
+            postings.withColumn(
+                "og", F.floor(F.col("ordinal") / F.lit(group_span)).cast("int")
             )
+            .select("shard", "field", "term", "og", "ordinal", "tf", "norm")
+            .repartition("shard", "field", "term", "og")
+            .sortWithinPartitions("shard", "field", "term", "og", "ordinal")
         )
-        packed = grouped.mapInPandas(pack_batches, schema=PACKED_SCHEMA)
+        packed = arranged.mapInArrow(pack_batches, schema=PACKED_SCHEMA)
+        # bigger Arrow batches for the narrow posting rows (guide §4.2):
+        # fewer kernel invocations and fewer carry splices; restored after
+        # the write so pandas-UDF analyzers keep the session default
+        arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev_arrow = self.spark.conf.get(arrow_conf)
+        self.spark.conf.set(arrow_conf, "65536")
+        # og leads the pre-write sort: the dynamic-partitioned write
+        # requires rows clustered by its partition column and would insert
+        # its OWN (term-order-destroying) sort otherwise — leading with og
+        # satisfies that requirement, so one sort serves both the writer
+        # and the term row-group clustering WAND's reads prune on
         writer = (
-            packed.sortWithinPartitions("shard", "field", "term", "block_id")
+            packed.sortWithinPartitions("og", "shard", "field", "term", "block_id")
             .write.mode("overwrite")
             .partitionBy("og")
         )
@@ -880,7 +1051,10 @@ class IndexBuilder:
             # overwrite ONLY the og partitions present in this write; every
             # other og dir's files are untouched on disk
             writer = writer.option("partitionOverwriteMode", "dynamic")
-        writer.parquet(os.path.join(index_dir, "packed"))
+        try:
+            writer.parquet(os.path.join(index_dir, "packed"))
+        finally:
+            self.spark.conf.set(arrow_conf, prev_arrow)
 
     # ---------- merge / compaction ----------
 

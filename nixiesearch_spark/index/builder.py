@@ -202,7 +202,10 @@ class IndexBuilder:
         # was a full shuffle of the document payload, paid once per build
         # job. Non-file inputs (createDataFrame) keep the repartition guard.
         prev_mpb = self._tune_input_splits(base, parallelism)
-        if base.rdd.getNumPartitions() < max(parallelism // 2, 2):
+        if prev_mpb is None and base.rdd.getNumPartitions() < max(parallelism // 2, 2):
+            # non-file input (or already-fine splits): the .rdd partition
+            # probe costs a full plan->RDD conversion, so it only runs when
+            # split tuning could not size the scan itself
             base = base.repartition(parallelism * 2)
         if len(shards) < c.n_shards:
             base = base.where(F.col("shard").isin(shards))
@@ -258,6 +261,7 @@ class IndexBuilder:
         # norms live in the postings rows (the only place scoring reads
         # them), so the expensive analyze pass runs exactly ONCE — in the
         # postings job below — instead of once per output table.
+        self._mark("prelude", t0)
         obs_docs = Observation()
         doc_exprs = [
             F.sum(F.when(shard_pred(s), 1).otherwise(0)).alias(f"rows__{s}") for s in groups
@@ -273,10 +277,24 @@ class IndexBuilder:
         # rows arrive sorted by (shard, bucket, docid) as before. Docs
         # access paths are docid joins + shard column filters, neither
         # needs directory pruning.
-        self.spark.sparkContext.setJobDescription("index-build: docs row store")
+        # the docs and postings writes are INDEPENDENT actions over the
+        # same inputs — run the docs write on a driver thread so the
+        # postings job's tasks back-fill as the docs tail drains (guide
+        # §2.6: overlap independent jobs; job descriptions/groups are
+        # thread-local so each stays labeled). The join happens right
+        # before the lineage rows, which need both Observations.
+        from pyspark import inheritable_thread_target
+
         t_ph = time.time()
-        docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
-        t_ph = self._mark("docs_write", t_ph)
+
+        def _write_docs():
+            self.spark.sparkContext.setJobDescription("index-build: docs row store")
+            docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        docs_future = pool.submit(inheritable_thread_target(_write_docs))
 
         # ---------- postings job: the single tokenize pass ----------
         docs = base
@@ -417,8 +435,15 @@ class IndexBuilder:
             out = out.observe(obs_post, *post_exprs)
         out = out.sortWithinPartitions("shard", "field", "term", "docid")
         self.spark.sparkContext.setJobDescription("index-build: postings")
-        out.write.mode("append").parquet(os.path.join(index_dir, "postings"))
-        t_ph = self._mark("postings_write", t_ph)
+        try:
+            out.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+            t_ph = self._mark("postings_write", t_ph)
+        finally:
+            try:
+                docs_future.result()  # surface docs-write failures here
+            finally:
+                pool.shutdown()
+        t_ph = self._mark("docs_join", t_ph)
         dvals, lvals = obs_docs.get, obs_len.get
         if obs_post is not None:
             pvals = obs_post.get

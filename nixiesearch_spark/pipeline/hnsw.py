@@ -90,16 +90,21 @@ def _graph_insert(
         if lv > max_level or (lv == max_level and (entry is None or i < entry)):
             entry, max_level = int(i), int(lv)
 
+    from bisect import insort  # hoisted out of the beam inner loop
+
     def dist(a: int, b: int) -> float:
         return 1.0 - float(vecs[pos[a]] @ vecs[pos[b]])
 
     def dist_q(qv: np.ndarray, b: int) -> float:
         return 1.0 - float(qv @ vecs[pos[b]])
 
-    def search_layer(qv, eps: list[int], ef: int, layer: int) -> list[int]:
-        """Beam search: returns up to ef closest ids (ascending distance)."""
-        visited = set(eps)
-        cand = sorted(((dist_q(qv, e), e) for e in eps))
+    def search_layer(qv, eps: list, ef: int, layer: int) -> list:
+        """Beam search over (dist, id) pairs: takes entry pairs, returns up
+        to ef closest pairs ascending — distances ride along so callers
+        (and the next layer) never recompute them. Identical arithmetic
+        and tie order to the id-only form: tuples compare (dist, id)."""
+        visited = {e for _, e in eps}
+        cand = sorted(eps)
         best = list(cand)
         while cand:
             d, c = cand.pop(0)
@@ -112,13 +117,11 @@ def _graph_insert(
                 visited.add(nb)
                 dn = dist_q(qv, nb)
                 if len(best) < ef or dn < best[-1][0]:
-                    import bisect
-
-                    bisect.insort(cand, (dn, nb))
-                    bisect.insort(best, (dn, nb))
+                    insort(cand, (dn, nb))
+                    insort(best, (dn, nb))
                     if len(best) > ef:
                         best.pop()
-        return [b for _, b in best]
+        return best
 
     for i in insert_ids:
         i = int(i)
@@ -130,14 +133,15 @@ def _graph_insert(
             entry, max_level = i, lvl
             continue
         qv = vecs[pos[i]]
-        eps = [entry]
+        eps = [(dist_q(qv, entry), entry)]
         for layer in range(max_level, lvl, -1):
             eps = search_layer(qv, eps, 1, layer)
         for layer in range(min(lvl, max_level), -1, -1):
             cands = search_layer(qv, eps, ef_c, layer)
-            dd = {c: dist_q(qv, c) for c in cands}
             m_cap = 2 * m if layer == 0 else m
-            sel = _select_closest(cands, dd, m)
+            # cands are (dist, id) ascending — the closest-M selection is
+            # its prefix (same (dist, id) order _select_closest produced)
+            sel = [c for _, c in cands[:m]]
             links[i][layer] = list(sel)
             for nb in sel:
                 nl = links[nb][layer]

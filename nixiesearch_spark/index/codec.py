@@ -143,3 +143,33 @@ def decode_posting_block(doc_gaps: bytes, tfs: bytes, norms: bytes):
     tf = vbyte_decode(tfs) + 1
     nm = np.frombuffer(norms, dtype=np.uint8).astype(np.int64)
     return docids, tf, nm
+
+
+def decode_posting_blocks(
+    doc_gaps: list, tfs: list, norms: list, counts: np.ndarray
+):
+    """Batch form of :func:`decode_posting_block`: decode MANY blocks with
+    ONE VByte pass each for gaps and tfs (VByte is self-delimiting, so
+    concatenated buffers decode to concatenated values), then rebuild the
+    per-block absolute docids with a segmented cumsum. ``counts[i]`` is
+    block i's posting count (== len(norms[i])). Returns flat
+    (docids, tf, norm) int64 arrays — slice with cumsum(counts) bounds.
+    Identity with the per-block decode is unit-tested (test_codec)."""
+    total = int(counts.sum())
+    vals = vbyte_decode(b"".join(doc_gaps), total)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    if total:
+        vals = vals.copy()
+        vals[starts] = zigzag_decode(vals[starts])
+        c = np.cumsum(vals)
+        # subtract each block's preceding running total so every block's
+        # cumsum restarts at its own absolute first docid
+        offs = np.repeat(
+            np.concatenate([[np.int64(0)], c[starts[1:] - 1]]), counts
+        )
+        docids = c - offs
+    else:
+        docids = vals
+    tf = vbyte_decode(b"".join(tfs), total) + 1
+    nm = np.frombuffer(b"".join(norms), dtype=np.uint8).astype(np.int64)
+    return docids, tf, nm

@@ -102,8 +102,9 @@ def _shard_topk(
     terms = list(dict.fromkeys(pdf["term"]))
     blocks: dict[str, dict] = {}
     lo, hi = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
     for t in terms:
-        tdf = pdf[pdf["term"] == t].sort_values("block_id")
+        tdf = by_term[t].sort_values("block_id")
         first = tdf["block_id"].to_numpy(dtype=np.int64)
         last = tdf["block_last"].to_numpy(dtype=np.int64)
         ub = (
@@ -141,23 +142,24 @@ def _shard_topk(
     stripe_hi[:-1] = stripe_lo[1:] - 1
     stripe_hi[-1] = np.iinfo(np.int64).max
 
-    # stripe ub = Σ_t max(ub of blocks overlapping stripe)
+    # stripe ub = Σ_t max(ub of blocks overlapping stripe); the stripe
+    # range of every block comes from ONE batched searchsorted per term
     stripe_ub = np.zeros(n_stripes, dtype=np.float64)
     overlap: list[list[tuple[str, int]]] = [[] for _ in range(n_stripes)]
     for t in terms:
         b = blocks[t]
-        for j in range(len(b["first"])):
-            s0 = int(np.searchsorted(stripe_lo, b["first"][j], side="right") - 1)
-            s1 = int(np.searchsorted(stripe_lo, b["last"][j], side="right") - 1)
-            s1 = min(s1, n_stripes - 1)
-            for s in range(max(s0, 0), s1 + 1):
-                overlap[s].append((t, j))
-        # per-stripe max for this term
+        s0a = np.maximum(
+            np.searchsorted(stripe_lo, b["first"], side="right") - 1, 0
+        )
+        s1a = np.minimum(
+            np.searchsorted(stripe_lo, b["last"], side="right") - 1, n_stripes - 1
+        )
         tmax = np.zeros(n_stripes, dtype=np.float64)
-        for j in range(len(b["first"])):
-            s0 = max(int(np.searchsorted(stripe_lo, b["first"][j], side="right") - 1), 0)
-            s1 = min(int(np.searchsorted(stripe_lo, b["last"][j], side="right") - 1), n_stripes - 1)
-            tmax[s0 : s1 + 1] = np.maximum(tmax[s0 : s1 + 1], b["ub"][j])
+        ubs = b["ub"]
+        for j, (a0, a1) in enumerate(zip(s0a, s1a)):
+            for s in range(a0, a1 + 1):
+                overlap[s].append((t, j))
+            tmax[a0 : a1 + 1] = np.maximum(tmax[a0 : a1 + 1], ubs[j])
         stripe_ub += tmax
 
     order = np.argsort(-stripe_ub, kind="stable")
@@ -171,13 +173,32 @@ def _shard_topk(
         if not overlap[s]:
             continue
         doc_parts, contrib_parts = [], []
-        for (t, j) in set(overlap[s]):
-            key = (t, j)
-            if key not in decoded:
-                b = blocks[t]
-                d, tf, nm = codec.decode_posting_block(b["gaps"][j], b["tfs"][j], b["norms"][j])
-                # filter/tombstone mask at decode time, cached with the block
-                # (membership by binary search on the sorted ordinal sets)
+        todo = sorted(set(overlap[s]))  # deterministic accumulation order
+        pending: dict[str, list[int]] = {}
+        for t, j in todo:
+            if (t, j) not in decoded:
+                pending.setdefault(t, []).append(j)
+        for t, js in pending.items():
+            # ONE VByte pass decodes all of this term's new blocks for the
+            # stripe (batch decode identity unit-tested); laziness is kept
+            # — blocks of pruned stripes are never touched
+            b = blocks[t]
+            counts = np.array([len(b["norms"][j]) for j in js], dtype=np.int64)
+            dv, tfv, nmv = codec.decode_posting_blocks(
+                [b["gaps"][j] for j in js],
+                [b["tfs"][j] for j in js],
+                [b["norms"][j] for j in js],
+                counts,
+            )
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            w = np.float32(weights[t])
+            mult = np.float64(mults[t])
+            for i, j in enumerate(js):
+                d = dv[bounds[i] : bounds[i + 1]]
+                tf = tfv[bounds[i] : bounds[i + 1]]
+                nm = nmv[bounds[i] : bounds[i + 1]]
+                # filter/tombstone mask at decode time, cached with the
+                # block (membership by binary search on the sorted sets)
                 if allow is not None:
                     if len(allow) == 0:
                         keep = np.zeros(len(d), dtype=bool)
@@ -191,10 +212,10 @@ def _shard_topk(
                     pos = np.searchsorted(ban, d)
                     hit = (pos < len(ban)) & (ban[np.minimum(pos, len(ban) - 1)] == d)
                     d, tf, nm = d[~hit], tf[~hit], nm[~hit]
-                w = np.float32(weights[t])
                 c = lucene.bm25_contrib(w, tf.astype(np.float32), nm, cache)
-                decoded[key] = (d, np.float64(mults[t]) * c.astype(np.float64))
-            d, c = decoded[key]
+                decoded[(t, j)] = (d, mult * c.astype(np.float64))
+        for (t, j) in todo:
+            d, c = decoded[(t, j)]
             mask = (d >= stripe_lo[s]) & (d <= stripe_hi[s])
             if mask.any():
                 doc_parts.append(d[mask])

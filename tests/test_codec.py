@@ -63,3 +63,27 @@ def test_posting_block_full_int64_range():
     assert np.array_equal(docids, d2)
     assert np.array_equal(tfs, t2)
     assert np.array_equal(norms, n2)
+
+
+def test_decode_posting_blocks_matches_per_block():
+    # the batch decoder (one VByte pass over many concatenated blocks,
+    # segmented cumsum for absolute docids) must be value-identical to
+    # decode_posting_block run block by block — incl. negative xxhash64
+    # heads and single-posting blocks
+    rng = np.random.default_rng(3)
+    gaps_l, tfs_l, norms_l, expect = [], [], [], []
+    for nblk in (1, 7, 128, 3):
+        start = int(rng.integers(-(2**62), 2**62))
+        docids = start + np.cumsum(rng.integers(1, 50, size=nblk))
+        tfs = rng.integers(1, 9, size=nblk)
+        norms = rng.integers(0, 255, size=nblk)
+        g, t, n = codec.encode_posting_block(docids, tfs, norms)
+        gaps_l.append(g), tfs_l.append(t), norms_l.append(n)
+        expect.append(codec.decode_posting_block(g, t, n))
+    counts = np.array([len(n) for n in norms_l], dtype=np.int64)
+    dv, tv, nv = codec.decode_posting_blocks(gaps_l, tfs_l, norms_l, counts)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    for i, (d, t, n) in enumerate(expect):
+        assert np.array_equal(d, dv[bounds[i] : bounds[i + 1]])
+        assert np.array_equal(t, tv[bounds[i] : bounds[i + 1]])
+        assert np.array_equal(n, nv[bounds[i] : bounds[i + 1]])

@@ -436,7 +436,16 @@ class IndexBuilder:
         out = out.sortWithinPartitions("shard", "field", "term", "docid")
         self.spark.sparkContext.setJobDescription("index-build: postings")
         try:
-            out.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+            # snappy for the numeric-heavy postings rows: A/B at 8.9M rows
+            # (bench_extra r6) — write 7.8->5.5-6.2 s, scan-back 1.3->0.8 s,
+            # +12% bytes vs zstd; the text-heavy docs table stays on the
+            # session codec (zstd), where ratio matters more than encode
+            # speed. (lz4 was fastest but Spark's Hadoop-framed lz4 is
+            # unreadable by pyarrow, and lz4_raw does not round-trip
+            # through Spark's own reader without native hadoop libs.)
+            out.write.mode("append").option("compression", "snappy").parquet(
+                os.path.join(index_dir, "postings")
+            )
             t_ph = self._mark("postings_write", t_ph)
         finally:
             try:
@@ -1047,12 +1056,31 @@ class IndexBuilder:
         # a shard's stopword postings split across og sub-groups, so no
         # single reduce key exceeds the span — the skew guard); the
         # within-partition sort hands the kernel contiguous, ordered groups
+        # explicit partition count: AQE's 64MB advisory coalesces this
+        # shuffle to a handful of partitions and underparallelizes the
+        # Python encode stage (measured: pack took LONGER at 16 cores than
+        # at 4). Derive the count from the input's own size when it is a
+        # parquet read (≈64MB of on-disk rows per task), floored at 3
+        # tasks per core — scale-adaptive, not a constant.
+        parallelism = self.spark.sparkContext.defaultParallelism
+        nparts = parallelism * 3
+        if postings_df is None:
+            import glob as _glob
+
+            nbytes = sum(
+                os.path.getsize(f)
+                for f in _glob.glob(
+                    os.path.join(index_dir, "postings", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            nparts = max(nparts, int(nbytes // (64 * 1024 * 1024)) + 1)
         arranged = (
             postings.withColumn(
                 "og", F.floor(F.col("ordinal") / F.lit(group_span)).cast("int")
             )
             .select("shard", "field", "term", "og", "ordinal", "tf", "norm")
-            .repartition("shard", "field", "term", "og")
+            .repartition(nparts, "shard", "field", "term", "og")
             .sortWithinPartitions("shard", "field", "term", "og", "ordinal")
         )
         packed = arranged.mapInArrow(pack_batches, schema=PACKED_SCHEMA)
@@ -1077,7 +1105,11 @@ class IndexBuilder:
             # other og dir's files are untouched on disk
             writer = writer.option("partitionOverwriteMode", "dynamic")
         try:
-            writer.parquet(os.path.join(index_dir, "packed"))
+            # same snappy-for-numeric-tables trade as the postings write; the
+            # packed table is also the WAND serving path's hot pyarrow read
+            writer.option("compression", "snappy").parquet(
+                os.path.join(index_dir, "packed")
+            )
         finally:
             self.spark.conf.set(arrow_conf, prev_arrow)
 

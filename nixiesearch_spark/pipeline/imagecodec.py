@@ -87,9 +87,19 @@ def decode_png(data: bytes) -> np.ndarray:
     spp = _PNG_SAMPLES.get(color)
     if spp is None:
         raise UnsupportedMedia(f"PNG color type {color}")
-    raw = zlib.decompress(b"".join(idat))
     stride = w * spp
-    if len(raw) != h * (stride + 1):
+    # size sanity BEFORE any allocation (same guard BMP already had): the
+    # IHDR dims are attacker-controlled, and a zlib bomb or huge declared
+    # w*h would otherwise allocate/inflate executor memory unboundedly —
+    # an OOM kill escapes media_features' per-blob except-Exception
+    # fallback. Bounded decompressobj: inflate at most expected+1 bytes
+    # and reject any trailing data.
+    if w * h > 64_000_000:  # 64 MPix cap, matches the BMP guard's intent
+        raise UnsupportedMedia(f"PNG dimensions too large ({w}x{h})")
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:  # short stream, or a bomb hitting the +1 cap
         raise UnsupportedMedia("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

@@ -165,3 +165,28 @@ def test_sniff():
     assert ic.sniff(ic.encode_ppm(a)) == "ppm"
     assert ic.sniff(ic.encode_wav(sig, 8000)) == "wav"
     assert ic.sniff(b"\xff\xd8\xff junk") is None  # JPEG → fallback path
+
+
+def test_png_decompress_bomb_and_dims_guard():
+    # ADVICE r5: IHDR dims are attacker-controlled — reject oversized
+    # declared dims and cap the inflate at the expected byte count so a
+    # zlib bomb cannot exhaust executor memory (BMP had this; PNG lacked it)
+    import struct
+    import zlib
+
+    import pytest
+
+    from nixiesearch_spark.pipeline.imagecodec import UnsupportedMedia, decode_png
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    bomb = magic + ihdr + chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000)) + chunk(b"IEND", b"")
+    with pytest.raises(UnsupportedMedia):
+        decode_png(bomb)
+    ihdr2 = chunk(b"IHDR", struct.pack(">IIBBBBB", 100000, 100000, 8, 0, 0, 0, 0))
+    huge = magic + ihdr2 + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    with pytest.raises(UnsupportedMedia):
+        decode_png(huge)

@@ -202,329 +202,351 @@ class IndexBuilder:
         # was a full shuffle of the document payload, paid once per build
         # job. Non-file inputs (createDataFrame) keep the repartition guard.
         prev_mpb = self._tune_input_splits(base, parallelism)
-        if prev_mpb is None and base.rdd.getNumPartitions() < max(parallelism // 2, 2):
-            # non-file input (or already-fine splits): the .rdd partition
-            # probe costs a full plan->RDD conversion, so it only runs when
-            # split tuning could not size the scan itself
-            base = base.repartition(parallelism * 2)
-        if len(shards) < c.n_shards:
-            base = base.where(F.col("shard").isin(shards))
-        stored = list(c.stored_cols) if c.stored_cols else [
-            x for x in df.columns if x not in ("docid", "shard")
-        ]
-        # dense per-shard ordinals (Lucene segment-local docids): delta+VByte
-        # over uniformly-hashed 64-bit docids compresses nothing (avg gap
-        # ~2^59/df), over dense ordinals the gaps are ~shard_size/df — the
-        # packed table shrinks ~5x. Appends offset by the shard's committed
-        # row count (from lineage) so ordinals never collide.
-        #
-        # The map is computed ONCE on a slim (docid, shard) projection and
-        # broadcast-joined back to the payload rows (guide §8: decide with
-        # small rows, never shuffle the heavy payload). Below the broadcast
-        # bound this removes every full-payload exchange from the build —
-        # the docs and postings jobs both consume input-split partitioning
-        # straight through to their writes. Above the bound (cluster-scale
-        # corpora) the old payload-window path is used unchanged.
-        bases = self._shard_bases(index_dir, shards)
-        ord_cap = int(c.extra.get("ordinal_broadcast_max_rows", 5_000_000))
-        ordmap = None
-        slim = self._with_ordinals(base.select("docid", "shard"), bases).select(
-            "docid", "ordinal"
-        )
-        from pyspark import StorageLevel
-
-        ordmap = slim.persist(StorageLevel.MEMORY_AND_DISK)
-        n_rows = ordmap.count()
-        if n_rows <= ord_cap:
-            base = base.join(F.broadcast(ordmap), "docid")
-        else:  # payload window path: ordinals recomputed per action
-            ordmap.unpersist(blocking=False)
+        ordmap = None  # set inside; cleaned up in the finally
+        try:
+            if prev_mpb is None and base.rdd.getNumPartitions() < max(parallelism // 2, 2):
+                # non-file input (or already-fine splits): the .rdd partition
+                # probe costs a full plan->RDD conversion, so it only runs when
+                # split tuning could not size the scan itself
+                base = base.repartition(parallelism * 2)
+            if len(shards) < c.n_shards:
+                base = base.where(F.col("shard").isin(shards))
+            stored = list(c.stored_cols) if c.stored_cols else [
+                x for x in df.columns if x not in ("docid", "shard")
+            ]
+            # dense per-shard ordinals (Lucene segment-local docids): delta+VByte
+            # over uniformly-hashed 64-bit docids compresses nothing (avg gap
+            # ~2^59/df), over dense ordinals the gaps are ~shard_size/df — the
+            # packed table shrinks ~5x. Appends offset by the shard's committed
+            # row count (from lineage) so ordinals never collide.
+            #
+            # The map is computed ONCE on a slim (docid, shard) projection and
+            # broadcast-joined back to the payload rows (guide §8: decide with
+            # small rows, never shuffle the heavy payload). Below the broadcast
+            # bound this removes every full-payload exchange from the build —
+            # the docs and postings jobs both consume input-split partitioning
+            # straight through to their writes. Above the bound (cluster-scale
+            # corpora), and whenever a batch contains DUPLICATE docids, the
+            # old payload-window path is used unchanged: a docid-keyed join
+            # against k duplicate rows would fan out to k*k payload rows and
+            # double-count tf, while the window gives each row its own ordinal
+            # (duplicates within a batch are legitimate — last-write-wins
+            # resolves them at compact()).
+            bases = self._shard_bases(index_dir, shards)
+            ord_cap = int(c.extra.get("ordinal_broadcast_max_rows", 5_000_000))
             ordmap = None
-            base = self._with_ordinals(base, bases)
-        base = base.withColumn(
-            "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
-        )
-        # Lineage metrics ride the write jobs via Observation (computed
-        # inside the same action — zero extra jobs, no persist of the
-        # tokenized frame: recompute beats caching 30M-token arrays, and
-        # at 100 TB caching them is not an option at all).
-        from pyspark.sql import Observation
+            # row count first (metadata-only for unfiltered parquet scans) so
+            # the above-cap path never computes, persists, or discards the map
+            n_rows = base.count()
+            if n_rows <= ord_cap:
+                from pyspark import StorageLevel
 
-        per_shard = len(shards) <= 64  # per-shard metric exprs; totals beyond
-        groups = shards if per_shard else [-1]
+                ordmap = self._with_ordinals(base.select("docid", "shard"), bases).select(
+                    "docid", "ordinal"
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                # one agg materializes the cache AND detects duplicate docids
+                stats_row = ordmap.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.col("docid")).alias("nd"),
+                ).collect()[0]
+                if int(stats_row["n"]) == int(stats_row["nd"]):
+                    base = base.join(F.broadcast(ordmap), "docid")
+                else:  # duplicate docids in this batch — window path
+                    ordmap.unpersist(blocking=False)
+                    ordmap = None
+                    base = self._with_ordinals(base, bases)
+            else:  # payload window path: ordinals recomputed per action
+                base = self._with_ordinals(base, bases)
+            base = base.withColumn(
+                "sha256", F.sha2(F.coalesce(F.col(c.text_fields[0]).cast("string"), F.lit("")), 256)
+            )
+            # Lineage metrics ride the write jobs via Observation (computed
+            # inside the same action — zero extra jobs, no persist of the
+            # tokenized frame: recompute beats caching 30M-token arrays, and
+            # at 100 TB caching them is not an option at all).
+            from pyspark.sql import Observation
 
-        def shard_pred(s):
-            return F.lit(True) if s == -1 else (F.col("shard") == s)
+            per_shard = len(shards) <= 64  # per-shard metric exprs; totals beyond
+            groups = shards if per_shard else [-1]
 
-        # ---------- docs job: row store only, ZERO tokenization ----------
-        # The docs table stores docid/ordinal/shard/sha + stored fields;
-        # norms live in the postings rows (the only place scoring reads
-        # them), so the expensive analyze pass runs exactly ONCE — in the
-        # postings job below — instead of once per output table.
-        self._mark("prelude", t0)
-        obs_docs = Observation()
-        doc_exprs = [
-            F.sum(F.when(shard_pred(s), 1).otherwise(0)).alias(f"rows__{s}") for s in groups
-        ]
-        docs_out = base.select("docid", "ordinal", "shard", "sha256", *stored).observe(
-            obs_docs, *doc_exprs
-        )
-        # flat write (no partitionBy): hive-partitioning by shard would
-        # explode into tasks×shards files. On the broadcast-ordinal path
-        # rows stay in input order (no exchange at all — the win); shard
-        # row-group stats are loose until a merge() re-clusters, which the
-        # rare compact/swap paths tolerate. On the payload-window fallback
-        # rows arrive sorted by (shard, bucket, docid) as before. Docs
-        # access paths are docid joins + shard column filters, neither
-        # needs directory pruning.
-        # the docs and postings writes are INDEPENDENT actions over the
-        # same inputs — run the docs write on a driver thread so the
-        # postings job's tasks back-fill as the docs tail drains (guide
-        # §2.6: overlap independent jobs; job descriptions/groups are
-        # thread-local so each stays labeled). The join happens right
-        # before the lineage rows, which need both Observations.
-        from pyspark import inheritable_thread_target
+            def shard_pred(s):
+                return F.lit(True) if s == -1 else (F.col("shard") == s)
 
-        t_ph = time.time()
+            # ---------- docs job: row store only, ZERO tokenization ----------
+            # The docs table stores docid/ordinal/shard/sha + stored fields;
+            # norms live in the postings rows (the only place scoring reads
+            # them), so the expensive analyze pass runs exactly ONCE — in the
+            # postings job below — instead of once per output table.
+            self._mark("prelude", t0)
+            obs_docs = Observation()
+            doc_exprs = [
+                F.sum(F.when(shard_pred(s), 1).otherwise(0)).alias(f"rows__{s}") for s in groups
+            ]
+            docs_out = base.select("docid", "ordinal", "shard", "sha256", *stored).observe(
+                obs_docs, *doc_exprs
+            )
+            # flat write (no partitionBy): hive-partitioning by shard would
+            # explode into tasks×shards files. On the broadcast-ordinal path
+            # rows stay in input order (no exchange at all — the win); shard
+            # row-group stats are loose until a merge() re-clusters, which the
+            # rare compact/swap paths tolerate. On the payload-window fallback
+            # rows arrive sorted by (shard, bucket, docid) as before. Docs
+            # access paths are docid joins + shard column filters, neither
+            # needs directory pruning.
+            # the docs and postings writes are INDEPENDENT actions over the
+            # same inputs — run the docs write on a driver thread so the
+            # postings job's tasks back-fill as the docs tail drains (guide
+            # §2.6: overlap independent jobs; job descriptions/groups are
+            # thread-local so each stays labeled). The join happens right
+            # before the lineage rows, which need both Observations.
+            from pyspark import inheritable_thread_target
 
-        def _write_docs():
-            self.spark.sparkContext.setJobDescription("index-build: docs row store")
-            docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+            t_ph = time.time()
 
-        from concurrent.futures import ThreadPoolExecutor
+            def _write_docs():
+                self.spark.sparkContext.setJobDescription("index-build: docs row store")
+                docs_out.write.mode("append").parquet(os.path.join(index_dir, "docs"))
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        docs_future = pool.submit(inheritable_thread_target(_write_docs))
+            from concurrent.futures import ThreadPoolExecutor
 
-        # ---------- postings job: the single tokenize pass ----------
-        docs = base
-        field_types = dict(df.dtypes)
-        for f in c.text_fields:
-            tok = analyzer_col(c.analyzers.get(f, "standard"))
-            if field_types.get(f, "").startswith("array"):
-                # text[] (reference TextListFieldCodec.scala:89-92): each item
-                # is an extra TextField instance sharing ONE norm — tokens
-                # concatenate across items, doc length = sum over items; the
-                # 32000-char analyzer cut applies per item, like Lucene's
-                # per-field-instance truncation
-                from nixiesearch_spark.analysis import UDF_ANALYZERS
+            pool = ThreadPoolExecutor(max_workers=1)
+            docs_future = pool.submit(inheritable_thread_target(_write_docs))
 
-                if c.analyzers.get(f, "standard") in UDF_ANALYZERS:
-                    # pandas_udf analyzers can't run inside transform lambdas;
-                    # space-join items first (space is a delimiter in every
-                    # chain, so tokens are identical; the 32000 cut then
-                    # applies to the joined string)
-                    toks = tok(F.concat_ws(" ", F.col(f)))
+            # ---------- postings job: the single tokenize pass ----------
+            docs = base
+            field_types = dict(df.dtypes)
+            for f in c.text_fields:
+                tok = analyzer_col(c.analyzers.get(f, "standard"))
+                if field_types.get(f, "").startswith("array"):
+                    # text[] (reference TextListFieldCodec.scala:89-92): each item
+                    # is an extra TextField instance sharing ONE norm — tokens
+                    # concatenate across items, doc length = sum over items; the
+                    # 32000-char analyzer cut applies per item, like Lucene's
+                    # per-field-instance truncation
+                    from nixiesearch_spark.analysis import UDF_ANALYZERS
+
+                    if c.analyzers.get(f, "standard") in UDF_ANALYZERS:
+                        # pandas_udf analyzers can't run inside transform lambdas;
+                        # space-join items first (space is a delimiter in every
+                        # chain, so tokens are identical; the 32000 cut then
+                        # applies to the joined string)
+                        toks = tok(F.concat_ws(" ", F.col(f)))
+                    else:
+                        # drop NULL items first: flatten over a NULL element
+                        # returns NULL and would silently drop the whole field
+                        toks = F.flatten(
+                            F.transform(
+                                F.filter(F.col(f), lambda x: x.isNotNull()),
+                                lambda x: tok(x),
+                            )
+                        )
                 else:
-                    # drop NULL items first: flatten over a NULL element
-                    # returns NULL and would silently drop the whole field
-                    toks = F.flatten(
-                        F.transform(
-                            F.filter(F.col(f), lambda x: x.isNotNull()),
-                            lambda x: tok(x),
+                    toks = tok(F.col(f))
+                docs = docs.withColumn(f"_toks_{f}", toks)
+                # size(NULL) is -1 — clamp so null-field docs don't pollute sum_dl
+                docs = docs.withColumn(
+                    f"doclen_{f}", F.greatest(F.size(F.col(f"_toks_{f}")), F.lit(0))
+                )
+                norm = (
+                    F.expr(_norm_expr(f"doclen_{f}")).cast("int")
+                    if c.quantize
+                    else F.col(f"doclen_{f}").cast("int")
+                )
+                docs = docs.withColumn(f"norm_{f}", norm)
+            # doc-length field stats observe the tokenized frame BEFORE the
+            # explode, inside the same postings action — every row flows through
+            # the observe node even when it yields zero postings
+            len_exprs = []
+            for s in groups:
+                for f in c.text_fields:
+                    p = shard_pred(s)
+                    len_exprs.append(
+                        F.sum(F.when(p & (F.col(f"doclen_{f}") > 0), 1).otherwise(0)).alias(
+                            f"docs__{s}__{f}"
                         )
                     )
-            else:
-                toks = tok(F.col(f))
-            docs = docs.withColumn(f"_toks_{f}", toks)
-            # size(NULL) is -1 — clamp so null-field docs don't pollute sum_dl
-            docs = docs.withColumn(
-                f"doclen_{f}", F.greatest(F.size(F.col(f"_toks_{f}")), F.lit(0))
-            )
-            norm = (
-                F.expr(_norm_expr(f"doclen_{f}")).cast("int")
-                if c.quantize
-                else F.col(f"doclen_{f}").cast("int")
-            )
-            docs = docs.withColumn(f"norm_{f}", norm)
-        # doc-length field stats observe the tokenized frame BEFORE the
-        # explode, inside the same postings action — every row flows through
-        # the observe node even when it yields zero postings
-        len_exprs = []
-        for s in groups:
-            for f in c.text_fields:
-                p = shard_pred(s)
-                len_exprs.append(
-                    F.sum(F.when(p & (F.col(f"doclen_{f}") > 0), 1).otherwise(0)).alias(
-                        f"docs__{s}__{f}"
+                    len_exprs.append(
+                        F.sum(F.when(p, F.col(f"doclen_{f}")).otherwise(0)).alias(
+                            f"dl__{s}__{f}"
+                        )
                     )
+            obs_len = Observation()
+            docs = docs.observe(obs_len, *len_exprs)
+            # per-doc tf via explode + groupBy with map-side partial aggregation
+            # (guide §2.3). Two alternatives were measured and REJECTED in r6:
+            # a run-length encode over array_sort with indexed HOF lambdas hit
+            # the alias-inlining trap (array_sort re-evaluated per element — a
+            # 50-doc build never finished), and the inlining-immune whole-array
+            # zip_with form ran 4x slower than this shuffle (130 s vs 30 s at
+            # 20k docs/local[4]: HOF lambdas evaluate interpreted, ~7k lambda
+            # calls per 1000-token doc, while explode+hash-agg is codegen'd).
+            posting_parts = [
+                docs.select(
+                    "docid",
+                    "ordinal",
+                    "shard",
+                    F.lit(f).alias("field"),
+                    F.col(f"norm_{f}").alias("norm"),
+                    F.explode(F.col(f"_toks_{f}")).alias("term"),
                 )
-                len_exprs.append(
-                    F.sum(F.when(p, F.col(f"doclen_{f}")).otherwise(0)).alias(
-                        f"dl__{s}__{f}"
-                    )
-                )
-        obs_len = Observation()
-        docs = docs.observe(obs_len, *len_exprs)
-        # per-doc tf via explode + groupBy with map-side partial aggregation
-        # (guide §2.3). Two alternatives were measured and REJECTED in r6:
-        # a run-length encode over array_sort with indexed HOF lambdas hit
-        # the alias-inlining trap (array_sort re-evaluated per element — a
-        # 50-doc build never finished), and the inlining-immune whole-array
-        # zip_with form ran 4x slower than this shuffle (130 s vs 30 s at
-        # 20k docs/local[4]: HOF lambdas evaluate interpreted, ~7k lambda
-        # calls per 1000-token doc, while explode+hash-agg is codegen'd).
-        posting_parts = [
-            docs.select(
-                "docid",
-                "ordinal",
-                "shard",
-                F.lit(f).alias("field"),
-                F.col(f"norm_{f}").alias("norm"),
-                F.explode(F.col(f"_toks_{f}")).alias("term"),
-            )
-            for f in c.text_fields
-        ]
-        exploded = posting_parts[0]
-        for p in posting_parts[1:]:
-            exploded = exploded.unionByName(p)
-        postings = exploded.groupBy(
-            "shard", "field", "term", "docid", "ordinal", "norm"
-        ).agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        # Full builds may persist the narrow posting rows so finalize's
-        # pack shuffles straight off the cache instead of re-reading the
-        # just-written parquet (pack_source="cache", for object-store
-        # deployments; see the A/B note below — local disk favors the
-        # re-read). Appends/resumes never cache — their pack is already
-        # O(batch) via the incremental og overwrite.
-        full_build = (
-            c.quantize
-            and len(shards) == c.n_shards
-            and not os.path.isdir(os.path.join(index_dir, "postings"))
-        )
-        prev = getattr(self, "_full_postings", None)
-        if prev is not None:  # builder reuse: release the orphan cache first
-            prev[0].unpersist(blocking=False)
-        self._full_postings = None
-        # pack_source="parquet" (default) skips the cache: pack re-reads
-        # the written postings files. A/B at 20k docs/local[4] (bench_extra
-        # r6, warm JVM): parquet 29.9-35.3 s total vs cache 36.4 s — the
-        # MEMORY_AND_DISK serialization inside the postings action costs
-        # more than the local re-read, and skipping it also releases the
-        # executor storage pressure. "cache" remains for object-store
-        # deployments, where the re-read is a full-index network trip.
-        use_cache = c.extra.get("pack_source", "parquet") == "cache"
-        if full_build and use_cache:
-            span = c.block_size * int(c.extra.get("pack_group_blocks", 256))
-
-            postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-            self._full_postings = (postings, span)
-        # postings_out metric: an observe on the pre-agg exploded stream
-        # costs ~20% of the whole postings job (measured r4: 47.4s → 39.7s
-        # at 120k docs/14M tokens — 32 conditional sums ride every token
-        # row), while a post-hoc count over the cached agg is ~1s. Full
-        # builds therefore count AFTER the write; append batches keep the
-        # observe (the write is append-mode, so a post-hoc dir count would
-        # include other batches' rows).
-        obs_post = Observation() if not full_build else None
-        # the groupBy already shuffled once; write straight out of the
-        # aggregation partitions (sorted so parquet row-group min/max on
-        # term stays tight for query-time skipping). Flat write: the agg
-        # exchange mixes shards per task, so hive-partitioning by shard
-        # would write tasks×shards files; queries filter postings by
-        # (field, term), never by shard directory.
-        out = postings
-        if obs_post is not None:
-            post_exprs = [
-                F.sum(
-                    F.when(shard_pred(s) & (F.col("field") == f), 1).otherwise(0)
-                ).alias(f"post__{s}__{f}")
-                for s in groups
                 for f in c.text_fields
             ]
-            out = out.observe(obs_post, *post_exprs)
-        out = out.sortWithinPartitions("shard", "field", "term", "docid")
-        self.spark.sparkContext.setJobDescription("index-build: postings")
-        try:
-            # snappy for the numeric-heavy postings rows: A/B at 8.9M rows
-            # (bench_extra r6) — write 7.8->5.5-6.2 s, scan-back 1.3->0.8 s,
-            # +12% bytes vs zstd; the text-heavy docs table stays on the
-            # session codec (zstd), where ratio matters more than encode
-            # speed. (lz4 was fastest but Spark's Hadoop-framed lz4 is
-            # unreadable by pyarrow, and lz4_raw does not round-trip
-            # through Spark's own reader without native hadoop libs.)
-            out.write.mode("append").option("compression", "snappy").parquet(
-                os.path.join(index_dir, "postings")
+            exploded = posting_parts[0]
+            for p in posting_parts[1:]:
+                exploded = exploded.unionByName(p)
+            postings = exploded.groupBy(
+                "shard", "field", "term", "docid", "ordinal", "norm"
+            ).agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            # Full builds may persist the narrow posting rows so finalize's
+            # pack shuffles straight off the cache instead of re-reading the
+            # just-written parquet (pack_source="cache", for object-store
+            # deployments; see the A/B note below — local disk favors the
+            # re-read). Appends/resumes never cache — their pack is already
+            # O(batch) via the incremental og overwrite.
+            full_build = (
+                c.quantize
+                and len(shards) == c.n_shards
+                and not os.path.isdir(os.path.join(index_dir, "postings"))
             )
-            t_ph = self._mark("postings_write", t_ph)
-        finally:
+            prev = getattr(self, "_full_postings", None)
+            if prev is not None:  # builder reuse: release the orphan cache first
+                prev[0].unpersist(blocking=False)
+            self._full_postings = None
+            # pack_source="parquet" (default) skips the cache: pack re-reads
+            # the written postings files. A/B at 20k docs/local[4] (bench_extra
+            # r6, warm JVM): parquet 29.9-35.3 s total vs cache 36.4 s — the
+            # MEMORY_AND_DISK serialization inside the postings action costs
+            # more than the local re-read, and skipping it also releases the
+            # executor storage pressure. "cache" remains for object-store
+            # deployments, where the re-read is a full-index network trip.
+            use_cache = c.extra.get("pack_source", "parquet") == "cache"
+            if full_build and use_cache:
+                span = c.block_size * int(c.extra.get("pack_group_blocks", 256))
+
+                postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+                self._full_postings = (postings, span)
+            # postings_out metric: an observe on the pre-agg exploded stream
+            # costs ~20% of the whole postings job (measured r4: 47.4s → 39.7s
+            # at 120k docs/14M tokens — 32 conditional sums ride every token
+            # row), while a post-hoc count over the cached agg is ~1s. Full
+            # builds therefore count AFTER the write; append batches keep the
+            # observe (the write is append-mode, so a post-hoc dir count would
+            # include other batches' rows).
+            obs_post = Observation() if not full_build else None
+            # the groupBy already shuffled once; write straight out of the
+            # aggregation partitions (sorted so parquet row-group min/max on
+            # term stays tight for query-time skipping). Flat write: the agg
+            # exchange mixes shards per task, so hive-partitioning by shard
+            # would write tasks×shards files; queries filter postings by
+            # (field, term), never by shard directory.
+            out = postings
+            if obs_post is not None:
+                post_exprs = [
+                    F.sum(
+                        F.when(shard_pred(s) & (F.col("field") == f), 1).otherwise(0)
+                    ).alias(f"post__{s}__{f}")
+                    for s in groups
+                    for f in c.text_fields
+                ]
+                out = out.observe(obs_post, *post_exprs)
+            out = out.sortWithinPartitions("shard", "field", "term", "docid")
+            self.spark.sparkContext.setJobDescription("index-build: postings")
             try:
-                docs_future.result()  # surface docs-write failures here
+                # snappy for the numeric-heavy postings rows: A/B at 8.9M rows
+                # (bench_extra r6) — write 7.8->5.5-6.2 s, scan-back 1.3->0.8 s,
+                # +12% bytes vs zstd; the text-heavy docs table stays on the
+                # session codec (zstd), where ratio matters more than encode
+                # speed. (lz4 was fastest but Spark's Hadoop-framed lz4 is
+                # unreadable by pyarrow, and lz4_raw does not round-trip
+                # through Spark's own reader without native hadoop libs.)
+                out.write.mode("append").option("compression", "snappy").parquet(
+                    os.path.join(index_dir, "postings")
+                )
+                t_ph = self._mark("postings_write", t_ph)
             finally:
-                pool.shutdown()
-        t_ph = self._mark("docs_join", t_ph)
-        dvals, lvals = obs_docs.get, obs_len.get
-        if obs_post is not None:
-            pvals = obs_post.get
-        else:  # count from what the write just materialized: the cache, or
-            # (pack_source=parquet) the files themselves — the dir held
-            # nothing before a full build, so the dir count IS the batch
-            src = postings if use_cache else self.spark.read.parquet(
-                os.path.join(index_dir, "postings")
+                try:
+                    docs_future.result()  # surface docs-write failures here
+                finally:
+                    pool.shutdown()
+            t_ph = self._mark("docs_join", t_ph)
+            dvals, lvals = obs_docs.get, obs_len.get
+            if obs_post is not None:
+                pvals = obs_post.get
+            else:  # count from what the write just materialized: the cache, or
+                # (pack_source=parquet) the files themselves — the dir held
+                # nothing before a full build, so the dir count IS the batch
+                src = postings if use_cache else self.spark.read.parquet(
+                    os.path.join(index_dir, "postings")
+                )
+                pc = {
+                    (int(r["shard"]), r["field"]): int(r["cnt"])
+                    for r in src.groupBy("shard", "field")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+                pvals = {
+                    f"post__{s}__{f}": sum(
+                        v for (ps, pf), v in pc.items() if pf == f and (s == -1 or ps == s)
+                    )
+                    for s in groups
+                    for f in c.text_fields
+                }
+            wall_ms = int((time.time() - t0) * 1000)
+            rows = []
+            for s in shards:
+                g = s if per_shard else -1
+                for f in c.text_fields:
+                    rows.append(
+                        {
+                            "shard": s,
+                            "field": f,
+                            "rows_in": int(dvals[f"rows__{g}"]) if per_shard else None,
+                            "docs_with_field": int(lvals[f"docs__{g}__{f}"]) if per_shard else None,
+                            "sum_dl": int(lvals[f"dl__{g}__{f}"]) if per_shard else None,
+                            "postings_out": int(pvals[f"post__{g}__{f}"]) if per_shard else None,
+                            "wall_ms": wall_ms,
+                            "status": "committed",
+                            "tokenizer": TOKENIZER_VERSION,
+                        }
+                    )
+            if not per_shard:
+                # totals-only summary row carries the field-level metrics
+                for f in c.text_fields:
+                    rows.append(
+                        {
+                            "shard": -1,
+                            "field": f,
+                            "rows_in": int(dvals["rows__-1"]),
+                            "docs_with_field": int(lvals[f"docs__-1__{f}"]),
+                            "sum_dl": int(lvals[f"dl__-1__{f}"]),
+                            "postings_out": int(pvals[f"post__-1__{f}"]),
+                            "wall_ms": wall_ms,
+                            "status": "summary",
+                            "tokenizer": TOKENIZER_VERSION,
+                        }
+                    )
+            t_ph = self._mark("postings_count", t_ph)
+            lineage = self.spark.createDataFrame(
+                pd.DataFrame(rows),
+                schema=(
+                    "shard int, field string, rows_in long, docs_with_field long, "
+                    "sum_dl long, postings_out long, wall_ms long, status string, "
+                    "tokenizer string"
+                ),
             )
-            pc = {
-                (int(r["shard"]), r["field"]): int(r["cnt"])
-                for r in src.groupBy("shard", "field")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            }
-            pvals = {
-                f"post__{s}__{f}": sum(
-                    v for (ps, pf), v in pc.items() if pf == f and (s == -1 or ps == s)
-                )
-                for s in groups
-                for f in c.text_fields
-            }
-        wall_ms = int((time.time() - t0) * 1000)
-        rows = []
-        for s in shards:
-            g = s if per_shard else -1
-            for f in c.text_fields:
-                rows.append(
-                    {
-                        "shard": s,
-                        "field": f,
-                        "rows_in": int(dvals[f"rows__{g}"]) if per_shard else None,
-                        "docs_with_field": int(lvals[f"docs__{g}__{f}"]) if per_shard else None,
-                        "sum_dl": int(lvals[f"dl__{g}__{f}"]) if per_shard else None,
-                        "postings_out": int(pvals[f"post__{g}__{f}"]) if per_shard else None,
-                        "wall_ms": wall_ms,
-                        "status": "committed",
-                        "tokenizer": TOKENIZER_VERSION,
-                    }
-                )
-        if not per_shard:
-            # totals-only summary row carries the field-level metrics
-            for f in c.text_fields:
-                rows.append(
-                    {
-                        "shard": -1,
-                        "field": f,
-                        "rows_in": int(dvals["rows__-1"]),
-                        "docs_with_field": int(lvals[f"docs__-1__{f}"]),
-                        "sum_dl": int(lvals[f"dl__-1__{f}"]),
-                        "postings_out": int(pvals[f"post__-1__{f}"]),
-                        "wall_ms": wall_ms,
-                        "status": "summary",
-                        "tokenizer": TOKENIZER_VERSION,
-                    }
-                )
-        t_ph = self._mark("postings_count", t_ph)
-        lineage = self.spark.createDataFrame(
-            pd.DataFrame(rows),
-            schema=(
-                "shard int, field string, rows_in long, docs_with_field long, "
-                "sum_dl long, postings_out long, wall_ms long, status string, "
-                "tokenizer string"
-            ),
-        )
-        lineage.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
-        self._mark("lineage_write", t_ph)
-        self.spark.sparkContext.setJobDescription(None)
-        if ordmap is not None:  # slim map served both writes; done with it
-            ordmap.unpersist(blocking=False)
-        if prev_mpb is not None:  # restore the session's input-split size
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            lineage.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+            self._mark("lineage_write", t_ph)
+        finally:
+            # session-wide state must be restored even when a write
+            # throws: the shrunken split size would otherwise hit
+            # every later scan, the MEMORY_AND_DISK ordmap would pin
+            # executor storage for the application lifetime, and
+            # later jobs would stay labeled as this build's
+            self.spark.sparkContext.setJobDescription(None)
+            if ordmap is not None:
+                ordmap.unpersist(blocking=False)
+            if prev_mpb is not None:
+                self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
     def _tune_input_splits(self, base: DataFrame, parallelism: int) -> str | None:
         """Size input splits to the corpus so the CPU-bound tokenize stage
@@ -544,8 +566,11 @@ class IndexBuilder:
                 return None
             want = max(total // max(parallelism * 3, 1), 4 * 1024 * 1024)
             prev = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
-            prev_bytes = int(str(prev).lower().rstrip("b").replace("m", "000000").replace(
-                "g", "000000000").replace("k", "000")) if not str(prev).isdigit() else int(prev)
+            s = str(prev).strip().lower().rstrip("b")
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            prev_bytes = (
+                int(s[:-1]) * mult[s[-1]] if s and s[-1] in mult else int(s)
+            )
             if want >= prev_bytes:
                 return None  # input already splits at least this finely
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(want)))
@@ -1064,7 +1089,14 @@ class IndexBuilder:
         # tasks per core — scale-adaptive, not a constant.
         parallelism = self.spark.sparkContext.defaultParallelism
         nparts = parallelism * 3
-        if postings_df is None:
+        if new_files is not None:
+            # incremental re-pack: size from the NEW files only — the og
+            # filter keeps the shuffle O(batch), and sizing from the whole
+            # dir would schedule O(index) mostly-empty tasks per streaming
+            # batch (violating the documented per-batch cost contract)
+            nbytes = sum(os.path.getsize(f) for f in new_files if os.path.isfile(f))
+            nparts = max(min(nparts, int(nbytes // (64 * 1024 * 1024)) + parallelism), 1)
+        elif postings_df is None:
             import glob as _glob
 
             nbytes = sum(

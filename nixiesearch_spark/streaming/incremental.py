@@ -180,7 +180,11 @@ class IncrementalIndexer:
         and WITHOUT re-tokenizing: survivors keep their ordinals, so their
         postings rows are carried as-is and only the loser rows are dropped.
         Untouched shards' docs/postings files are not rewritten at all (byte
-        -identical after a prior merge; see _swap_rows_in_place). Stats stay
+        -identical after a prior merge; see _swap_rows_in_place). NOTE: a
+        full build's broadcast-ordinal path (r6) leaves docs files in input
+        order, so every file spans all shards and a PRE-merge compact
+        rewrites the whole docs table (correct, just O(index)); run merge()
+        first when compacting a freshly built index matters for cost. Stats stay
         exact via negative lineage adjustment rows; their NULL ``rows_in``
         flips the touched shards' ordinal base to the max(ordinal)+1
         fallback (builder._shard_bases), so later appends never collide with

@@ -58,3 +58,33 @@ def test_merge_compacts_files_and_preserves_results(spark, tmp_path):
     s2 = Searcher(IndexReader(spark, d))
     res_after = [(r["docid"], r["score"]) for r in s2.search(q, size=20).collect()]
     assert res_before == res_after
+
+
+def test_duplicate_docids_in_batch_keep_per_row_ordinals(spark, tmp_path):
+    # r6 code review: the broadcast-ordinal join keyed on docid would fan
+    # k duplicate rows out to k*k payload rows and double tf. Duplicate
+    # docids within a batch are legitimate (re-ingest before compaction),
+    # so the build must detect them and take the window path: one docs row
+    # and one set of postings PER INPUT ROW, tf counted per row.
+    import pandas as pd
+
+    d = str(tmp_path / "dupidx")
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["p", "p", "q"],   # rows 0,1 share (repo,path,commit)
+            "commit": ["c", "c", "c"],
+            "lang": ["py", "py", "py"],
+            "content": ["hello world", "hello world", "other text"],
+        }
+    )
+    cfg = IndexConfig(text_fields=("content",), n_shards=4)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), d, resume=False)
+    docs = spark.read.parquet(d + "/docs")
+    assert docs.count() == 3, "k duplicate rows must stay k rows, not k*k"
+    post = spark.read.parquet(d + "/postings").toPandas()
+    hello = post[post["term"] == "hello"]
+    assert sorted(hello["tf"]) == [1, 1], "tf must count per row, not per docid"
+    # the two duplicate rows carry distinct ordinals (append-safe)
+    dup = docs.where("path = 'p'").toPandas()
+    assert len(set(dup["ordinal"])) == 2

@@ -1107,6 +1107,16 @@ class IndexBuilder:
                 )
             )
             nparts = max(nparts, int(nbytes // (64 * 1024 * 1024)) + 1)
+        # the read stage feeding the exchange needs splits too: the
+        # postings files (~35 MB each) otherwise bin-pack into a handful
+        # of 128 MB scan tasks and serialize the map side at high core
+        # counts — same size-derived split rule as the build's input scan
+        mpb_conf = "spark.sql.files.maxPartitionBytes"
+        prev_mpb = None
+        if postings_df is None and new_files is None and nbytes > 0:
+            want = max(nbytes // max(parallelism * 3, 1), 4 * 1024 * 1024)
+            prev_mpb = self.spark.conf.get(mpb_conf)
+            self.spark.conf.set(mpb_conf, str(int(want)))
         arranged = (
             postings.withColumn(
                 "og", F.floor(F.col("ordinal") / F.lit(group_span)).cast("int")
@@ -1144,6 +1154,8 @@ class IndexBuilder:
             )
         finally:
             self.spark.conf.set(arrow_conf, prev_arrow)
+            if prev_mpb is not None:
+                self.spark.conf.set(mpb_conf, prev_mpb)
 
     # ---------- merge / compaction ----------
 

@@ -527,9 +527,10 @@ def _shard_bool_topk(
     for bi, p in enumerate(plans):
         fpdf = pdf[(pdf["field"] == p["field"]) & pdf["term"].isin(p["present"])]
         terms = list(dict.fromkeys(fpdf["term"]))
+        by_term = {t: g for t, g in fpdf.groupby("term", sort=False)}
         blocks = {}
         for t in terms:
-            tdf = fpdf[fpdf["term"] == t].sort_values("block_id")
+            tdf = by_term[t].sort_values("block_id")
             first = tdf["block_id"].to_numpy(dtype=np.int64)
             last = tdf["block_last"].to_numpy(dtype=np.int64)
             ub = (
@@ -565,13 +566,19 @@ def _shard_bool_topk(
         positive = info["plan"]["role"] != "must_not"
         for t, b in info["blocks"].items():
             tmax = np.zeros(n_stripes, dtype=np.float64)
-            for j in range(len(b["first"])):
-                s0 = max(int(np.searchsorted(stripe_lo, b["first"][j], side="right") - 1), 0)
-                s1 = min(int(np.searchsorted(stripe_lo, b["last"][j], side="right") - 1), n_stripes - 1)
-                for s in range(s0, s1 + 1):
+            s0a = np.maximum(
+                np.searchsorted(stripe_lo, b["first"], side="right") - 1, 0
+            )
+            s1a = np.minimum(
+                np.searchsorted(stripe_lo, b["last"], side="right") - 1,
+                n_stripes - 1,
+            )
+            ubs = b["ub"]
+            for j, (a0, a1) in enumerate(zip(s0a, s1a)):
+                for s in range(a0, a1 + 1):
                     overlap[s].append((bi, t, j))
                 if positive:
-                    tmax[s0 : s1 + 1] = np.maximum(tmax[s0 : s1 + 1], b["ub"][j])
+                    tmax[a0 : a1 + 1] = np.maximum(tmax[a0 : a1 + 1], ubs[j])
             stripe_ub += tmax
 
     musts = [i for i, x in enumerate(binfo) if x["plan"]["role"] == "must"]
@@ -593,17 +600,35 @@ def _shard_bool_topk(
         per_branch: dict[int, tuple] = {}
         by_branch_docs: dict[int, list] = {}
         by_branch_contribs: dict[int, list] = {}
-        for (bi, t, j) in set(overlap[s]):
-            key = (bi, t, j)
-            if key not in decoded:
-                info = binfo[bi]
-                b = info["blocks"][t]
-                p = info["plan"]
-                d, tf, nm = codec.decode_posting_block(b["gaps"][j], b["tfs"][j], b["norms"][j])
-                w = np.float32(p["weights"][t])
+        todo = sorted(set(overlap[s]))  # deterministic accumulation order
+        pending: dict[tuple[int, str], list[int]] = {}
+        for bi, t, j in todo:
+            if (bi, t, j) not in decoded:
+                pending.setdefault((bi, t), []).append(j)
+        for (bi, t), js in pending.items():
+            # batch VByte decode per (branch, term) — same identity-tested
+            # kernel as _shard_topk's stripe decode
+            info = binfo[bi]
+            b = info["blocks"][t]
+            p = info["plan"]
+            counts_b = np.array([len(b["norms"][j]) for j in js], dtype=np.int64)
+            dv, tfv, nmv = codec.decode_posting_blocks(
+                [b["gaps"][j] for j in js],
+                [b["tfs"][j] for j in js],
+                [b["norms"][j] for j in js],
+                counts_b,
+            )
+            bounds = np.concatenate([[0], np.cumsum(counts_b)])
+            w = np.float32(p["weights"][t])
+            mult = np.float64(p["mults"][t])
+            for i, j in enumerate(js):
+                d = dv[bounds[i] : bounds[i + 1]]
+                tf = tfv[bounds[i] : bounds[i + 1]]
+                nm = nmv[bounds[i] : bounds[i + 1]]
                 c = lucene.bm25_contrib(w, tf.astype(np.float32), nm, p["cache"])
-                decoded[key] = (d, np.float64(p["mults"][t]) * c.astype(np.float64))
-            d, c = decoded[key]
+                decoded[(bi, t, j)] = (d, mult * c.astype(np.float64))
+        for (bi, t, j) in todo:
+            d, c = decoded[(bi, t, j)]
             mask = (d >= stripe_lo[s]) & (d <= stripe_hi[s])
             if mask.any():
                 by_branch_docs.setdefault(bi, []).append(d[mask])
